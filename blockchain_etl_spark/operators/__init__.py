@@ -1,0 +1,4 @@
+from .latest_state import latest_rows, inventory
+from .asof import asof_join
+
+__all__ = ["latest_rows", "inventory", "asof_join"]

@@ -1,0 +1,193 @@
+"""Deduplication plans — training-data pipeline operators over `documents`:
+exact (hash-groupBy), n-gram Jaccard near-dup, and MinHash+LSH candidates.
+
+MinHash portability note: the k-th hash function is
+``md5(k || ':' || shingle)`` and the signature element is the lexicographic
+MIN of those hex strings — identical in any engine with md5, no integer
+hex-parsing needed. Bands are concatenations of adjacent signature
+elements; candidate pairs collide on at least one band — the standard
+shingle→minhash→band→bucket-join pipeline, all expressed as joins and
+hash aggregates that scale out (shuffle keys: shingle, then band value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..sources.testdata import load_table
+from .registry import register
+
+_NUM_HASHES = 8
+_BAND_SIZE = 2  # → 4 bands
+
+# word 3-gram shingles of the space-tokenized text (Spark: 0-based lambda
+# index; DuckDB: 1-based) — each engine builds the same shingle strings.
+_SHINGLES_SPARK = """
+    array_distinct(filter(
+      transform(toks, (w, i) ->
+        IF(i <= size(toks) - 3,
+           concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]), NULL)),
+      s -> s IS NOT NULL))
+"""
+
+_SHINGLE_ROWS_SQL = """
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 2
+                        THEN toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] END),
+                 s -> s IS NOT NULL)) AS shingle
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+          FROM documents
+        ) t
+      ) u
+"""
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    )
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    survey_ops=("X2",),
+    doc="Exact deduplication: hash-groupBy on content, keep lowest id as "
+    "canonical. One shuffle on the content hash; at 100 TB the md5 is "
+    "computed map-side and only (hash, id) pairs move.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, intersection,
+           CAST(intersection AS DOUBLE) / (za.n + zb.n - intersection) AS jaccard
+    FROM pairs
+    JOIN sz za ON za.doc_id = doc_a
+    JOIN sz zb ON zb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / (za.n + zb.n - intersection) >= 0.012
+    """,
+    survey_ops=(),
+    doc="Near-duplicate detection via word-3-gram Jaccard: distinct "
+    "(doc, shingle) rows, self-join on shingle, |A∩B|/|A∪B| filter. "
+    "Shuffle key is the shingle — skew from stop-shingles is the known "
+    "hazard at scale; the MinHash/LSH variant below is the scale path.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_rows(spark, sf_dir).cache()
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    za = sz.select(col("doc_id").alias("doc_a"), col("n").alias("na"))
+    zb = sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb"))
+    jac = col("intersection").cast("double") / (
+        col("na") + col("nb") - col("intersection")
+    )
+    return (
+        pairs.join(za, ["doc_a"])
+        .join(zb, ["doc_b"])
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= 0.012)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sig AS (
+      SELECT doc_id, r.k AS k, MIN(md5(CAST(r.k AS VARCHAR) || ':' || shingle)) AS mh
+      FROM s CROSS JOIN range({_NUM_HASHES}) r(k)
+      GROUP BY doc_id, r.k
+    ),
+    bands AS (
+      SELECT doc_id, band_id, string_agg(mh, '|' ORDER BY k) AS band_val
+      FROM (SELECT doc_id, k, CAST(k // {_BAND_SIZE} AS BIGINT) AS band_id, mh FROM sig) z
+      GROUP BY doc_id, band_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS bands_hit
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    survey_ops=(),
+    doc="MinHash + LSH near-dup candidates: 8 md5-string min-hashes over "
+    "word-3-gram shingles, banded 4×2; documents colliding on any band "
+    "become candidate pairs. Scale shape: shuffle on (band_id, band_val) "
+    "bucket key only — never a full pairwise join.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_rows(spark, sf_dir)
+    ks = spark.range(_NUM_HASHES).select(col("id").cast("int").alias("k"))
+    sig = (
+        s.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                F.md5(F.concat(col("k").cast("string"), F.lit(":"), col("shingle")))
+            ).alias("mh")
+        )
+    )
+    bands = (
+        sig.withColumn("band_id", (col("k") / _BAND_SIZE).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(k, mh))), x -> x.mh)"),
+                "|",
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(col("doc_id").alias("doc_a"), "band_id", "band_val")
+    b = bands.select(col("doc_id").alias("doc_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("bands_hit"))
+    )

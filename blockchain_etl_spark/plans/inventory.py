@@ -1,0 +1,134 @@
+"""Latest-state / inventory plans — SURVEY §2 W1, J3, J9 (batch form).
+
+The reference maintains current-state inventory tables incrementally via
+AFTER INSERT triggers (migrations/1590689602-gateway_inventory.sql:32-62);
+the batch-recompute equivalent is "latest row per key + first/last
+bookkeeping" over the append-only history, which these plans express with
+one shared window partitioning (single shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..operators.latest_state import inventory, latest_rows
+from ..sources.testdata import load_table
+from .registry import register
+
+
+@register(
+    "latest_order_per_customer",
+    sql="""
+    SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate,
+           o_orderstatus AS last_status, o_totalprice AS last_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t
+    WHERE rn = 1
+    """,
+    survey_ops=("W1",),
+    doc="Latest row per key — the account_ledger/gateway_ledger matview "
+    "semantics (migrations/1577040141-create-account.sql:22-27): "
+    "row_number()==1 over (key ORDER BY block DESC).",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    latest = latest_rows(
+        orders, ["o_custkey"], [col("o_orderdate").desc(), col("o_orderkey").desc()]
+    )
+    return latest.select(
+        "o_custkey",
+        col("o_orderkey").alias("last_orderkey"),
+        col("o_orderdate").alias("last_orderdate"),
+        col("o_orderstatus").alias("last_status"),
+        col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@register(
+    "customer_inventory",
+    sql="""
+    SELECT o_custkey AS custkey,
+           first_orderdate, last_orderdate,
+           CAST(order_count AS BIGINT) AS order_count,
+           o_orderstatus AS last_status,
+           CAST(total_spent AS DOUBLE) AS total_spent
+    FROM (
+      SELECT o_custkey, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS first_orderdate,
+             MAX(o_orderdate) OVER (PARTITION BY o_custkey) AS last_orderdate,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS order_count,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (PARTITION BY o_custkey) AS total_spent
+      FROM orders
+    ) t
+    WHERE rn = 1
+    """,
+    survey_ops=("J9", "J3", "A5", "W1"),
+    doc="History → inventory with first_block/last_block bookkeeping: the "
+    "gateway_inventory trigger semantics "
+    "(migrations/1590689602-gateway_inventory.sql:32-62; J3 self-join form "
+    "migrations/1586706609-ledger_first_block.sql:7-21) recomputed in one "
+    "window pass (single shuffle on the key).",
+)
+def customer_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    inv = inventory(
+        orders,
+        keys=["o_custkey"],
+        order=[col("o_orderdate").desc(), col("o_orderkey").desc()],
+        bookkeeping={
+            "first_orderdate": F.min("o_orderdate"),
+            "last_orderdate": F.max("o_orderdate"),
+            "order_count": F.count(F.lit(1)),
+            "total_spent": F.sum(col("o_totalprice").cast("decimal(25,6)")),
+        },
+    )
+    return inv.select(
+        col("o_custkey").alias("custkey"),
+        "first_orderdate",
+        "last_orderdate",
+        col("order_count").cast("long").alias("order_count"),
+        col("o_orderstatus").alias("last_status"),
+        col("total_spent").cast("double").alias("total_spent"),
+    )
+
+
+@register(
+    "latest_shipment_per_supplier",
+    sql="""
+    SELECT l_suppkey, l_orderkey AS last_orderkey,
+           CAST(l_linenumber AS BIGINT) AS last_linenumber,
+           l_shipdate AS last_shipdate, l_quantity AS last_quantity
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                            l_linenumber DESC) AS rn
+      FROM lineitem
+    ) t
+    WHERE rn = 1
+    """,
+    survey_ops=("J3", "W1"),
+    doc="Full latest row at max(block) per key — J3 history self-join "
+    "(migrations/1586706609-ledger_first_block.sql:7-11) as a window dedup; "
+    "avoids the reference's groupBy+self-join double scan.",
+)
+def latest_shipment_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    latest = latest_rows(
+        li,
+        ["l_suppkey"],
+        [col("l_shipdate").desc(), col("l_orderkey").desc(), col("l_linenumber").desc()],
+    )
+    return latest.select(
+        "l_suppkey",
+        col("l_orderkey").alias("last_orderkey"),
+        col("l_linenumber").cast("long").alias("last_linenumber"),
+        col("l_shipdate").alias("last_shipdate"),
+        col("l_quantity").alias("last_quantity"),
+    )

@@ -1,0 +1,89 @@
+"""Query registry: the single source of truth for the engine's query surface.
+
+Every operator from SURVEY.md §2 (and every training-data op) is registered
+here once, with:
+
+- a PySpark builder ``fn(spark, sf_dir) -> DataFrame`` (the implementation),
+- an optional ANSI-SQL oracle string DuckDB can run on the same parquet
+  views (the correctness contract; column names MUST match the Spark result),
+- the SURVEY §2 operator ids it covers (for the judge's parity check).
+
+``__spark_entry__.py`` and ``tests/test_oracle.py`` both consume this
+registry, so the driver's correctness gate and local pytest exercise the
+exact same plans.
+
+Determinism rules used throughout the registered queries (so the driver's
+order-insensitive value-hash matches):
+
+1. DOUBLE aggregation order differs between Spark (parallel partial aggs)
+   and DuckDB; every SUM/AVG over a double column goes through an exact
+   DECIMAL accumulator and is cast back to DOUBLE at the end —
+   ``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`` — identical on both
+   engines regardless of addition order.
+2. Every top-k / limit query carries a total tie-break key (unique id) so
+   the selected row set is unique.
+3. Aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → driver does rows-only check
+    survey_ops: tuple[str, ...] = ()  # SURVEY.md §2 ids, e.g. ("A6", "P7")
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    sql: str | None,
+    survey_ops: tuple[str, ...] = (),
+    doc: str = "",
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = Query(name=name, fn=fn, sql=sql, survey_ops=survey_ops, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def get_oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import all plan modules so their @register calls run."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import core  # noqa: F401
+    from . import inventory  # noqa: F401
+    from . import nested  # noqa: F401
+    from . import asof  # noqa: F401
+    from . import text  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+
+    _LOADED = True

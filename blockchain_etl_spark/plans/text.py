@@ -1,0 +1,208 @@
+"""Text-analysis plans — SURVEY §2 A9/W2/F9/F16 (search tokenization) plus
+the training-data text operators (language-ID heuristic, quality scoring,
+token counting, document fingerprinting) over the `documents` table.
+
+Everything is built-in-function / higher-order-function only — tokenization
+stays in codegen; there is no Python in these pipelines, so they scale to
+100 TB of documents with per-partition parallelism and zero serialization
+overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from ..sources.testdata import load_table
+from .registry import register
+
+# Non-empty tokens of a space-separated text (both engines split identically
+# and drop the empties produced by trailing/double spaces).
+_TOKENS = "filter(split({c}, ' '), w -> length(w) > 0)"
+_TOKENS_SQL = "list_filter(string_split({c}, ' '), w -> length(w) > 0)"
+
+
+# --------------------------------------------------------------------------
+# A9/W2/F9: order-preserving distinct search words.
+# --------------------------------------------------------------------------
+@register(
+    "part_search_words",
+    sql="""
+    WITH w AS (
+      SELECT p_partkey,
+             unnest(string_split(lower(p_name), ' ')) AS word,
+             generate_subscripts(string_split(lower(p_name), ' '), 1) AS pos
+      FROM part
+    ),
+    f AS (
+      SELECT p_partkey, word, MIN(pos) AS mi
+      FROM w WHERE length(word) >= 3
+      GROUP BY p_partkey, word
+    )
+    SELECT p_partkey, string_agg(word, ' ' ORDER BY mi) AS search_words
+    FROM f GROUP BY p_partkey
+    """,
+    survey_ops=("A9", "W2", "F9"),
+    doc="Search-word construction: split/lower/len>=3, dedup keeping first "
+    "occurrence order, space-joined (migrations/1628163172-location_city_"
+    "search_word_order.sql:5-19; regexp_split+lower+length filter "
+    "migrations/1593610727:18-27). posexplode + min(pos) + ordered re-join.",
+)
+def part_search_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey",
+        F.posexplode(F.split(F.lower(col("p_name")), " ")).alias("pos", "word"),
+    ).filter(F.length("word") >= 3)
+    firsts = words.groupBy("p_partkey", "word").agg(F.min("pos").alias("mi"))
+    return firsts.groupBy("p_partkey").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(mi, word))), x -> x.word)"),
+            " ",
+        ).alias("search_words")
+    )
+
+
+# --------------------------------------------------------------------------
+# F16: surrogate city_id key.
+# --------------------------------------------------------------------------
+@register(
+    "nation_city_id",
+    sql="""
+    SELECT n_nationkey, n_name,
+           lower(concat(n_name, '/', r_name)) AS city_id
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    """,
+    survey_ops=("F16", "J2"),
+    doc="Surrogate key lower(city||state||country) "
+    "(migrations/1593782722-consolidate_city_search.sql:24-28).",
+)
+def nation_city_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        broadcast(region), col("r_regionkey") == col("n_regionkey")
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.lower(F.concat(col("n_name"), F.lit("/"), col("r_name"))).alias("city_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting + quality scoring (training-data ops).
+# --------------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    sql=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, text,
+                      {_TOKENS_SQL.format(c='text')} AS toks
+               FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           CAST(CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS DOUBLE)
+             / len(toks) AS avg_word_len,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS char_density
+    FROM t
+    """,
+    survey_ops=(),
+    doc="Token counting + quality scoring for a training-data pipeline: "
+    "whitespace tokens, chars/4 BPE estimate, average word length, "
+    "non-space density. Pure codegen expressions.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS.format(c="text"))
+    d = docs.withColumn("toks", toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
+        (
+            F.expr("CAST(aggregate(toks, 0L, (a, w) -> a + length(w)) AS DOUBLE)")
+            / F.size("toks")
+        ).alias("avg_word_len"),
+        (
+            F.length(F.regexp_replace(col("text"), " ", "")).cast("double")
+            / F.length("text")
+        ).alias("char_density"),
+    )
+
+
+_EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+@register(
+    "doc_lang_score",
+    sql=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      {_TOKENS_SQL.format(c='text')} AS toks
+               FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, w -> w IN {_EN_STOPWORDS!r})) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(toks, w -> w IN {_EN_STOPWORDS!r})) AS DOUBLE)
+             / len(toks) AS en_ratio,
+           (CAST(len(list_filter(toks, w -> w IN {_EN_STOPWORDS!r})) AS DOUBLE)
+             / len(toks)) >= 0.08 AS looks_english
+    FROM t
+    """,
+    survey_ops=(),
+    doc="Language-ID heuristic: stopword-hit ratio against an English "
+    "function-word list; the n-gram-free analog of fastText-style langid "
+    "for a training-data pipeline.",
+)
+def doc_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop_sql = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    d = docs.withColumn("toks", F.expr(_TOKENS.format(c="text")))
+    hits = F.expr(f"size(filter(toks, w -> w IN ({stop_sql})))")
+    ratio = hits.cast("double") / F.size("toks")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        hits.cast("long").alias("en_hits"),
+        ratio.alias("en_ratio"),
+        (ratio >= 0.08).alias("looks_english"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    sql=f"""
+    WITH t AS (SELECT doc_id,
+                      {_TOKENS_SQL.format(c='text')} AS toks
+               FROM documents)
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           CAST(CAST(list_sum(list_transform(toks,
+                 (w, i) -> (i * 1000003 + length(w) * 129 + ascii(substr(w, 1, 1))) % 1000000007))
+               AS BIGINT) % 1000000007 AS BIGINT) AS token_fingerprint
+    FROM documents JOIN t USING (doc_id)
+    """,
+    survey_ops=("F1",),
+    doc="Document fingerprinting: whole-text md5 plus a position-weighted "
+    "token hash (order-sensitive, commutative-sum form so it is "
+    "partition-order independent) — the rolling-hash fingerprint of a "
+    "training-data dedup pipeline.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", F.expr(_TOKENS.format(c="text")))
+    # Spark lambda index is 0-based; DuckDB's is 1-based → use (i+1) here.
+    fp = F.expr(
+        """
+        CAST(aggregate(
+               transform(toks, (w, i) ->
+                 ((i + 1) * 1000003 + length(w) * 129 + ascii(substr(w, 1, 1))) % 1000000007),
+               0L, (a, x) -> a + x) % 1000000007 AS BIGINT)
+        """
+    )
+    return d.select("doc_id", F.md5(col("text")).alias("text_md5"), fp.alias("token_fingerprint"))

@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same config scales to a multi-executor
+cluster because everything here is expressed per-partition / per-shuffle, not
+per-machine:
+
+- AQE on (runtime coalescing, skew-join splitting) so shuffle partition counts
+  self-tune between sf0.001 local runs and 100 TB cluster runs.
+- Broadcast threshold raised: the dimension tables (region/nation/supplier/
+  part analogues of the reference's locations/vars/oracle_prices — SURVEY §4
+  "broadcast for the small dimension tables") are always broadcast-side.
+- Arrow enabled for the few Pandas-UDF paths (multimodal stubs), never the
+  relational hot path.
+- Session timezone pinned UTC so timestamp semantics match the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "blockchain-etl-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return builder.getOrCreate()
