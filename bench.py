@@ -40,6 +40,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        spark.catalog.clearCache()  # no cross-query cache interference
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

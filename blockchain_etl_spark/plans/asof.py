@@ -1,11 +1,16 @@
 """As-of join plans — SURVEY §2 J7 (oracle price at height).
 
-Price series analog: 'purchase' events form a sparse (ts, price) series
-(FIXTURES.md §B: "as-of join of orders against a derived sparse price series
-from events"); each order is priced at the most recent price at or before
-its order date — exactly the reference's
+Price series analog: 'purchase' events form a sparse daily (date, price)
+series (FIXTURES.md §B: "as-of join against a derived sparse price series
+from events"); every click event is priced at the most recent price at or
+before its day — exactly the reference's
 `WHERE p.block <= $1 ORDER BY p.block DESC LIMIT 1`
 (/root/reference/src/be_db_backfill.erl:288-299).
+
+Plan shape: the dim-sized price series (oracle_prices is ~10^4 rows on
+mainnet) is densified into one row per day (forward fill) and broadcast —
+the fact side gets a BroadcastHashJoin probe, never shuffles, never runs a
+nested-loop interval scan. See operators.asof.
 """
 
 from __future__ import annotations
@@ -15,12 +20,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from ..functions.numeric import dsum, dsum_expr
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join_dense
 from ..sources.testdata import load_table
 from .registry import register
 
-# One price per day: max-event_id purchase value that day (unique right keys
-# for the as-of join, deterministic pick among same-day events).
+# One price per day: the value of the max-event_id purchase that day
+# (unique right keys for the as-of join, deterministic pick within a day).
 _PRICE_SERIES_SQL = """
       SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS price_date,
              ARG_MAX(value, event_id) AS price
@@ -39,73 +44,78 @@ def _price_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_asof_price",
+    "events_asof_price",
     sql=f"""
     WITH prices AS ({_PRICE_SERIES_SQL})
-    SELECT o_orderkey, o_orderdate, p.price AS asof_price
-    FROM orders
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, p.price AS asof_price
+    FROM events
     LEFT JOIN LATERAL (
       SELECT price FROM prices
-      WHERE price_date <= CAST(o_orderdate AS DATE)
+      WHERE price_date <= CAST(CAST(ts AS TIMESTAMP) AS DATE)
       ORDER BY price_date DESC LIMIT 1
     ) p ON TRUE
+    WHERE event_type = 'click'
     """,
     survey_ops=("J7", "W5"),
-    doc="As-of (backward) join: latest price row with ts <= fact ts "
-    "(src/be_db_backfill.erl:288-299). Spark plan: price series → validity "
-    "intervals via lead() (tiny window), then broadcast interval join — the "
-    "100 TB fact side never shuffles.",
+    doc="As-of (backward) join: latest price row at or before each fact row "
+    "(src/be_db_backfill.erl:288-299). Spark plan: daily forward-filled "
+    "price spine, broadcast hash join — the fact side never shuffles.",
 )
-def orders_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", col("o_orderdate").cast("date").alias("o_date")
+def events_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(col("event_type") == "click").select(
+        "event_id", "ts", col("ts").cast("date").alias("e_date")
     )
     prices = _price_series(spark, sf_dir)
-    joined = asof_join(orders, prices, left_on="o_date", right_on="price_date")
-    return joined.select(
-        "o_orderkey", "o_orderdate", col("price").alias("asof_price")
+    max_date = events.agg(F.max(col("ts").cast("date"))).first()[0]
+    joined = asof_join_dense(
+        clicks, prices, left_on="e_date", right_on="price_date", end=F.lit(max_date)
     )
+    return joined.select("event_id", "ts", col("price").alias("asof_price"))
 
 
 @register(
-    "dc_burn_valuation",
+    "event_burn_valuation",
     sql=f"""
     WITH prices AS ({_PRICE_SERIES_SQL})
     SELECT burn_month,
-           {dsum_expr('o_totalprice * price')} AS burned_value,
+           {dsum_expr('value * price')} AS burned_value,
            COUNT(*) AS burn_count
     FROM (
-      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS burn_month, o_totalprice, p.price
-      FROM orders
+      SELECT CAST(DATE_TRUNC('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS burn_month,
+             value, p.price
+      FROM events
       LEFT JOIN LATERAL (
         SELECT price FROM prices
-        WHERE price_date <= CAST(o_orderdate AS DATE)
+        WHERE price_date <= CAST(CAST(ts AS TIMESTAMP) AS DATE)
         ORDER BY price_date DESC LIMIT 1
       ) p ON TRUE
-      WHERE o_orderstatus = 'F'
+      WHERE event_type = 'error'
     ) t
     WHERE price IS NOT NULL
     GROUP BY burn_month
     """,
     survey_ops=("J7", "P6", "A6"),
-    doc="dc_burns derivation: fee extraction (skip non-qualifying rows, "
-    "src/be_db_dc_burn.erl:74-125) valued at the as-of oracle price, rolled "
-    "up by month.",
+    doc="dc_burns derivation: per-row burn extraction (skip non-qualifying "
+    "rows, src/be_db_dc_burn.erl:74-125) valued at the as-of oracle price "
+    "(src/be_db_backfill.erl:282-332), rolled up by month.",
 )
-def dc_burn_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(col("o_orderstatus") == "F")
-        .select("o_totalprice", "o_orderdate", col("o_orderdate").cast("date").alias("o_date"))
+def event_burn_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    burns = events.filter(col("event_type") == "error").select(
+        "value", "ts", col("ts").cast("date").alias("e_date")
     )
     prices = _price_series(spark, sf_dir)
-    joined = asof_join(orders, prices, left_on="o_date", right_on="price_date")
+    max_date = events.agg(F.max(col("ts").cast("date"))).first()[0]
+    joined = asof_join_dense(
+        burns, prices, left_on="e_date", right_on="price_date", end=F.lit(max_date)
+    )
     return (
         joined.filter(col("price").isNotNull())
-        .withColumn("burn_month", F.date_trunc("month", col("o_orderdate")))
+        .withColumn("burn_month", F.date_trunc("month", col("ts")))
         .groupBy("burn_month")
         .agg(
-            dsum(col("o_totalprice") * col("price"), "burned_value"),
+            dsum(col("value") * col("price"), "burned_value"),
             F.count(F.lit(1)).alias("burn_count"),
         )
     )

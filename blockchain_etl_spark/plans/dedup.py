@@ -162,26 +162,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket key only — never a full pairwise join.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All k hash values are computed per shingle row (one projection, no
+    # seed explode), then the signature is k element-wise MIN aggregates in
+    # a single groupBy — one shuffle over |shingle rows|, not k×|rows|.
     s = _shingle_rows(spark, sf_dir)
-    ks = spark.range(_NUM_HASHES).select(col("id").cast("int").alias("k"))
-    sig = (
-        s.crossJoin(F.broadcast(ks))
-        .groupBy("doc_id", "k")
-        .agg(
-            F.min(
-                F.md5(F.concat(col("k").cast("string"), F.lit(":"), col("shingle")))
-            ).alias("mh")
-        )
+    hashes = s.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{k}:"), col("shingle"))).alias(f"h{k}")
+            for k in range(_NUM_HASHES)
+        ],
     )
-    bands = (
-        sig.withColumn("band_id", (col("k") / _BAND_SIZE).cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(k, mh))), x -> x.mh)"),
-                "|",
-            ).alias("band_val")
-        )
+    sig = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_NUM_HASHES)]
+    )
+    n_bands = _NUM_HASHES // _BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)],
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bv")).select(
+        "doc_id", col("bv.band_id").alias("band_id"), col("bv.band_val").alias("band_val")
     )
     a = bands.select(col("doc_id").alias("doc_a"), "band_id", "band_val")
     b = bands.select(col("doc_id").alias("doc_b"), "band_id", "band_val")

@@ -47,20 +47,21 @@ _TOKENS_SQL = "list_filter(string_split({c}, ' '), w -> length(w) > 0)"
     doc="Search-word construction: split/lower/len>=3, dedup keeping first "
     "occurrence order, space-joined (migrations/1628163172-location_city_"
     "search_word_order.sql:5-19; regexp_split+lower+length filter "
-    "migrations/1593610727:18-27). posexplode + min(pos) + ordered re-join.",
+    "migrations/1593610727:18-27). Spark array_distinct preserves "
+    "first-occurrence order, so the whole operator is a zero-shuffle "
+    "projection (the oracle mirrors it with unnest + min(pos) + ordered "
+    "string_agg, the reference's WITH ORDINALITY shape).",
 )
 def part_search_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    words = part.select(
+    return part.select(
         "p_partkey",
-        F.posexplode(F.split(F.lower(col("p_name")), " ")).alias("pos", "word"),
-    ).filter(F.length("word") >= 3)
-    firsts = words.groupBy("p_partkey", "word").agg(F.min("pos").alias("mi"))
-    return firsts.groupBy("p_partkey").agg(
         F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(mi, word))), x -> x.word)"),
+            F.array_distinct(
+                F.expr("filter(split(lower(p_name), ' '), w -> length(w) >= 3)")
+            ),
             " ",
-        ).alias("search_words")
+        ).alias("search_words"),
     )
 
 
