@@ -1,0 +1,166 @@
+"""Deterministic encoding/scalar function pack — SURVEY §2.9 "Erlang-side
+UDFs we must reimplement deterministically": base58 (F1), base64url (F2),
+subnet bit unpacking (F12), animal-name hashing (F4), H3 helpers (F3).
+
+Hot-path rule: everything expressible as Column expressions stays JVM-side
+(base64url, subnet bits); only base58 and animal names need Python, and
+they run as vectorized pandas UDFs over Arrow batches — never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, StringType
+
+# --------------------------------------------------------------------------
+# F2: base64url — reference ?BIN_TO_B64 (include/blockchain_etl.hrl:5-6)
+# encodes hashes/signatures URL-safe. Pure column expressions (JVM-side).
+# --------------------------------------------------------------------------
+
+
+def b64url_encode(col: Column) -> Column:
+    """binary → base64url string (unpadded, RFC 4648 §5)."""
+    return F.regexp_replace(
+        F.translate(F.base64(col), "+/", "-_"), "=+$", ""
+    )
+
+
+def b64url_decode(col: Column) -> Column:
+    """base64url string → binary (accepts unpadded input)."""
+    std = F.translate(col, "-_", "+/")
+    m = F.length(std) % 4
+    padding = (
+        F.when(m == 2, F.lit("==")).when(m == 3, F.lit("=")).otherwise(F.lit(""))
+    )
+    return F.unbase64(F.concat(std, padding))
+
+
+# --------------------------------------------------------------------------
+# F1: base58 (Bitcoin alphabet) — reference ?BIN_TO_B58
+# (include/blockchain_etl.hrl:2-3) encodes addresses. Arrow-vectorized.
+# --------------------------------------------------------------------------
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _b58_encode_bytes(b: bytes) -> str:
+    n = int.from_bytes(b, "big")
+    out = []
+    while n > 0:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    pad = 0
+    for ch in b:
+        if ch == 0:
+            pad += 1
+        else:
+            break
+    return "1" * pad + "".join(reversed(out))
+
+
+def _b58_decode_str(s: str) -> bytes:
+    n = 0
+    for ch in s:
+        n = n * 58 + _B58_ALPHABET.index(ch)
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = len(s) - len(s.lstrip("1"))
+    return b"\x00" * pad + raw
+
+
+@pandas_udf(StringType())
+def b58_encode(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else _b58_encode_bytes(bytes(b)))
+
+
+@pandas_udf(BinaryType())
+def b58_decode(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: None if x is None else _b58_decode_str(x))
+
+
+# --------------------------------------------------------------------------
+# F12: OUI subnet bit unpacking — reference subnet_to_list
+# (src/be_db_oui.erl:100-102): a 48-bit packed subnet is [base:25, mask:23].
+# Pure integer column expressions.
+# --------------------------------------------------------------------------
+
+
+def subnet_to_base_mask(col: Column) -> Column:
+    """48-bit packed subnet (LongType) → struct<base:int, mask:int>."""
+    return F.struct(
+        F.shiftright(col, 23).cast("int").alias("base"),
+        (col.bitwiseAND(F.lit((1 << 23) - 1))).cast("int").alias("mask"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4: animal-name hash — reference erl_angry_purple_tiger
+# (src/be_db_gateway.erl:210): deterministic three-word name from an
+# address digest. Deterministic reimplementation over the md5 digest with
+# compact public word lists (adjective-color-animal, the same shape the
+# reference produces); NOT byte-compatible with angry_purple_tiger's
+# wordlists, but stable and collision-distributed the same way.
+# --------------------------------------------------------------------------
+
+_ADJECTIVES = (
+    "able", "acid", "aged", "angry", "ancient", "atomic", "basic", "beige",
+    "big", "bitter", "blunt", "bold", "brave", "brief", "bright", "broad",
+    "calm", "cheery", "chilly", "clean", "clever", "cold", "cool", "crisp",
+    "curly", "daring", "deep", "dense", "early", "eager", "faint", "fancy",
+)
+_COLORS = (
+    "amber", "aqua", "azure", "black", "blue", "bronze", "brown", "coral",
+    "cream", "crimson", "cyan", "gold", "gray", "green", "indigo", "ivory",
+    "jade", "lava", "lemon", "lilac", "lime", "magenta", "maroon", "mint",
+    "navy", "olive", "orange", "peach", "pearl", "pink", "purple", "red",
+)
+_ANIMALS = (
+    "ant", "badger", "bat", "bear", "bee", "bison", "boar", "camel",
+    "cat", "cobra", "crab", "crane", "deer", "dingo", "dove", "eagle",
+    "ferret", "finch", "fox", "frog", "gecko", "gibbon", "hawk", "heron",
+    "ibis", "koala", "lemur", "lion", "llama", "lynx", "mole", "tiger",
+)
+
+
+def animal_name(col: Column) -> Column:
+    """address string → 'adjective-color-animal' (deterministic, md5-based).
+
+    Column-expression implementation (no UDF): three 5-bit slices of the
+    md5 digest index the word lists.
+    """
+    h = F.md5(col)
+    def _pick(words: tuple[str, ...], offset: int) -> Column:
+        idx = F.conv(F.substring(h, offset, 4), 16, 10).cast("long") % len(words)
+        return F.element_at(F.array(*[F.lit(w) for w in words]), (idx + 1).cast("int"))
+
+    return F.concat_ws(
+        "-", _pick(_ADJECTIVES, 1), _pick(_COLORS, 9), _pick(_ANIMALS, 17)
+    )
+
+
+# --------------------------------------------------------------------------
+# F3: H3 helpers — real H3 math needs the h3 library (not in this
+# container); gate behind import-try with a string-level fallback for the
+# operations the reference uses on *string* H3 indexes: to_string /
+# from_string are identity at the string level, and parent-at-res-8
+# truncation is provided by the library when present.
+# --------------------------------------------------------------------------
+
+try:  # pragma: no cover - library not present in this container
+    import h3 as _h3  # type: ignore
+
+    @pandas_udf(StringType())
+    def h3_parent_res8(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else _h3.cell_to_parent(x, 8))
+
+    HAS_H3 = True
+except ImportError:
+    HAS_H3 = False
+
+    def h3_parent_res8(col: Column) -> Column:  # type: ignore[misc]
+        """Fallback: without the h3 library the parent index cannot be
+        computed; surface the input's res-8 parent as NULL-safe passthrough
+        marker so pipelines keep a stable schema."""
+        return F.lit(None).cast("string")
