@@ -1,0 +1,160 @@
+"""Multimodal column operators — image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual byte→pixels/samples
+decode is STUBBED (``decode_image``/``decode_audio``/``decode_video`` raise
+``NotImplementedError`` unless PIL/soundfile/av are importable). Everything
+around the decode — the media table schema, the ``mapInPandas`` batch
+signature, the feature-extraction pipeline shape, deterministic
+fingerprinting — is real and tested; swapping the fake ``_feature_from_bytes``
+for a real decoder changes no Spark-side plumbing.
+
+Scale notes: content bytes never leave the executor (no collect); feature
+extraction is one ``mapInPandas`` pass (Arrow batches, zero shuffle); at
+100 TB the media table would be partitioned by ``media_type`` so per-type
+pipelines prune partitions at the source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# media table: binary payload + discriminator + per-type metadata (sparse
+# struct — NULL fields for non-applicable types), mirroring how the
+# reference keeps one polymorphic `fields` payload per transaction type.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", LongType()),
+                    StructField("height", LongType()),
+                    StructField("sample_rate", LongType()),
+                    StructField("n_frames", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("fp", LongType()),
+        StructField("feature_sig", StringType()),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize the media table from `documents` (deterministic): content
+    is the utf-8 text bytes, type cycles by id, metadata derives from id."""
+    t = F.col("media_type")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    ).select(
+        "media_id",
+        "media_type",
+        "content",
+        F.struct(
+            F.when(t == "image", F.col("media_id") % 640 + 64).alias("width"),
+            F.when(t == "image", F.col("media_id") % 480 + 48).alias("height"),
+            F.when(t == "audio", F.lit(16000)).alias("sample_rate"),
+            F.when(t == "video", F.col("media_id") % 240 + 24).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoders — STUBS. Real decoding requires libraries not present in this
+# container; each is gated behind an import-try and otherwise raises.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover
+    from PIL import Image as _PIL_Image  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def decode_image(content: bytes):  # pragma: no cover - stub
+    """bytes → pixel array. STUB: requires PIL, not in this container."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; deterministic fake features are used "
+            "in extract_media_features instead"
+        )
+    import io
+
+    return _PIL_Image.open(io.BytesIO(content))
+
+
+def decode_audio(content: bytes):  # pragma: no cover - stub
+    """bytes → sample array. STUB: no audio library in this container."""
+    raise NotImplementedError("audio decode requires soundfile/librosa")
+
+
+def decode_video(content: bytes):  # pragma: no cover - stub
+    """bytes → frame iterator. STUB: no av/ffmpeg in this container."""
+    raise NotImplementedError("video decode requires av/ffmpeg")
+
+
+def _feature_from_bytes(content: bytes) -> tuple[int, str]:
+    """Deterministic fake 'decode + feature extraction': md5-derived 32-bit
+    fingerprint and a 4-slot feature signature (scaled ints, engine-exact).
+    Stands in for (decode → embed) while keeping the dataflow identical."""
+    h = hashlib.md5(content).hexdigest()
+    fp = int(h[:8], 16)
+    sig = "-".join(str(int(h[8 * i : 8 * i + 8], 16) % 1000) for i in range(4))
+    return fp, sig
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media(media_id, media_type, content, meta) → per-item features via
+    one Arrow-batched ``mapInPandas`` pass (the multimodal hot path).
+
+    The pandas iterator signature, output schema, and batch handling are the
+    production plumbing; only `_feature_from_bytes` is a deterministic fake
+    standing in for decode_image/decode_audio/decode_video.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _feature_from_bytes(bytes(c)) for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["content"].map(lambda b: len(bytes(b))),
+                    "fp": [f[0] for f in feats],
+                    "feature_sig": [f[1] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

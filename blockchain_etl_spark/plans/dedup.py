@@ -22,6 +22,10 @@ from .registry import register
 _NUM_HASHES = 8
 _BAND_SIZE = 2  # → 4 bands
 
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 4 bands × 8 bits
+_SIMHASH_MAX_HAMMING = 6
+
 # word 3-gram shingles of the space-tokenized text (Spark: 0-based lambda
 # index; DuckDB: 1-based) — each engine builds the same shingle strings.
 _SHINGLES_SPARK = """
@@ -199,4 +203,107 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("bands_hit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup: 32-bit signature from per-token md5 bits, banded LSH
+# join, Hamming-distance filter. Token hash = first 8 hex chars of
+# md5(token) parsed as a 32-bit int — identical in both engines; signature
+# bit i is the sign of the vote sum over tokens (ties → 0).
+# --------------------------------------------------------------------------
+
+_SIMHASH_VOTES_SQL = ",\n".join(
+    f"             SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_SIG_SQL = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_BAND_W = _SIMHASH_BITS // _SIMHASH_BANDS
+
+
+@register(
+    "dedup_simhash",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      w -> length(w) > 0)) AS tok
+            FROM documents) t),
+    votes AS (
+      SELECT doc_id,
+{_SIMHASH_VOTES_SQL}
+      FROM toks GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS simhash FROM votes),
+    bands AS (
+      SELECT doc_id, simhash, b.b AS band_id,
+             (simhash >> (b.b * {_SIMHASH_BAND_W})) & {(1 << _SIMHASH_BAND_W) - 1} AS band_val
+      FROM sig CROSS JOIN range({_SIMHASH_BANDS}) b(b))
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id) p
+    WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+    """,
+    survey_ops=(),
+    doc="SimHash near-dup: 32-bit signatures (vote over per-token md5 bits), "
+    "4×8-bit LSH bands for candidate generation, Hamming ≤ 6 filter. Scale "
+    "shape: signature is one hash-aggregate over token rows; the pair join "
+    "shuffles only on (band_id, band_val) buckets — never all-pairs.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("tok"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").alias("v"),
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(v, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    sig_terms = [
+        F.when(col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(_SIMHASH_BITS)
+    ]
+    sig = votes.select("doc_id", sum(sig_terms[1:], sig_terms[0]).alias("simhash"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.expr(
+                    f"(shiftright(simhash, {b * _SIMHASH_BAND_W})) "
+                    f"& {(1 << _SIMHASH_BAND_W) - 1}"
+                ).alias("band_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bv")
+    ).select("doc_id", "simhash", col("bv.band_id").alias("band_id"), col("bv.band_val").alias("band_val"))
+    a = bands.select(col("doc_id").alias("doc_a"), col("simhash").alias("sig_a"), "band_id", "band_val")
+    b = bands.select(col("doc_id").alias("doc_b"), col("simhash").alias("sig_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sig_a ^ sig_b")).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(col("hamming") <= _SIMHASH_MAX_HAMMING)
     )

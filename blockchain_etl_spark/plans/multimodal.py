@@ -1,0 +1,74 @@
+"""Multimodal plans — binary-column feature extraction and frame sampling
+over a media table synthesized deterministically from `documents`
+(operators/multimodal.py). The decode itself is stubbed (no image/audio libs
+in this container); the dataflow — binary columns, Arrow-batched
+mapInPandas, per-type metadata, frame index explode — is real and
+oracle-checked because the fake decode is deterministic (md5-derived).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..operators.multimodal import extract_media_features, media_from_documents
+from ..sources.testdata import load_table
+from .registry import register
+
+_MEDIA_TYPE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "media_feature_extract",
+    sql=f"""
+    SELECT doc_id AS media_id,
+           {_MEDIA_TYPE_SQL} AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS fp,
+           CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000 AS VARCHAR)
+             || '-' || CAST(CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1000 AS VARCHAR)
+             || '-' || CAST(CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) % 1000 AS VARCHAR)
+             || '-' || CAST(CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) % 1000 AS VARCHAR)
+             AS feature_sig
+    FROM documents
+    """,
+    survey_ops=(),
+    doc="Multimodal feature extraction: binary content column → "
+    "(byte_len, fingerprint, feature signature) via ONE Arrow-batched "
+    "mapInPandas pass — the image/audio decode slot is a deterministic "
+    "fake (md5-derived); the plumbing (schema, batching, zero-shuffle "
+    "map) is the production path.",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(media_from_documents(docs))
+
+
+@register(
+    "video_frame_sample",
+    sql=f"""
+    SELECT media_id, n_frames,
+           unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+    FROM (
+      SELECT doc_id AS media_id, CAST(doc_id % 240 + 24 AS BIGINT) AS n_frames
+      FROM documents WHERE {_MEDIA_TYPE_SQL} = 'video') v
+    """,
+    survey_ops=(),
+    doc="Frame sampling plumbing: per video, every 10th frame index "
+    "materialized via sequence+explode (JVM-side, no UDF); the frame "
+    "decode stage itself is the stubbed decode_video. At scale this is "
+    "the fan-out stage before a batched frame-featurizer mapInPandas.",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs).filter(col("media_type") == "video")
+    return media.select(
+        "media_id",
+        col("meta.n_frames").alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), col("meta.n_frames") - 1, F.lit(10).cast("long"))
+        ).alias("frame_idx"),
+    )

@@ -78,8 +78,10 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    from . import advanced  # noqa: F401
     from . import core  # noqa: F401
     from . import inventory  # noqa: F401
+    from . import multimodal  # noqa: F401
     from . import nested  # noqa: F401
     from . import asof  # noqa: F401
     from . import text  # noqa: F401

@@ -180,3 +180,268 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup: sign-LSH banded candidate generation (8 bands
+# of 8 consecutive-dim sign bits) + exact fixed-point cosine verification.
+# --------------------------------------------------------------------------
+
+_ND_BANDS = 8
+_ND_BAND_W = 8
+_ND_THRESHOLD = 0.35
+
+
+def _band_val_sql(b: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{b * _ND_BAND_W + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_ND_BAND_W)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "embedding_cosine_neardup",
+    sql=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    bands AS (
+      SELECT vec_id, b.b AS band_id,
+             CASE b.b {' '.join(f'WHEN {b} THEN {_band_val_sql(b)}' for b in range(_ND_BANDS))}
+             END AS band_val
+      FROM embeddings CROSS JOIN range({_ND_BANDS}) b(b)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.vec_id < b.vec_id),
+    dots AS (
+      SELECT vec_a, vec_b,
+             CAST(SUM(CAST(ROUND(CAST(av AS DOUBLE) * CAST(bv AS DOUBLE) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      FROM (SELECT c.vec_a, c.vec_b, unnest(ea.embedding) AS av,
+                   unnest(eb.embedding) AS bv
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b) z
+      GROUP BY vec_a, vec_b)
+    SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= {_ND_THRESHOLD}
+    """,
+    survey_ops=(),
+    doc="Embedding near-duplicate pairs: sign-LSH bands (8×8 consecutive-dim "
+    "sign bits) generate candidates via a bucket equi-join — never an "
+    "all-pairs product — then exact fixed-point cosine filters at the "
+    "threshold. The standard scale path for embedding dedup of a 100 TB "
+    "corpus: shuffle keys are (band_id, band_val) then the pair key.",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _with_norm(emb, "embedding", "nrm")
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.expr(
+                    " + ".join(
+                        f"(CASE WHEN embedding[{b * _ND_BAND_W + j}] > 0D"
+                        f" THEN {1 << j} ELSE 0 END)"
+                        for j in range(_ND_BAND_W)
+                    )
+                ).cast("long").alias("band_val"),
+            )
+            for b in range(_ND_BANDS)
+        ]
+    )
+    bands = corpus.select("vec_id", F.explode(band_structs).alias("bv")).select(
+        "vec_id", col("bv.band_id").alias("band_id"), col("bv.band_val").alias("band_val")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (col("a.band_id") == col("b.band_id"))
+            & (col("a.band_val") == col("b.band_val"))
+            & (col("a.vec_id") < col("b.vec_id")),
+        )
+        .select(col("a.vec_id").alias("vec_a"), col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = corpus.select(
+        col("vec_id").alias("vec_a"), col("embedding").alias("e_a"), col("nrm").alias("n_a")
+    )
+    eb = corpus.select(
+        col("vec_id").alias("vec_b"), col("embedding").alias("e_b"), col("nrm").alias("n_b")
+    )
+    cosine = F.expr(_DOT.format(a="e_a", b="e_b")) / (col("n_a") * col("n_b"))
+    return (
+        cand.join(ea, ["vec_a"])
+        .join(eb, ["vec_b"])
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(col("cosine") >= _ND_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: label centroids act as the coarse quantizer; every vector
+# is assigned to its nearest centroid cell; queries probe their top-2 cells
+# and rank candidates by exact cosine.
+# --------------------------------------------------------------------------
+
+_IVF_PROBES = 2
+
+_IVF_SETUP_SQL = """
+    cdim AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 / COUNT(*) AS centroid
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings) t
+      GROUP BY label, dim),
+    cnorm AS (
+      SELECT label,
+             sqrt(CAST(SUM(CAST(ROUND(centroid * centroid * 1e12) AS BIGINT))
+                       AS DOUBLE) / 1e12) AS cnrm
+      FROM cdim GROUP BY label),
+    vdim AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    scores AS (
+      SELECT vdim.vec_id AS vec_id, cdim.label AS cell,
+             (CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * centroid * 1e12) AS BIGINT))
+                   AS DOUBLE) / 1e12) / (MIN(n.nrm) * MIN(c.cnrm)) AS score
+      FROM vdim
+      JOIN cdim USING (dim)
+      JOIN norms n ON n.vec_id = vdim.vec_id
+      JOIN cnorm c ON c.label = cdim.label
+      GROUP BY vdim.vec_id, cdim.label)
+"""
+
+@register(
+    "knn_cosine_ivf",
+    sql=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    {_IVF_SETUP_SQL},
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell) AS rn
+        FROM scores) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell) AS rn
+        FROM scores WHERE vec_id < {_N_QUERIES}) t WHERE rn <= {_IVF_PROBES}),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.qid),
+    dots AS (
+      SELECT qid, vec_id,
+             CAST(SUM(CAST(ROUND(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      FROM (SELECT c.qid, c.vec_id, unnest(eq.embedding) AS qv,
+                   unnest(ec.embedding) AS cv
+            FROM cand c
+            JOIN embeddings eq ON eq.vec_id = c.qid
+            JOIN embeddings ec ON ec.vec_id = c.vec_id) z
+      GROUP BY qid, vec_id)
+    , pair_cos AS (
+      SELECT dots.qid AS qid, dots.vec_id AS vec_id,
+             dot / (nq.nrm * nc.nrm) AS cosine
+      FROM dots
+      JOIN norms nq ON nq.vec_id = dots.qid
+      JOIN norms nc ON nc.vec_id = dots.vec_id)
+    SELECT qid, vec_id AS neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM pair_cos) r
+    WHERE rank <= {_TOP_K}
+    """,
+    survey_ops=(),
+    doc="IVF-style approximate nearest neighbors: label centroids as the "
+    "coarse quantizer (broadcast, ~|labels| rows), vectors assigned to "
+    "their nearest cell, queries probe top-2 cells, exact cosine ranks the "
+    "probed candidates. At scale the corpus is partitioned BY CELL on "
+    "disk, so a probe reads only matching partitions.",
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    corpus = _with_norm(emb, "embedding", "nrm")
+
+    # coarse quantizer: per-label centroid vectors (exact-decimal means),
+    # assembled into ordered arrays; tiny (|labels| rows) → broadcast.
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.round(col("v").cast("double") * F.lit(1e12)).cast("long")).cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s.centroid,
+            ).alias("cvec")
+        )
+    )
+    cent = _with_norm(cent.select(col("label").alias("cell"), "cvec"), "cvec", "cnrm")
+
+    # score every (vector, cell) pair: fixed-point cosine. Centroid side is
+    # broadcast; the corpus streams — no corpus shuffle for scoring.
+    scored = corpus.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            F.expr(
+                """
+                CAST(aggregate(
+                  zip_with(embedding, cvec, (x, y) ->
+                    CAST(ROUND(CAST(x AS DOUBLE) * y * 1e12, 0) AS BIGINT)),
+                  0L, (acc, v) -> acc + v) AS DOUBLE) / 1e12
+                """
+            )
+            / (col("nrm") * col("cnrm"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(col("score").desc(), col("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(col("rn") == 1).select("vec_id", "cell")
+    probes = (
+        ranked.filter((col("vec_id") < _N_QUERIES) & (col("rn") <= _IVF_PROBES))
+        .select(col("vec_id").alias("qid"), "cell")
+    )
+    cand = (
+        probes.join(assign, ["cell"])
+        .filter(col("vec_id") != col("qid"))
+        .select("qid", "vec_id")
+    )
+    eq = corpus.select(col("vec_id").alias("qid"), col("embedding").alias("qe"), col("nrm").alias("qnrm"))
+    scored_pairs = (
+        cand.join(F.broadcast(eq), ["qid"])
+        .join(corpus, ["vec_id"])
+        .select(
+            "qid",
+            col("vec_id").alias("neighbor_id"),
+            (F.expr(_DOT.format(a="qe", b="embedding")) / (col("qnrm") * col("nrm"))).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(col("cosine").desc(), col("neighbor_id"))
+    return (
+        scored_pairs.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(col("rank") <= _TOP_K)
+    )
