@@ -1,0 +1,213 @@
+"""Block-follower ingest — SURVEY §2 S1/T1: consume transaction batches in
+strict height order, fan out to the per-table handler pipelines, write each
+output table idempotently, and record the sync height LAST.
+
+Reference semantics being emulated (and how):
+
+- Strict N+1 ordering with an assert (src/be_db_block.erl:96-100): each
+  microbatch must start at or below stored_height+1 — replays are allowed
+  (idempotent), gaps raise.
+- One DB transaction per block spanning all 12 handlers
+  (src/be_db_follower.erl:86-108): Spark has no multi-table transaction, so
+  the guarantee is weakened to "every table write is idempotent (same block
+  range overwrites the same directory), and the `_sync/height.json`
+  watermark is written last" — a crash mid-batch replays the whole range and
+  converges (SURVEY §7.4 T1).
+- Handler fan-out sharing the exploded txn frame (SURVEY §3.1 "Spark
+  shape"): the parsed transactions batch is cached once; every derived
+  table (actors, rewards, packets, dc_burns, oracle_prices) reads the cache.
+
+Scale notes: each microbatch writes `blockrange=<min>-<max>` directories —
+append-only, no small-file rewrite of history; at 100 TB compaction is a
+separate background job (the reference's backfills play the same role).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..operators.actors import extract_actors
+from ..sources.blockchain import FIELDS_SCHEMAS
+
+TABLES = ("transactions", "transaction_actors", "rewards", "packets", "dc_burns", "oracle_prices")
+
+
+def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
+    """The handler fan-out: one parsed transactions frame → every derived
+    table. Mirrors the reference's per-block handler modules:
+
+    - transaction_actors: be_db_txn_actor (P4)
+    - rewards:            be_db_reward:159-236 (A6 explode+project)
+    - packets:            be_db_packet:85-101 (A7 summaries rollup)
+    - dc_burns:           be_db_dc_burn:74-125 (P6 fee/burn extraction)
+    - oracle_prices:      be_db_oracle_price (from price oracle txns)
+    """
+    out: dict[str, DataFrame] = {"transactions": txns}
+
+    out["transaction_actors"] = extract_actors(txns)
+
+    rewards_fields = FIELDS_SCHEMAS["rewards_v1"]
+    out["rewards"] = (
+        txns.filter(col("type").isin("rewards_v1", "rewards_v2"))
+        .select(
+            "block",
+            col("hash").alias("transaction_hash"),
+            "time",
+            F.explode(F.from_json("fields", rewards_fields).rewards).alias("r"),
+        )
+        .select(
+            "block",
+            "transaction_hash",
+            "time",
+            col("r.account").alias("account"),
+            col("r.gateway").alias("gateway"),
+            col("r.amount").alias("amount"),
+            col("r.type").alias("type"),
+        )
+    )
+
+    sc_fields = FIELDS_SCHEMAS["state_channel_close_v1"]
+    summaries = (
+        txns.filter(col("type") == "state_channel_close_v1")
+        .select(
+            "block",
+            col("hash").alias("transaction_hash"),
+            "time",
+            F.explode(F.from_json("fields", sc_fields).state_channel.summaries).alias("s"),
+        )
+    )
+    out["packets"] = summaries.groupBy("block", "transaction_hash", "time", col("s.client").alias("gateway")).agg(
+        F.sum("s.num_packets").alias("num_packets"),
+        F.sum("s.num_dcs").alias("num_dcs"),
+    )
+
+    # P6 fee/burn extraction (src/be_db_dc_burn.erl:74-125): per txn type,
+    # (payer, burn type, amount) rows; zero amounts dropped.
+    fee = F.get_json_object("fields", "$.fee").cast("long")
+    staking_fee = F.get_json_object("fields", "$.staking_fee").cast("long")
+    payer = F.coalesce(
+        F.nullif(F.get_json_object("fields", "$.payer"), F.lit("")),
+        F.get_json_object("fields", "$.owner"),
+    )
+    fee_burns = (
+        txns.filter(col("type").isin("add_gateway_v1", "assert_location_v2", "oui_v1", "payment_v2"))
+        .select(
+            "block",
+            col("hash").alias("transaction_hash"),
+            "time",
+            payer.alias("actor"),
+            F.lit("fee").alias("type"),
+            (F.coalesce(fee, F.lit(0)) + F.coalesce(staking_fee, F.lit(0))).alias("amount"),
+        )
+    )
+    token_burns = txns.filter(col("type") == "token_burn_v1").select(
+        "block",
+        col("hash").alias("transaction_hash"),
+        "time",
+        F.get_json_object("fields", "$.payer").alias("actor"),
+        F.lit("token_burn").alias("type"),
+        F.get_json_object("fields", "$.amount").cast("long").alias("amount"),
+    )
+    sc_burns = summaries.select(
+        "block",
+        "transaction_hash",
+        "time",
+        col("s.client").alias("actor"),
+        F.lit("state_channel").alias("type"),
+        col("s.num_dcs").alias("amount"),
+    )
+    out["dc_burns"] = (
+        fee_burns.unionByName(token_burns)
+        .unionByName(sc_burns)
+        .filter(col("amount") > 0)
+    )
+
+    out["oracle_prices"] = txns.filter(col("type") == "price_oracle_v1").select(
+        "block",
+        F.get_json_object("fields", "$.price").cast("long").alias("price"),
+    )
+    return out
+
+
+class BlockIngest:
+    """Ordered, idempotent ingest into a directory-per-table layout."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    # -- sync-height watermark (T1) ------------------------------------
+    @property
+    def _sync_path(self) -> str:
+        return os.path.join(self.out_dir, "_sync", "height.json")
+
+    def sync_height(self) -> int:
+        try:
+            with open(self._sync_path) as f:
+                return int(json.load(f)["height"])
+        except (OSError, ValueError):
+            return 0
+
+    def _write_sync_height(self, height: int) -> None:
+        os.makedirs(os.path.dirname(self._sync_path), exist_ok=True)
+        tmp = self._sync_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"height": height}, f)
+        os.replace(tmp, self._sync_path)
+
+    # -- batch processing ---------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: order-check, derive, write tables, advance
+        the watermark last."""
+        bounds = batch.agg(
+            F.min("block").alias("lo"), F.max("block").alias("hi")
+        ).first()
+        if bounds.lo is None:
+            return
+        stored = self.sync_height()
+        if bounds.lo > stored + 1:
+            # mirror of the reference's height assert
+            # (src/be_db_block.erl:96-100): no gaps, ever.
+            raise ValueError(
+                f"non-contiguous batch: first height {bounds.lo} > stored {stored}+1"
+            )
+        batch = batch.cache()
+        try:
+            tables = derive_tables(batch)
+            rng = f"blockrange={bounds.lo}-{bounds.hi}"
+            for name, df in tables.items():
+                # same range → same directory → replay overwrites, making
+                # the batch idempotent (the reference's ON CONFLICT).
+                df.write.mode("overwrite").parquet(
+                    os.path.join(self.out_dir, name, rng)
+                )
+            if bounds.hi > stored:
+                self._write_sync_height(bounds.hi)
+        finally:
+            batch.unpersist()
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, name, "blockrange=*"))
+
+    # -- streaming wrapper (S1) ---------------------------------------
+    def run_stream(self, spark: SparkSession, input_dir: str, schema) -> None:
+        """Consume a file stream of transaction rows with availableNow
+        semantics: every pending file is processed in bounded microbatches,
+        then the query stops — the batch-first, streaming-second design
+        (SURVEY §7.1)."""
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # reference block_sync batching
+            .parquet(input_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
