@@ -164,3 +164,33 @@ except ImportError:
         computed; surface the input's res-8 parent as NULL-safe passthrough
         marker so pipelines keep a stable schema."""
         return F.lit(None).cast("string")
+
+
+# --------------------------------------------------------------------------
+# S7: pending-transaction payload decode — the reference decodes a protobuf
+# BYTEA into a txn record (src/be_db_pending_txn.erl:211-227). Real decode
+# needs the helium proto definitions (not in this container); gated behind
+# import-try with a deterministic JSON-bytes fallback so the decode-failure
+# short-circuit path (status → failed) is testable.
+# --------------------------------------------------------------------------
+
+try:  # pragma: no cover - helium protos not present
+    import helium_proto  # type: ignore  # noqa: F401
+
+    HAS_PROTO = True
+except ImportError:
+    HAS_PROTO = False
+
+
+def decode_pending_txn(col: Column) -> Column:
+    """binary payload → struct<type:string, nonce:bigint> or NULL when the
+    payload doesn't decode (the reference's decode-failure short-circuit,
+    src/be_db_pending_txn.erl:219-227). Fallback format: utf-8 JSON bytes."""
+    if HAS_PROTO:  # pragma: no cover
+        raise NotImplementedError("protobuf decode path requires proto schemas")
+    parsed = F.from_json(
+        F.decode(col, "utf-8"), "struct<type:string, nonce:bigint>"
+    )
+    # from_json yields a struct of NULLs (not NULL) on bad input; normalize
+    # to NULL so callers can branch on decode failure.
+    return F.when(parsed["type"].isNotNull(), parsed)

@@ -193,6 +193,28 @@ class BlockIngest:
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, name, "blockrange=*"))
 
+    # -- snapshot sink (S4, src/be_db_block.erl:118-157) ---------------
+    def write_snapshot(self, spark: SparkSession, height: int) -> str:
+        """Materialize every derived table as of the snapshot and write a
+        `latest-snap.json` manifest pointing at it — the reference's
+        compressed chain snapshot + manifest pair."""
+        snap_dir = os.path.join(self.out_dir, "snapshots", f"height={height}")
+        written = []
+        for name in TABLES:
+            try:
+                df = self.read_table(spark, name).filter(col("block") <= height)
+            except Exception:
+                continue
+            df.write.mode("overwrite").parquet(os.path.join(snap_dir, name))
+            written.append(name)
+        manifest = os.path.join(self.out_dir, "snapshots", "latest-snap.json")
+        os.makedirs(os.path.dirname(manifest), exist_ok=True)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"height": height, "dir": snap_dir, "tables": written}, f)
+        os.replace(tmp, manifest)
+        return snap_dir
+
     # -- streaming wrapper (S1) ---------------------------------------
     def run_stream(self, spark: SparkSession, input_dir: str, schema) -> None:
         """Consume a file stream of transaction rows with availableNow
