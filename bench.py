@@ -30,8 +30,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_queries()
 
-    # warm the JVM/codegen path once on the smallest table
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm the fixed machinery once, outside any timed region: JVM/codegen,
+    # a shuffle exchange, and the Python/Arrow worker pool (pandas UDFs pay
+    # multi-second startup on first use).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    region.groupBy("r_name").count().count()
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    region.select(_warm(F.col("r_regionkey").cast("long"))).count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):

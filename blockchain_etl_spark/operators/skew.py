@@ -1,0 +1,46 @@
+"""Skew-resilient join — salting for hot keys (SURVEY §4 scale notes).
+
+AQE's skew-join splitting (enabled in session.py) handles sort-merge skew at
+runtime; salting is the explicit fallback for the worst case — a handful of
+keys owning a large fraction of the fact side (e.g. one reward account
+receiving most payouts). The fact side gets a random-but-deterministic salt
+in [0, n); the dimension side is replicated n× with every salt value; the
+join key becomes (key, salt) so one hot key spreads over n reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join fact ⋈ dim on ``key`` with an n-way salt.
+
+    The salt is ``pmod(hash(whole fact row), n)`` — deterministic, so the
+    plan stays reproducible, but decorrelated from the join key, so a hot
+    key's rows spread uniformly. The dimension side is exploded n× (only
+    acceptable for dimension tables ≪ fact; that is exactly the skew-join
+    scenario). Result equals the plain join, row for row.
+    """
+    fact_cols = fact.columns
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[col(c) for c in fact_cols]), F.lit(salt_buckets)),
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_fact.join(
+        salted_dim,
+        on=[key, "__salt"] if how != "cross" else None,
+        how=how,
+    )
+    return out.drop("__salt")

@@ -1,0 +1,65 @@
+"""Lake layout writers — the physical design for 100 TB (SURVEY §4: the
+reference's index strategy → partitioning + clustering in a lakehouse).
+
+- **History tables** (blocks, transactions, rewards, dc_burns …) are
+  append-only and time/height-correlated: partition by a derived
+  height-bucket (or date) column so range predicates prune directories —
+  the lake equivalent of the reference's BRIN index on rewards.time
+  (migrations/1612220889-reward_brin_idx.sql:5).
+- **Join-heavy tables** are bucketed by their join key: two tables bucketed
+  the same way join with ZERO exchange on either side — the lake equivalent
+  of the reference's btree FK indexes, and the difference between an
+  O(data) shuffle and none at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def height_bucket(block: Column, blocks_per_bucket: int = 100_000) -> Column:
+    """Derived partition column: height div N. At one block/min, 100k blocks
+    ≈ 70 days per partition directory — large enough to avoid small files,
+    small enough that height-range queries prune most of the table."""
+    return (block / blocks_per_bucket).cast("long")
+
+
+def write_history(
+    df: DataFrame,
+    path: str,
+    block_col: str = "block",
+    blocks_per_bucket: int = 100_000,
+) -> None:
+    """Append-only history write partitioned by height bucket. Readers use
+    ``spark.read.parquet(path)`` and filter on ``height_bucket``/``block``;
+    partition pruning keeps height-range scans proportional to the range."""
+    (
+        df.withColumn("height_bucket", height_bucket(F.col(block_col), blocks_per_bucket))
+        .write.mode("append")
+        .partitionBy("height_bucket")
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_keys: Sequence[str],
+    num_buckets: int = 64,
+    sort_keys: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_keys) at write
+    time so equi-joins and aggregations on those keys need no exchange.
+    ``sort_keys`` additionally sorts within buckets (sort-merge joins skip
+    their sort)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_keys)
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
