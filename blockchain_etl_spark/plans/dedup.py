@@ -1,10 +1,10 @@
 """Deduplication plans — training-data pipeline operators over `documents`:
 exact (hash-groupBy), n-gram Jaccard near-dup, and MinHash+LSH candidates.
 
-MinHash portability note: the k-th hash function is
-``md5(k || ':' || shingle)`` and the signature element is the lexicographic
-MIN of those hex strings — identical in any engine with md5, no integer
-hex-parsing needed. Bands are concatenations of adjacent signature
+MinHash portability note: the 8 hash functions are the 8-hex-char slices
+of ``md5('0:'||shingle)`` and ``md5('1:'||shingle)``; each signature element
+is the lexicographic MIN of one slice — identical in any engine with md5,
+no integer hex-parsing needed, and only two digests per shingle. Bands are concatenations of adjacent signature
 elements; candidate pairs collide on at least one band — the standard
 shingle→minhash→band→bucket-join pipeline, all expressed as joins and
 hash aggregates that scale out (shuffle keys: shingle, then band value).
@@ -143,8 +143,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH s AS ({_SHINGLE_ROWS_SQL}),
     sig AS (
-      SELECT doc_id, r.k AS k, MIN(md5(CAST(r.k AS VARCHAR) || ':' || shingle)) AS mh
-      FROM s CROSS JOIN range({_NUM_HASHES}) r(k)
+      SELECT doc_id, r.k AS k,
+             MIN(substr(CASE WHEN r.k < 4 THEN h0 ELSE h1 END,
+                        1 + 8 * (r.k % 4), 8)) AS mh
+      FROM (SELECT doc_id, md5('0:' || shingle) AS h0,
+                   md5('1:' || shingle) AS h1 FROM s) z
+      CROSS JOIN range({_NUM_HASHES}) r(k)
       GROUP BY doc_id, r.k
     ),
     bands AS (
@@ -170,10 +174,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed explode), then the signature is k element-wise MIN aggregates in
     # a single groupBy — one shuffle over |shingle rows|, not k×|rows|.
     s = _shingle_rows(spark, sf_dir)
+    # two md5 digests per shingle, sliced into 8-hex-char (32-bit) hash
+    # values — 4x fewer digest computations than one md5 per hash function,
+    # with independent slices preserving the minhash property.
     hashes = s.select(
         "doc_id",
+        F.md5(F.concat(F.lit("0:"), col("shingle"))).alias("b0"),
+        F.md5(F.concat(F.lit("1:"), col("shingle"))).alias("b1"),
+    ).select(
+        "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{k}:"), col("shingle"))).alias(f"h{k}")
+            F.substring(f"b{k // 4}", 1 + 8 * (k % 4), 8).alias(f"h{k}")
             for k in range(_NUM_HASHES)
         ],
     )

@@ -207,3 +207,56 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return d.select("doc_id", F.md5(col("text")).alias("text_md5"), fp.alias("token_fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: repetition / vocabulary-diversity filters — the standard
+# pre-training corpus quality gate (alongside doc_token_stats' length and
+# density signals).
+# --------------------------------------------------------------------------
+@register(
+    "doc_quality_score",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    freq AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    agg AS (SELECT doc_id, MAX(c) AS max_tok_freq,
+                   COUNT(*) AS n_distinct, SUM(c) AS n_tokens
+            FROM freq GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(max_tok_freq AS BIGINT) AS max_tok_freq,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(max_tok_freq AS DOUBLE) / n_tokens AS repetition_ratio,
+           (CAST(n_distinct AS DOUBLE) / n_tokens >= 0.15
+            AND CAST(max_tok_freq AS DOUBLE) / n_tokens <= 0.2) AS passes_quality
+    FROM agg
+    """,
+    survey_ops=(),
+    doc="Document quality gate: vocabulary-diversity (distinct/total tokens) "
+    "and repetition (top token share) ratios with a pass flag — the "
+    "dedup-adjacent quality filter of a pre-training pipeline. One explode "
+    "+ two hash aggregates; the second is map-side (same key prefix).",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS.format(c="text"))).alias("w")
+    )
+    freq = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.max("c").alias("max_tok_freq"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n_tokens"),
+    )
+    distinct_ratio = col("n_distinct").cast("double") / col("n_tokens")
+    repetition_ratio = col("max_tok_freq").cast("double") / col("n_tokens")
+    return agg.select(
+        "doc_id",
+        col("n_tokens").cast("long").alias("n_tokens"),
+        col("n_distinct").cast("long").alias("n_distinct"),
+        col("max_tok_freq").cast("long").alias("max_tok_freq"),
+        distinct_ratio.alias("distinct_ratio"),
+        repetition_ratio.alias("repetition_ratio"),
+        ((distinct_ratio >= 0.15) & (repetition_ratio <= 0.2)).alias("passes_quality"),
+    )

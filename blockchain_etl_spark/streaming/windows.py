@@ -1,0 +1,96 @@
+"""Event-time streaming operators — SURVEY §2 T2/T3/T4 demos.
+
+The blockchain ingest path needs none of this (the chain is totally ordered,
+SURVEY T2), but the engine exposes the standard event-time toolkit for the
+training-data/event side: watermarked tumbling-window aggregation (late data
+dropped once the watermark passes) and an ``applyInPandasWithState`` custom
+stateful operator (running per-key totals across microbatches — the
+streaming form of the reference's in-handler counters, T4a).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: late rows older than
+    ``max(event time seen) - watermark`` are dropped, bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("running_events", LongType()),
+        StructField("running_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "running_events": [n], "running_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count and value sum
+    carried across microbatches in explicit group state — the
+    ``applyInPandasWithState`` form of the reference's handler-state
+    counters (src/be_db_stats.erl:63-99)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,126 @@
+"""Event-time streaming tests: watermarked windowed aggregation (late data
+dropped), and the applyInPandasWithState running-totals operator carrying
+state across microbatches."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+
+from blockchain_etl_spark.streaming.windows import (
+    EVENT_SCHEMA,
+    running_user_totals,
+    windowed_event_counts,
+)
+
+
+def _ev(eid, ts, uid, etype, value):
+    return (eid, datetime.fromisoformat(ts), uid, etype, value)
+
+
+def _write_chunk(spark, rows, path):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(path)
+
+
+def _run_stream(spark, input_glob, build, sink_name, checkpoint, mode):
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_glob)
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {sink_name}")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T2: once the watermark has passed a window (and its state was
+    evicted at the previous batch boundary), a late row for that window is
+    dropped — `numRowsDroppedByWatermark` counts it and the finalized
+    append-mode output excludes it. (A late row landing in the very batch
+    where the watermark first crosses its window still merges — watermark
+    filtering takes effect one batch after the advance.)"""
+    import time
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    chunk1 = [
+        _ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        _ev(2, "2024-01-01 10:15:00", 1, "click", 1.0),
+        _ev(4, "2024-01-01 13:00:00", 2, "click", 1.0),  # watermark → 12:00
+    ]
+    chunk2 = [
+        _ev(6, "2024-01-01 13:10:00", 1, "click", 1.0),  # [10,11) evicted here
+    ]
+    chunk3 = [
+        _ev(5, "2024-01-01 10:30:00", 1, "click", 1.0),  # LATE: dropped
+        _ev(7, "2024-01-01 13:20:00", 2, "click", 1.0),
+    ]
+    for i, c in enumerate([chunk1, chunk2, chunk3]):
+        _write_chunk(spark, c, os.path.join(in_dir, f"c={i}"))
+        time.sleep(1.1)  # distinct mod times → stable batch order
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir + "/c=*")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # event 5
+    out = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM wm_counts").collect()
+    }
+    # the finalized 10:00 window excludes the late row
+    assert out[(datetime.fromisoformat("2024-01-01 10:00:00"), "click")] == 2
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """T4: explicit group state carries running totals across microbatches;
+    the final per-user values equal the batch recompute."""
+    in_dir = str(tmp_path / "in2")
+    os.makedirs(in_dir)
+    chunk1 = [
+        _ev(1, "2024-01-01 10:00:00", 1, "click", 2.0),
+        _ev(2, "2024-01-01 10:01:00", 1, "view", 3.0),
+        _ev(3, "2024-01-01 10:02:00", 2, "click", 5.0),
+    ]
+    chunk2 = [
+        _ev(4, "2024-01-01 10:03:00", 1, "click", 7.0),
+        _ev(5, "2024-01-01 10:04:00", 3, "view", 11.0),
+    ]
+    _write_chunk(spark, chunk1, os.path.join(in_dir, "c=0"))
+    _write_chunk(spark, chunk2, os.path.join(in_dir, "c=1"))
+
+    out = _run_stream(
+        spark,
+        in_dir + "/c=*",
+        running_user_totals,
+        "running_totals",
+        str(tmp_path / "ckpt2"),
+        mode="update",
+    ).collect()
+    final = {}
+    for r in out:  # last update per user wins
+        final[r.user_id] = (r.running_events, r.running_value)
+    assert final == {1: (3, 12.0), 2: (1, 5.0), 3: (1, 11.0)}
