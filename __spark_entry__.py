@@ -15,12 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the customer-inventory
-    latest-state pipeline (SURVEY §7.3 — composes J4/A6/W1: history →
-    latest row per key + first/last bookkeeping + exact rollups)."""
+    """Flagship query on /root/testdata/sf0.001: the account-activity
+    composition (SURVEY §7.3 — P4 actor extraction → J4 txn join → A6
+    amount rollup → W1 latest-state window with bookkeeping)."""
     from blockchain_etl_spark.plans.registry import get_queries
 
-    return get_queries()["customer_inventory"](spark, "/root/testdata/sf0.001")
+    return get_queries()["account_activity_flagship"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -132,3 +132,91 @@ def latest_shipment_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("l_shipdate").alias("last_shipdate"),
         col("l_quantity").alias("last_quantity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flagship composition (SURVEY §7.3): actors → transactions → rollup →
+# latest-state — P4 ⊕ J4 ⊕ A6 ⊕ W1 in one pipeline, the reference's
+# "account activity" consumer pattern (txn_filter_actor_activity +
+# transaction_actors, migrations/1628075186:4-27; 1576305004:75-84).
+# --------------------------------------------------------------------------
+@register(
+    "account_activity_flagship",
+    sql="""
+    WITH actors AS (
+      SELECT DISTINCT * FROM (
+        SELECT o_orderkey AS txn, o_custkey AS actor, 'payer' AS actor_role
+        FROM orders
+        UNION ALL
+        SELECT l_orderkey, l_suppkey, 'supplier' FROM lineitem
+      ) u),
+    activity AS (
+      SELECT a.actor, a.actor_role, o.o_orderkey, o.o_orderdate,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS txn_amount
+      FROM actors a
+      JOIN orders o ON o.o_orderkey = a.txn
+      JOIN lineitem l ON l.l_orderkey = a.txn
+      GROUP BY a.actor, a.actor_role, o.o_orderkey, o.o_orderdate)
+    SELECT actor, actor_role,
+           CAST(n_txns AS BIGINT) AS n_txns,
+           CAST(total_amount AS DOUBLE) AS total_amount,
+           last_orderdate, last_orderkey, last_amount
+    FROM (
+      SELECT actor, actor_role, o_orderkey AS last_orderkey,
+             o_orderdate AS last_orderdate, txn_amount AS last_amount,
+             ROW_NUMBER() OVER (PARTITION BY actor, actor_role
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY actor, actor_role) AS n_txns,
+             SUM(CAST(txn_amount AS DECIMAL(25,6)))
+               OVER (PARTITION BY actor, actor_role) AS total_amount
+      FROM activity) t
+    WHERE rn = 1
+    """,
+    survey_ops=("P4", "J4", "A6", "W1"),
+    doc="Flagship composition (SURVEY §7.3): actor extraction (role-labeled "
+    "union, dedup) → join to transaction metadata → per-(actor, txn) amount "
+    "rollup → latest-activity-per-actor window with count/total "
+    "bookkeeping. Exercises the four load-bearing operators in one plan; "
+    "the actor/txn join shuffles once on the txn key, the final window "
+    "once on the actor key.",
+)
+def account_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    payer = orders.select(
+        col("o_orderkey").alias("txn"),
+        col("o_custkey").alias("actor"),
+        F.lit("payer").alias("actor_role"),
+    )
+    supplier = li.select(
+        col("l_orderkey").alias("txn"),
+        col("l_suppkey").alias("actor"),
+        F.lit("supplier").alias("actor_role"),
+    )
+    actors = payer.unionByName(supplier).distinct()
+    amount = col("l_extendedprice") * (F.lit(1) - col("l_discount"))
+    activity = (
+        actors.join(orders, col("o_orderkey") == col("txn"))
+        .join(li, col("l_orderkey") == col("txn"))
+        .groupBy("actor", "actor_role", "o_orderkey", "o_orderdate")
+        .agg(F.sum(amount.cast("decimal(25,6)")).cast("double").alias("txn_amount"))
+    )
+    inv = inventory(
+        activity,
+        keys=["actor", "actor_role"],
+        order=[col("o_orderdate").desc(), col("o_orderkey").desc()],
+        bookkeeping={
+            "n_txns": F.count(F.lit(1)),
+            "total_amount": F.sum(col("txn_amount").cast("decimal(25,6)")),
+        },
+    )
+    return inv.select(
+        "actor",
+        "actor_role",
+        col("n_txns").cast("long").alias("n_txns"),
+        col("total_amount").cast("double").alias("total_amount"),
+        col("o_orderdate").alias("last_orderdate"),
+        col("o_orderkey").alias("last_orderkey"),
+        col("txn_amount").alias("last_amount"),
+    )

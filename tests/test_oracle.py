@@ -83,12 +83,13 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     # stable schema
     assert [f.name for f in df.schema.fields] == [
-        "custkey",
-        "first_orderdate",
+        "actor",
+        "actor_role",
+        "n_txns",
+        "total_amount",
         "last_orderdate",
-        "order_count",
-        "last_status",
-        "total_spent",
+        "last_orderkey",
+        "last_amount",
     ]
 
 
