@@ -188,9 +188,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_NUM_HASHES)
         ],
     )
+    # cache: |docs| rows, but lineage covers the shingle hashing — both
+    # sides of the band self-join reuse it instead of recomputing.
     sig = hashes.groupBy("doc_id").agg(
         *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_NUM_HASHES)]
-    )
+    ).cache()
     n_bands = _NUM_HASHES // _BAND_SIZE
     band_structs = F.array(
         *[
@@ -289,7 +291,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         for i in range(_SIMHASH_BITS)
     ]
-    sig = votes.select("doc_id", sum(sig_terms[1:], sig_terms[0]).alias("simhash"))
+    # the signature frame is tiny (|docs| rows) but its lineage is the full
+    # token aggregation — cache it so the band self-join's two sides don't
+    # recompute 500k-row hashing twice.
+    sig = votes.select(
+        "doc_id", sum(sig_terms[1:], sig_terms[0]).alias("simhash")
+    ).cache()
     band_structs = F.array(
         *[
             F.struct(
