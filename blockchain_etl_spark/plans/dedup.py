@@ -22,8 +22,12 @@ from .registry import register
 _NUM_HASHES = 8
 _BAND_SIZE = 2  # → 4 bands
 
-_SIMHASH_BITS = 32
-_SIMHASH_BANDS = 4  # 4 bands × 8 bits
+# 60-bit signature (15 md5 hex chars fit in a signed BIGINT on both
+# engines), 4 bands x 15 bits. Wide bands matter at scale: on clustered
+# vocabularies an 8-bit band collides for ~every pair (an all-pairs blowup
+# in disguise); 15-bit bands keep the candidate set near-linear.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
 _SIMHASH_MAX_HAMMING = 6
 
 # word 3-gram shingles of the space-tokenized text (Spark: 0-based lambda
@@ -242,7 +246,7 @@ _SIMHASH_BAND_W = _SIMHASH_BITS // _SIMHASH_BANDS
     sql=f"""
     WITH toks AS (
       SELECT doc_id,
-             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS v
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS v
       FROM (SELECT doc_id,
                    unnest(list_filter(string_split(text, ' '),
                                       w -> length(w) > 0)) AS tok
@@ -271,31 +275,35 @@ _SIMHASH_BAND_W = _SIMHASH_BITS // _SIMHASH_BANDS
     "shuffles only on (band_id, band_val) buckets — never all-pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("tok"),
     ).select(
         "doc_id",
-        F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").alias("v"),
+        F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("v"),
     )
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(v, {i}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(_SIMHASH_BITS)
-        ]
-    )
-    sig_terms = [
-        F.when(col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(_SIMHASH_BITS)
-    ]
-    # the signature frame is tiny (|docs| rows) but its lineage is the full
-    # token aggregation — cache it so the band self-join's two sides don't
-    # recompute 500k-row hashing twice.
-    sig = votes.select(
-        "doc_id", sum(sig_terms[1:], sig_terms[0]).alias("simhash")
+
+    # Signature via one Arrow-batched applyInPandas per doc group: numpy
+    # unpacks all 60 bits of every token hash at once (a 60-column
+    # conditional-sum hash aggregate evaluates ~60 branches per token row —
+    # an order of magnitude slower). The md5 stays JVM-side so the Python
+    # stage only sees (doc_id, int64) rows.
+    def signature(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        bits = (v[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.int64)) & 1
+        votes = 2 * bits.sum(axis=0) - len(v)
+        weights = np.int64(1) << np.arange(_SIMHASH_BITS, dtype=np.int64)
+        sig = int((weights * (votes > 0)).sum())
+        return pd.DataFrame({"doc_id": [pdf["doc_id"].iloc[0]], "simhash": [sig]})
+
+    # tiny output (|docs| rows) with the full token pipeline as lineage —
+    # cache so the band self-join's two sides reuse one pass.
+    sig = toks.groupBy("doc_id").applyInPandas(
+        signature, schema="doc_id long, simhash long"
     ).cache()
     band_structs = F.array(
         *[
