@@ -196,27 +196,32 @@ def account_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     actors = payer.unionByName(supplier).distinct()
     amount = col("l_extendedprice") * (F.lit(1) - col("l_discount"))
+    # the per-transaction amount depends only on the transaction, so the
+    # rollup runs ONCE per order (|orders| groups) before fanning out to
+    # actors — not once per (actor, order) pair. Saves the wide 4-key
+    # shuffle the naive actors⋈lineitem groupBy would need.
+    order_rev = li.groupBy("l_orderkey").agg(
+        F.sum(amount.cast("decimal(25,6)")).cast("double").alias("txn_amount")
+    )
     activity = (
         actors.join(orders, col("o_orderkey") == col("txn"))
-        .join(li, col("l_orderkey") == col("txn"))
-        .groupBy("actor", "actor_role", "o_orderkey", "o_orderdate")
-        .agg(F.sum(amount.cast("decimal(25,6)")).cast("double").alias("txn_amount"))
+        .join(order_rev, col("l_orderkey") == col("txn"))
+        .select("actor", "actor_role", "o_orderkey", "o_orderdate", "txn_amount")
     )
-    inv = inventory(
-        activity,
-        keys=["actor", "actor_role"],
-        order=[col("o_orderdate").desc(), col("o_orderkey").desc()],
-        bookkeeping={
-            "n_txns": F.count(F.lit(1)),
-            "total_amount": F.sum(col("txn_amount").cast("decimal(25,6)")),
-        },
+    # latest-activity selection as max(struct(date, key, amount)) — a hash
+    # aggregate with map-side partials instead of a window sort over the
+    # full activity set; bookkeeping rides in the same aggregate.
+    agg = activity.groupBy("actor", "actor_role").agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.sum(col("txn_amount").cast("decimal(25,6)")).cast("double").alias("total_amount"),
+        F.max(F.struct("o_orderdate", "o_orderkey", "txn_amount")).alias("l"),
     )
-    return inv.select(
+    return agg.select(
         "actor",
         "actor_role",
         col("n_txns").cast("long").alias("n_txns"),
-        col("total_amount").cast("double").alias("total_amount"),
-        col("o_orderdate").alias("last_orderdate"),
-        col("o_orderkey").alias("last_orderkey"),
-        col("txn_amount").alias("last_amount"),
+        "total_amount",
+        col("l.o_orderdate").alias("last_orderdate"),
+        col("l.o_orderkey").alias("last_orderkey"),
+        col("l.txn_amount").alias("last_amount"),
     )
