@@ -46,13 +46,20 @@ def main() -> None:
     region.select(_warm(F.col("r_regionkey").cast("long"))).count()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, fn in sorted(queries.items()):
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+        except Exception as exc:  # one bad query must not lose the run
+            failed.append(name)
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+            continue
+        finally:
+            spark.catalog.clearCache()  # no cross-query cache interference
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-        spark.catalog.clearCache()  # no cross-query cache interference
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -66,6 +73,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if failed:
+        result["failed"] = failed
     print(json.dumps(result))
     spark.stop()
 

@@ -32,6 +32,12 @@ TXN_TYPES = (
     "transfer_hotspot_v1",
     "price_oracle_v1",
     "vars_v1",
+    "routing_v1",
+    "security_exchange_v1",
+    "stake_validator_v1",
+    "unstake_validator_v1",
+    "transfer_validator_stake_v1",
+    "subnetwork_rewards_v1",
 )
 
 
@@ -163,6 +169,36 @@ def gen_transactions(seed: int = 42):
                 fields = {"public_key": f"orc{rng.randrange(5)}", "price": rng.randrange(10**8, 2 * 10**8), "block_height": h}
             elif ttype == "vars_v1":
                 fields = {"vars": {"poc_version": rng.randrange(1, 12)}, "nonce": rng.randrange(100)}
+            elif ttype == "routing_v1":
+                fields = {
+                    "owner": acct(),
+                    "oui": rng.randrange(1, 20),
+                    "action": {"addresses": [acct() for _ in range(rng.randrange(1, 3))]},
+                    "fee": rng.randrange(0, 40000),
+                    "nonce": rng.randrange(100),
+                }
+            elif ttype == "security_exchange_v1":
+                fields = {"payer": acct(), "payee": acct(), "amount": rng.randrange(1, 10**6)}
+            elif ttype == "stake_validator_v1":
+                fields = {"validator": val(), "owner": acct(), "stake": 10**10}
+            elif ttype == "unstake_validator_v1":
+                fields = {"address": val(), "owner": acct(), "stake_amount": 10**10}
+            elif ttype == "transfer_validator_stake_v1":
+                fields = {
+                    "old_validator": val(),
+                    "new_validator": val(),
+                    "old_owner": acct(),
+                    "new_owner": acct() if rng.random() < 0.7 else "",
+                    "stake_amount": 10**10,
+                }
+            elif ttype == "subnetwork_rewards_v1":
+                fields = {
+                    "rewards": [
+                        {"reward_account": acct(), "amount": rng.randrange(1, 10**5)}
+                        for _ in range(rng.randrange(1, 4))
+                    ],
+                    "token_type": "mobile",
+                }
             txns.append(
                 {
                     "block": h,
@@ -231,6 +267,35 @@ def py_to_actors(ttype: str, f: dict) -> list[tuple[str, str]]:
         out.append(("oracle", f["public_key"]))
     elif ttype == "vars_v1":
         pass
+    elif ttype == "routing_v1":
+        out += [("owner", f["owner"]), ("payer", f["owner"])]
+        out += [("router", a) for a in f.get("action", {}).get("addresses", [])]
+    elif ttype == "security_exchange_v1":
+        out += [("payer", f["payer"]), ("payee", f["payee"])]
+    elif ttype == "stake_validator_v1":
+        out += [
+            ("validator", f["validator"]),
+            ("payer", f["owner"]),
+            ("owner", f["owner"]),
+        ]
+    elif ttype == "unstake_validator_v1":
+        out += [
+            ("validator", f["address"]),
+            ("payee", f["owner"]),
+            ("owner", f["owner"]),
+        ]
+    elif ttype == "transfer_validator_stake_v1":
+        out += [
+            ("validator", f["old_validator"]),
+            ("validator", f["new_validator"]),
+            ("payer", nz(f.get("new_owner")) or ""),
+            ("payee", f["old_owner"]),
+            ("owner", nz(f.get("new_owner")) or f["old_owner"]),
+            ("owner", f["old_owner"]),
+        ]
+        out = [(r, a) for r, a in out if a]
+    elif ttype == "subnetwork_rewards_v1":
+        out += [("payee", r["reward_account"]) for r in f.get("rewards", [])]
     return sorted(set(out))
 
 
