@@ -33,8 +33,19 @@ from pyspark.sql.functions import col
 
 from ..operators.actors import extract_actors
 from ..sources.blockchain import FIELDS_SCHEMAS
+from .entities import gateway_history, oui_history, validator_history
 
-TABLES = ("transactions", "transaction_actors", "rewards", "packets", "dc_burns", "oracle_prices")
+TABLES = (
+    "transactions",
+    "transaction_actors",
+    "rewards",
+    "packets",
+    "dc_burns",
+    "oracle_prices",
+    "gateways",
+    "validators",
+    "ouis",
+)
 
 
 def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
@@ -131,6 +142,12 @@ def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
         "block",
         F.get_json_object("fields", "$.price").cast("long").alias("price"),
     )
+
+    # per-entity history tables (partial rows; inventories fold them via
+    # MERGE — streaming/entities.py)
+    out["gateways"] = gateway_history(txns)
+    out["validators"] = validator_history(txns)
+    out["ouis"] = oui_history(txns)
     return out
 
 

@@ -1,0 +1,121 @@
+"""Entity-history fold tests: gateway/validator/oui state derived from the
+txn stream vs an independent Python fold over the same transactions."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from blockchain_etl_spark.sources.blockchain import SCHEMAS
+from blockchain_etl_spark.streaming.entities import (
+    fold_inventory,
+    gateway_history,
+    oui_history,
+    validator_history,
+)
+from tests.fixtures_blockchain import gen_transactions
+
+
+@pytest.fixture(scope="module")
+def txn_df(spark):
+    _, txns = gen_transactions()
+    return spark.createDataFrame(
+        [Row(**t) for t in txns], schema=SCHEMAS["transactions"]
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def txn_rows():
+    _, txns = gen_transactions()
+    return sorted(txns, key=lambda t: (t["block"], t["hash"]))
+
+
+def py_gateway_fold(txns):
+    state = {}
+    for t in txns:
+        f = json.loads(t["fields"])
+        ty = t["type"]
+        if ty in ("add_gateway_v1", "gen_gateway_v1"):
+            g = f["gateway"]
+            s = state.setdefault(g, {"first": t["block"]})
+            s.update(owner=f["owner"], last=t["block"])
+        elif ty in ("assert_location_v1", "assert_location_v2"):
+            g = f["gateway"]
+            s = state.setdefault(g, {"first": t["block"]})
+            s.update(
+                owner=f["owner"],
+                location=f.get("location"),
+                last=t["block"],
+            )
+        elif ty == "transfer_hotspot_v1":
+            g = f["gateway"]
+            s = state.setdefault(g, {"first": t["block"]})
+            s.update(owner=f["buyer"], last=t["block"])
+    return state
+
+
+def test_gateway_inventory_matches_python_fold(spark, txn_df, txn_rows):
+    hist = gateway_history(txn_df)
+    inv = fold_inventory(
+        hist, keys=["address"], coalesce_cols=["owner", "location", "elevation", "gain"]
+    )
+    got = {
+        r.address: (r.owner, r.location, r.first_block, r.last_block)
+        for r in inv.collect()
+    }
+    want = py_gateway_fold(txn_rows)
+    assert set(got) == set(want)
+    for g, s in want.items():
+        owner, location, first, last = got[g]
+        assert owner == s.get("owner"), (g, owner, s)
+        assert location == s.get("location"), (g, location, s)
+        assert (first, last) == (s["first"], s["last"])
+
+
+def test_validator_inventory(spark, txn_df, txn_rows):
+    hist = validator_history(txn_df)
+    inv = fold_inventory(
+        hist, keys=["address"], coalesce_cols=["owner", "stake", "last_heartbeat", "status"]
+    )
+    # independent fold
+    state = {}
+    for t in txn_rows:
+        f = json.loads(t["fields"])
+        ty = t["type"]
+        if ty == "stake_validator_v1":
+            state.setdefault(f["validator"], {})["status"] = "staked"
+            state[f["validator"]]["owner"] = f["owner"]
+        elif ty == "unstake_validator_v1":
+            state.setdefault(f["address"], {})["status"] = "unstaked"
+            state[f["address"]]["owner"] = f["owner"]
+        elif ty == "validator_heartbeat_v1":
+            state.setdefault(f["address"], {}).setdefault("status", None)
+            state[f["address"]]["hb"] = t["block"]
+    got = {r.address: r for r in inv.collect()}
+    assert set(got) == set(state)
+    for v, s in state.items():
+        if s.get("hb"):
+            assert got[v].last_heartbeat == s["hb"]
+
+
+def test_oui_inventory(spark, txn_df, txn_rows):
+    hist = oui_history(txn_df)
+    inv = fold_inventory(hist, keys=["oui"], coalesce_cols=["owner", "addresses"])
+    state = {}
+    for t in txn_rows:
+        f = json.loads(t["fields"])
+        if t["type"] == "oui_v1":
+            state[f["oui"]] = {"owner": f["owner"], "addresses": f["addresses"]}
+        elif t["type"] == "routing_v1":
+            s = state.setdefault(f["oui"], {"owner": None, "addresses": None})
+            s["owner"] = f["owner"]
+            s["addresses"] = f["action"]["addresses"]
+    got = {r.oui: r for r in inv.collect()}
+    assert set(got) == set(state)
+    for oui, s in state.items():
+        assert got[oui].owner == s["owner"]
+        assert list(got[oui].addresses) == s["addresses"]

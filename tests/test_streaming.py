@@ -35,7 +35,10 @@ def txn_df(spark, txn_rows):
 
 
 def _table_set(df):
-    return {tuple(r) for r in df.collect()}
+    def h(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return {tuple(h(v) for v in r) for r in df.collect()}
 
 
 def test_stream_matches_batch_recompute(spark, txn_df, txn_rows, tmp_path):
