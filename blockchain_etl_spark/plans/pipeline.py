@@ -1,0 +1,308 @@
+"""Training-data pipeline plans (beyond the reference's own operators):
+sessionization of the event stream, deterministic stratified sampling,
+inverted-index construction, and near-duplicate *clustering* (connected
+components over LSH candidate edges — the step that turns pairwise
+candidates into keep/drop decisions at corpus scale).
+
+Cross-engine determinism: sampling uses an md5-derived bucket (identical in
+Spark and DuckDB), never engine RNG; session ordering ties break on
+event_id; posting lists are canonically sorted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..sources.testdata import load_table
+from .registry import register
+
+# gap threshold for sessionization (seconds)
+_SESSION_GAP_S = 1800
+
+# md5-bucket sampling: keep buckets < _SAMPLE_PCT of 100
+_SAMPLE_PCT = 20
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap-based session assignment over the events stream —
+# the batch shape of a streaming session_window (T-series analog). A lag
+# window marks session starts, a running sum numbers sessions per user,
+# then one hash aggregate rolls each session up.
+# --------------------------------------------------------------------------
+@register(
+    "events_sessionized",
+    sql=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                       > {_SESSION_GAP_S}
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    survey_ops=(),
+    doc="Gap-based sessionization (30-min inactivity): lag marks session "
+    "starts, running sum numbers them, hash aggregate rolls sessions up. "
+    "One shuffle on user_id serves both windows AND the final aggregate — "
+    "the sort is per-user-partition, never global. Streaming twin: "
+    "session_window in streaming/windows.py.",
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0).alias("is_start"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: md5-bucket per doc, keep a fixed
+# fraction per language stratum. RNG-free → reproducible across engines,
+# retries, and cluster sizes (the property a 100 TB training-data sample
+# actually needs).
+# --------------------------------------------------------------------------
+@register(
+    "doc_sample_stratified",
+    sql=f"""
+    SELECT doc_id, lang, source,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 100 AS bucket
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            % 100 < {_SAMPLE_PCT}
+    """,
+    survey_ops=(),
+    doc="Deterministic hash-bucket sampling (~20% per stratum): bucket = "
+    "md5(doc_id) mod 100. Embarrassingly parallel — a map-side filter with "
+    "no shuffle, no RNG state, stable under retries and repartitioning; "
+    "the same doc set is selected on any engine or cluster size.",
+)
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .filter(col("bucket") < _SAMPLE_PCT)
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted index build: token → document-frequency + canonical posting
+# list. The core retrieval-side artifact of a text corpus; posting lists
+# are sorted doc-id strings so both engines agree byte-for-byte.
+# --------------------------------------------------------------------------
+@register(
+    "doc_inverted_index",
+    sql="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> length(w) >= 3)) AS token
+      FROM documents)
+    SELECT token,
+           COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) >= 3
+    """,
+    survey_ops=("A9", "F9"),
+    doc="Inverted-index construction: distinct (doc, token) rows → per-token "
+    "document frequency + sorted posting list, rare tokens (df<3) pruned. "
+    "One shuffle on token; posting lists build via collect_list inside the "
+    "same aggregate. At 100 TB the df>=3 HAVING prunes the long tail before "
+    "any list materializes driver-side (nothing collects to the driver at all).",
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr("filter(split(text, ' '), w -> length(w) >= 3)"))
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(col("df") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate clustering: connected components over LSH candidate
+# edges. The step after candidate generation — pairs alone can't drive
+# keep/drop; transitive groups can (keep min doc_id per component).
+#
+# Spark: iterative min-label propagation (the simplified
+# large-star/small-star loop) — labels converge in O(component diameter)
+# rounds; each round is one join + one hash aggregate, lineage truncated
+# with localCheckpoint so plans stay flat. Oracle: recursive CTE closure.
+# --------------------------------------------------------------------------
+
+# edges = exact-duplicate content hash collisions (cheap, deterministic on
+# both engines) ∪ shared rare-token LSH-ish buckets. Rare-token buckets
+# (3 <= df <= 4 full-word tokens of length >= 12) give multi-hop chains
+# the closure must resolve — the interesting case for the algorithm.
+_EDGES_SQL = """
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM (SELECT doc_id, md5(text) AS h FROM documents) a
+      JOIN (SELECT doc_id, md5(text) AS h FROM documents) b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      UNION
+      SELECT DISTINCT t1.doc_id AS src, t2.doc_id AS dst
+      FROM (
+        SELECT token, MIN(doc_id) AS doc_id FROM (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> length(w) >= 12)) AS token
+          FROM documents) z
+        GROUP BY token HAVING COUNT(*) BETWEEN 3 AND 4) t1
+      JOIN (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> length(w) >= 12)) AS token
+          FROM documents) t2
+        ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+"""
+
+
+def _dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    exact = (
+        h.alias("a")
+        .join(h.alias("b"), ["h"])
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").alias("src"), col("b.doc_id").alias("dst"))
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr("filter(split(text, ' '), w -> length(w) >= 12)"))
+        ).alias("token"),
+    )
+    rare = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("anchor"))
+        .filter((col("df") >= 3) & (col("df") <= 4))
+        .select("token", "anchor")
+    )
+    star = (
+        tok.join(rare, ["token"])
+        .filter(col("anchor") < col("doc_id"))
+        .select(col("anchor").alias("src"), col("doc_id").alias("dst"))
+        .distinct()
+    )
+    return exact.unionByName(star).distinct()
+
+
+@register(
+    "dedup_components",
+    sql=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT edges.dst, reach.label
+      FROM reach JOIN edges ON edges.src = reach.doc_id
+      WHERE reach.label < edges.dst),
+    comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id)
+    SELECT component_id,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM comp
+    GROUP BY component_id
+    HAVING COUNT(*) > 1
+    """,
+    survey_ops=("X2",),
+    doc="Near-dup clustering: connected components over duplicate-candidate "
+    "edges (exact-hash collisions ∪ rare-token star edges), keep-min-id per "
+    "component. Spark side is iterative min-label propagation — per round "
+    "one shuffle join edges⋈labels + one min-aggregate, converging in "
+    "O(diameter) rounds with localCheckpoint lineage truncation; this is "
+    "the scalable alternative to driver-side union-find, which dies at the "
+    "first corpus that doesn't fit in one machine's memory.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _dedup_edges(spark, sf_dir)
+    edges = (
+        e.unionByName(e.select(col("dst").alias("src"), col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select("doc_id", col("doc_id").alias("label"))
+    # min-label propagation to fixpoint: labels flow along edges; converged
+    # when a round changes nothing. Component diameters in dedup graphs are
+    # tiny (chains of near-dups), so this terminates in a few rounds.
+    for _ in range(30):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(col("dst").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(col("n.label") != col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(col("label").alias("component_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(col("n_docs") > 1)
+    )

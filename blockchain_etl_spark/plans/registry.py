@@ -87,5 +87,6 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import pipeline  # noqa: F401
 
     _LOADED = True

@@ -53,6 +53,28 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window aggregation: per-user sessions close after ``gap`` of
+    inactivity; the watermark bounds open-session state. Streaming twin of
+    the batch ``events_sessionized`` plan (plans/pipeline.py) — same gap
+    semantics, with Spark's native session_window instead of lag+running-sum
+    (merge-able session state survives out-of-order arrival within the
+    watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 RUNNING_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

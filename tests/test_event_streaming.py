@@ -124,3 +124,47 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     for r in out:  # last update per user wins
         final[r.user_id] = (r.running_events, r.running_value)
     assert final == {1: (3, 12.0), 2: (1, 5.0), 3: (1, 11.0)}
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Session windows close after 30 min of inactivity; append mode emits
+    a session only once the watermark passes its end."""
+    import time
+
+    in_dir = str(tmp_path / "in3")
+    os.makedirs(in_dir)
+    chunk1 = [
+        _ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        _ev(2, "2024-01-01 10:10:00", 1, "click", 1.0),
+        _ev(3, "2024-01-01 10:05:00", 2, "view", 1.0),
+    ]
+    # 11:30 starts a new session for user 1 (gap > 30 min); the 15:00 row
+    # advances the watermark so every earlier session finalizes.
+    chunk2 = [
+        _ev(4, "2024-01-01 11:30:00", 1, "click", 1.0),
+        _ev(5, "2024-01-01 15:00:00", 2, "view", 1.0),
+    ]
+    chunk3 = [_ev(6, "2024-01-01 16:00:00", 2, "view", 1.0)]
+    for i, c in enumerate([chunk1, chunk2, chunk3]):
+        _write_chunk(spark, c, os.path.join(in_dir, f"c={i}"))
+        time.sleep(1.1)
+
+    from blockchain_etl_spark.streaming.windows import sessionized_event_counts
+
+    out = _run_stream(
+        spark,
+        in_dir + "/c=*",
+        sessionized_event_counts,
+        "session_counts",
+        str(tmp_path / "ckpt3"),
+        mode="append",
+    ).collect()
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events for r in out
+    }
+    ts = datetime.fromisoformat
+    assert got == {
+        (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00")): 2,
+        (1, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00")): 1,
+        (2, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00")): 1,
+    }
