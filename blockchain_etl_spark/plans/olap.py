@@ -1,0 +1,240 @@
+"""OLAP-surface plans: hierarchy rollups (GROUPING SETS), pivot, exact
+percentiles, and date-spine gap-fill with last-observation-carried-forward.
+
+The reference's query surface never needed these (Postgres served them to
+the API tier ad hoc), but an analytics engine replacing it must have them;
+each is expressed as the Spark-native operator with a DuckDB oracle.
+
+Determinism: money sums ride DECIMAL accumulators; percentiles are
+*discrete* (actual row values, no interpolation ambiguity); LOCF ties break
+on event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from ..sources.testdata import load_table
+from .registry import register
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchy aggregation: region → nation → (all). Spark's rollup()
+# emits the same grouping sets as SQL GROUP BY ROLLUP.
+# --------------------------------------------------------------------------
+@register(
+    "region_customer_rollup",
+    sql="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_balance
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    survey_ops=("A2",),
+    doc="Hierarchy rollup region → nation → grand total in ONE aggregate "
+    "(GROUP BY ROLLUP): Spark expands the grouping sets inside a single "
+    "hash aggregate — one shuffle, not three queries. Dimension joins are "
+    "broadcast.",
+)
+def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = cust.join(broadcast(nation), col("n_nationkey") == col("c_nationkey")).join(
+        broadcast(region), col("r_regionkey") == col("n_regionkey")
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(col("c_acctbal").cast("decimal(25,6)")).cast("double").alias("total_balance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: event types to columns. Spark pivot() with an explicit value list
+# (never inferred — inference costs an extra distinct scan and makes the
+# output schema data-dependent).
+# --------------------------------------------------------------------------
+@register(
+    "user_event_type_pivot",
+    sql=f"""
+    SELECT user_id,
+           {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+                      for t in _EVENT_TYPES)},
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ops=("A2",),
+    doc="Pivot event_type into per-user count columns with an EXPLICIT "
+    "pivot value list — schema is static, the plan is one hash aggregate "
+    "with conditional counts, and no extra pass infers distinct values "
+    "(which at 100 TB is a full scan before the real query even starts).",
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        "user_id",
+        *[F.coalesce(col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    return out.withColumn(
+        "n_total", sum(col(f"n_{t}") for t in _EVENT_TYPES[1:]) + col(f"n_{_EVENT_TYPES[0]}")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact discrete percentiles per group (order-statistic, no interpolation).
+# --------------------------------------------------------------------------
+@register(
+    "order_price_percentiles",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+           quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+           quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.99) AS p99_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ops=(),
+    doc="Exact discrete percentiles (p50/p90/p99) of order value per "
+    "priority class: percentile_disc picks actual row values — "
+    "cross-engine-exact on fixed-point cents, no interpolation. At larger "
+    "group cardinalities swap in approx_percentile (t-digest sketch, "
+    "map-side combinable) — the exact form is for the oracle contract.",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    orders.createOrReplaceTempView("_opp_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS p50_cents,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS p90_cents,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS p99_cents
+        FROM _opp_orders
+        GROUP BY o_orderpriority
+        """
+    ).select(
+        "o_orderpriority",
+        "n_orders",
+        col("p50_cents").cast("long").alias("p50_cents"),
+        col("p90_cents").cast("long").alias("p90_cents"),
+        col("p99_cents").cast("long").alias("p99_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date-spine gap-fill + LOCF: every (user, day) in the observed range gets
+# the most recent daily-close value at or before that day. The batch form
+# of a time-series "fill forward" — and a second expression of the as-of
+# join (J7): the oracle literally uses DuckDB's native ASOF JOIN.
+# --------------------------------------------------------------------------
+@register(
+    "events_daily_locf",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, day, close_fp FROM (
+        SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               CAST(ROUND(value * 10000) AS BIGINT) AS close_fp,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+    spine AS (
+      SELECT u.user_id, d.day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                  FROM bounds) d)
+    SELECT s.user_id, s.day, daily.close_fp AS value_fp,
+           (daily.day = s.day) AS observed
+    FROM spine s
+    ASOF LEFT JOIN daily ON s.user_id = daily.user_id AND s.day >= daily.day
+    """,
+    survey_ops=("J7",),
+    doc="Date-spine gap-fill with last-observation-carried-forward: daily "
+    "close per user (arg_max by (ts, id)), complete user×day spine via "
+    "sequence(), then LOCF as last(value, ignoreNulls) over the per-user "
+    "day order — one window pass, equivalent to a per-row as-of join "
+    "(DuckDB's native ASOF JOIN is the oracle). Spine generation is "
+    "compute-only (no scan); the window shuffles once on user_id.",
+)
+def events_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("user_id", col("ts").cast("date").alias("day"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("l"))
+        .select(
+            "user_id",
+            "day",
+            F.round(col("l.value") * 10000).cast("long").alias("close_fp"),
+        )
+    )
+    bounds = events.agg(
+        F.min(col("ts").cast("date")).alias("lo"), F.max(col("ts").cast("date")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    users = events.select("user_id").distinct()
+    spine = users.crossJoin(broadcast(days))
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        col("day").cast("timestamp").alias("day"),
+        F.last("close_fp", ignorenulls=True).over(w).alias("value_fp"),
+        col("close_fp").isNotNull().alias("observed"),
+    ).withColumn("observed", F.when(col("value_fp").isNull(), F.lit(None).cast("boolean")).otherwise(col("observed")))
+
+
+# --------------------------------------------------------------------------
+# lead/lag inter-arrival analysis: days between consecutive orders per
+# customer. The remaining window-function shape (offset functions) not
+# exercised elsewhere.
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_gaps",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           datediff('day', prev_date, o_orderdate) AS days_since_prev,
+           datediff('day', o_orderdate, next_date) AS days_until_next
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_orderdate) OVER w AS prev_date,
+             LEAD(o_orderdate) OVER w AS next_date
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+    """,
+    survey_ops=(),
+    doc="Offset window functions: lag/lead over the per-customer order "
+    "timeline → inter-arrival gaps in days. One shuffle on o_custkey, one "
+    "per-partition sort serving both offsets; no global ordering anywhere.",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(w), "o_orderdate").cast("long").alias("days_until_next"),
+    )

@@ -88,5 +88,6 @@ def _load_all() -> None:
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import olap  # noqa: F401
 
     _LOADED = True

@@ -208,7 +208,77 @@ class BlockIngest:
             batch.unpersist()
 
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.out_dir, name, "blockrange=*"))
+        """Read a derived table across both layouts: compacted height-bucket
+        partitions plus any not-yet-compacted per-batch blockrange dirs."""
+        import glob as _glob
+
+        base = os.path.join(self.out_dir, name)
+        parts = []
+        if _glob.glob(os.path.join(base, "compacted", "height_bucket=*")):
+            parts.append(
+                spark.read.option("basePath", os.path.join(base, "compacted"))
+                .parquet(os.path.join(base, "compacted", "height_bucket=*"))
+                .drop("height_bucket")
+            )
+        if _glob.glob(os.path.join(base, "blockrange=*")):
+            parts.append(
+                spark.read.option("basePath", base)
+                .parquet(os.path.join(base, "blockrange=*"))
+                .drop("blockrange")
+            )
+        if not parts:
+            raise FileNotFoundError(base)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    # -- compaction (the 100 TB small-file answer) ----------------------
+    def compact(
+        self, spark: SparkSession, name: str, blocks_per_bucket: int = 100_000
+    ) -> int:
+        """Fold per-batch ``blockrange=lo-hi`` directories into the
+        consolidated ``compacted/height_bucket=N`` layout (sources/lake.py
+        partitioning — the BRIN-index analog for height-range pruning).
+
+        Rewrites ONLY the height buckets the new ranges touch — per-bucket
+        work stays proportional to fresh data, not table size, so the job
+        holds at 100 TB where a full-table rewrite would not. Each bucket
+        swap is write-to-tmp + rename; a crash mid-compaction leaves every
+        bucket either old or fully rewritten, and the blockrange dirs are
+        removed only after all swaps succeed (replaying the compaction is
+        then a no-op because the ranges are gone).
+        """
+        import glob as _glob
+        import shutil
+
+        from ..sources.lake import height_bucket
+
+        base = os.path.join(self.out_dir, name)
+        ranges = sorted(_glob.glob(os.path.join(base, "blockrange=*")))
+        if not ranges:
+            return 0
+        fresh = (
+            spark.read.option("basePath", base)
+            .parquet(*ranges)
+            .drop("blockrange")
+            .withColumn("height_bucket", height_bucket(col("block"), blocks_per_bucket))
+        )
+        comp_dir = os.path.join(base, "compacted")
+        buckets = [r.height_bucket for r in fresh.select("height_bucket").distinct().collect()]
+        for b in sorted(buckets):
+            bucket_df = fresh.filter(col("height_bucket") == b).drop("height_bucket")
+            bucket_dir = os.path.join(comp_dir, f"height_bucket={b}")
+            if os.path.isdir(bucket_dir):
+                bucket_df = bucket_df.unionByName(spark.read.parquet(bucket_dir))
+            tmp = bucket_dir + ".tmp"
+            bucket_df.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(bucket_dir):
+                shutil.rmtree(bucket_dir)
+            os.replace(tmp, bucket_dir)
+        for r in ranges:
+            shutil.rmtree(r)
+        return len(ranges)
 
     # -- snapshot sink (S4, src/be_db_block.erl:118-157) ---------------
     def write_snapshot(self, spark: SparkSession, height: int) -> str:

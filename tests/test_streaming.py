@@ -163,3 +163,32 @@ def test_online_classification(spark):
         for r in classify_validator_online(vals, height, heartbeat_interval=400).collect()
     }
     assert got_v == {"v_live": "online", "v_dead": "offline"}
+
+
+def test_compaction_preserves_contents(spark, txn_df, tmp_path):
+    """Compacting blockrange dirs into height buckets changes the physical
+    layout only: same rows before/after, fewer directories, and further
+    ingest + a second compaction still match the batch recompute."""
+    import glob
+
+    out_dir = str(tmp_path / "out4")
+    ing = BlockIngest(out_dir)
+    for lo, hi in ((1, 30), (31, 60), (61, 90)):
+        ing.process_batch(
+            txn_df.filter((F.col("block") >= lo) & (F.col("block") <= hi)), 0
+        )
+    before = _table_set(ing.read_table(spark, "transactions"))
+    n = ing.compact(spark, "transactions", blocks_per_bucket=50)
+    assert n == 3
+    assert not glob.glob(os.path.join(out_dir, "transactions", "blockrange=*"))
+    # blocks 1-90 with bucket width 50 → buckets 0 and 1
+    assert len(glob.glob(os.path.join(out_dir, "transactions", "compacted", "height_bucket=*"))) == 2
+    assert _table_set(ing.read_table(spark, "transactions")) == before
+
+    # mixed layout: one more uncompacted batch on top of compacted data
+    ing.process_batch(txn_df.filter(F.col("block") > 90), 1)
+    assert _table_set(ing.read_table(spark, "transactions")) == _table_set(txn_df)
+    # second compaction folds the remainder in; a repeat is a no-op
+    assert ing.compact(spark, "transactions", blocks_per_bucket=50) == 1
+    assert ing.compact(spark, "transactions", blocks_per_bucket=50) == 0
+    assert _table_set(ing.read_table(spark, "transactions")) == _table_set(txn_df)
