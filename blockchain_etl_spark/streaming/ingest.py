@@ -47,6 +47,15 @@ TABLES = (
     "ouis",
 )
 
+# per-entity inventory MERGE specs (the trigger semantics of
+# migrations/1590689602:32-62 / 1622293265:49-77 / 1612480010:32-56):
+# history table → (keys, COALESCE partial-update columns).
+INVENTORIES = {
+    "gateways": (["address"], ["owner", "location", "elevation", "gain"]),
+    "validators": (["address"], ["owner", "stake", "last_heartbeat", "status"]),
+    "ouis": (["oui"], ["owner", "addresses", "nonce"]),
+}
+
 
 def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
     """The handler fan-out: one parsed transactions frame → every derived
@@ -154,8 +163,12 @@ def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
 class BlockIngest:
     """Ordered, idempotent ingest into a directory-per-table layout."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, maintain_inventories: bool = False):
         self.out_dir = out_dir
+        # when on, each batch also MERGEs entity history partials into
+        # <out>/<entity>_inventory (ParquetMergeTarget) — the streaming
+        # form of the reference's AFTER INSERT inventory triggers.
+        self.maintain_inventories = maintain_inventories
 
     # -- sync-height watermark (T1) ------------------------------------
     @property
@@ -202,10 +215,35 @@ class BlockIngest:
                 df.write.mode("overwrite").parquet(
                     os.path.join(self.out_dir, name, rng)
                 )
+            if self.maintain_inventories:
+                for name, (keys, coalesce_cols) in INVENTORIES.items():
+                    self.inventory_target(name).merge(
+                        batch.sparkSession,
+                        tables[name],
+                        keys=keys,
+                        # hash breaks same-block ties → deterministic fold
+                        # at any partition count, so a replayed merge is a
+                        # no-op (merge_latest ties favor the update side).
+                        order=["block", "hash"],
+                        coalesce_cols=coalesce_cols,
+                        first_col="first_block",
+                        last_col="last_block",
+                    )
             if bounds.hi > stored:
                 self._write_sync_height(bounds.hi)
         finally:
             batch.unpersist()
+
+    def inventory_target(self, name: str):
+        from ..operators.merge import ParquetMergeTarget
+
+        return ParquetMergeTarget(os.path.join(self.out_dir, f"{name}_inventory"))
+
+    def read_inventory(self, spark: SparkSession, name: str) -> DataFrame:
+        df = self.inventory_target(name).read(spark)
+        if df is None:
+            raise FileNotFoundError(f"no inventory for {name}")
+        return df.drop("hash", "time")
 
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
         """Read a derived table across both layouts: compacted height-bucket

@@ -119,3 +119,43 @@ def test_oui_inventory(spark, txn_df, txn_rows):
     for oui, s in state.items():
         assert got[oui].owner == s["owner"]
         assert list(got[oui].addresses) == s["addresses"]
+
+
+def test_streaming_incremental_inventory_matches_batch(spark, txn_df, tmp_path):
+    """The per-microbatch inventory MERGE (reference's AFTER INSERT
+    triggers) converges to exactly the batch fold over full history —
+    including across a replayed batch."""
+    import os
+
+    from blockchain_etl_spark.streaming.ingest import INVENTORIES, BlockIngest
+
+    ing = BlockIngest(str(tmp_path / "out"), maintain_inventories=True)
+    chunks = [(1, 40), (41, 80), (81, 120)]
+    for lo, hi in chunks:
+        batch = txn_df.filter((F.col("block") >= lo) & (F.col("block") <= hi))
+        ing.process_batch(batch, 0)
+    # replay the last batch: MERGE must be a no-op
+    ing.process_batch(
+        txn_df.filter((F.col("block") >= 81) & (F.col("block") <= 120)), 1
+    )
+
+    history_fns = {
+        "gateways": gateway_history,
+        "validators": validator_history,
+        "ouis": oui_history,
+    }
+    for name, (keys, coalesce_cols) in INVENTORIES.items():
+        want_df = fold_inventory(
+            history_fns[name](txn_df), keys=keys, coalesce_cols=coalesce_cols
+        ).drop("hash", "time")
+        got_df = ing.read_inventory(spark, name)
+        assert sorted(got_df.columns) == sorted(want_df.columns), name
+        cols = sorted(want_df.columns)
+
+        def norm(df):
+            return {
+                tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in df.select(*cols).collect()
+            }
+
+        assert norm(got_df) == norm(want_df), name
