@@ -108,7 +108,9 @@ def _fx_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
 )
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _with_norm(emb.select("vec_id", "embedding"), "embedding", "nrm")
+    corpus = _with_norm(
+        emb.select("vec_id", "embedding"), "embedding", "nrm"
+    ).localCheckpoint()  # query (broadcast) side and stream side both read it
     queries = corpus.filter(col("vec_id") < _N_QUERIES).select(
         col("vec_id").alias("qid"),
         col("embedding").alias("qe"),
@@ -262,7 +264,9 @@ def _band_val_sql(b: int) -> str:
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = _with_norm(emb, "embedding", "nrm")
+    # three consumers (band projection + both pair-join sides): materialize
+    # once — norms are per-row HOF aggregates worth not recomputing.
+    corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
 
     band_structs = F.array(
         *[
@@ -400,7 +404,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    corpus = _with_norm(emb, "embedding", "nrm")
+    corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
 
     # coarse quantizer: per-label centroid vectors (exact-decimal means),
     # assembled into ordered arrays; tiny (|labels| rows) → broadcast.
@@ -432,7 +436,9 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_fx_dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).alias("score"),
     )
     w = Window.partitionBy("vec_id").orderBy(col("score").desc(), col("cell"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
+    # assign and probes both filter this frame — materialize the scoring
+    # window once instead of running it per consumer.
+    ranked = scored.withColumn("rn", F.row_number().over(w)).localCheckpoint()
     assign = ranked.filter(col("rn") == 1).select("vec_id", "cell")
     probes = (
         ranked.filter((col("vec_id") < _N_QUERIES) & (col("rn") <= _IVF_PROBES))

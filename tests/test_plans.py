@@ -1,0 +1,87 @@
+"""Physical-plan quality gates: the scale properties the engine claims
+(pushdown, broadcast dimensions, top-k without global sort, bounded
+exchange counts) asserted against explain() output so regressions fail CI,
+not the 100 TB run.
+
+Plans are inspected at sf0.001 with AQE off (static plans are
+deterministic; AQE only improves them at runtime).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def n_exchanges(p: str) -> int:
+    """Count physical Exchange operators once each (the formatted output
+    repeats every node in the tree and in the details section)."""
+    return len(re.findall(r"\(\d+\) Exchange", p))
+
+
+@pytest.fixture(scope="module")
+def plan(spark):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def get(name: str) -> str:
+        from blockchain_etl_spark.plans.registry import get_queries
+
+        df = get_queries()[name](spark, SF)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    yield get
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_pricing_summary_is_two_exchange_scan_agg(plan):
+    p = plan("pricing_summary")
+    # partial agg map-side, one shuffle, final agg — plus AQE-less scan
+    assert n_exchanges(p) == 1, p
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p or "LessThanOrEqual(l_shipdate" in p, p
+
+
+def test_top_k_uses_take_ordered_not_global_sort(plan):
+    # W3/W6 top-k: per-partition top-k merged on the driver — a global
+    # Sort operator would be the 100 TB anti-pattern.
+    for name in ("event_queue_drain", "top_revenue_orders", "nearest_suppliers_geo"):
+        p = plan(name)
+        assert "TakeOrderedAndProject" in p, (name, p)
+
+
+def test_dimension_joins_broadcast(plan):
+    # J2 nation/region joins must broadcast the dimension side, never
+    # shuffle the fact side for it.
+    p = plan("region_rollup")
+    assert "BroadcastHashJoin" in p, p
+    p = plan("region_customer_rollup")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_asof_price_join_broadcasts_price_series(plan):
+    # J7: the as-of join must broadcast the (small) price series; the fact
+    # side must not shuffle for the join itself.
+    p = plan("events_asof_price")
+    assert "BroadcastExchange" in p, p
+
+
+def test_first_event_per_user_is_hash_agg_not_window(plan):
+    # W4 via min(struct) — a window implementation would show Sort + Window.
+    p = plan("first_event_per_user")
+    assert "Window" not in p, p
+    assert n_exchanges(p) == 1, p
+
+
+def test_exact_dedup_single_shuffle(plan):
+    p = plan("dedup_exact")
+    assert n_exchanges(p) == 1, p
+
+
+def test_stratified_sample_no_shuffle(plan):
+    # map-side filter only: no exchange anywhere in the plan.
+    p = plan("doc_sample_stratified")
+    assert n_exchanges(p) == 0, p
