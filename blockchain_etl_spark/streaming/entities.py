@@ -119,6 +119,34 @@ def oui_history(txns: DataFrame) -> DataFrame:
     ).filter(col("oui").isNotNull())
 
 
+def account_inventory_from_actors(actors: DataFrame) -> DataFrame:
+    """Account inventory derived from the actor index: per account-role'd
+    actor, first/last activity block, transaction count, and the sorted
+    role set — the analytical core of account_inventory
+    (migrations/1591133143-account_inventory.sql:38-69) with the
+    first_block repair semantics of migrations/1650412999 (J10: first
+    activity = min block over its actor rows).
+
+    Balances live in the node ledger the reference reads via J8 lookups;
+    without a ledger they arrive through the changed-keys side input (T5),
+    so this fold carries the activity bookkeeping only. One hash aggregate,
+    one shuffle on the account key.
+    """
+    account_roles = ("payer", "payee", "owner", "oracle", "sc_opener", "router")
+    return (
+        actors.filter(col("actor_role").isin(*account_roles))
+        .groupBy(col("actor").alias("address"))
+        .agg(
+            F.min("block").alias("first_block"),
+            F.max("block").alias("last_block"),
+            F.countDistinct("transaction_hash").alias("n_txns"),
+            F.array_join(
+                F.array_sort(F.collect_set("actor_role")), ","
+            ).alias("roles"),
+        )
+    )
+
+
 def fold_inventory(
     history: DataFrame,
     keys: list[str],

@@ -159,3 +159,31 @@ def test_streaming_incremental_inventory_matches_batch(spark, txn_df, tmp_path):
             }
 
         assert norm(got_df) == norm(want_df), name
+
+
+def test_account_inventory_from_actors(spark, txn_df, txn_rows):
+    from blockchain_etl_spark.operators.actors import extract_actors
+    from blockchain_etl_spark.streaming.entities import account_inventory_from_actors
+    from tests.fixtures_blockchain import py_to_actors
+
+    roles = {"payer", "payee", "owner", "oracle", "sc_opener", "router"}
+    want = {}
+    for t in txn_rows:
+        f = json.loads(t["fields"])
+        for role, actor in set(py_to_actors(t["type"], f)):
+            if role not in roles:
+                continue
+            s = want.setdefault(actor, {"first": t["block"], "last": t["block"],
+                                        "txns": set(), "roles": set()})
+            s["first"] = min(s["first"], t["block"])
+            s["last"] = max(s["last"], t["block"])
+            s["txns"].add(t["hash"])
+            s["roles"].add(role)
+    inv = account_inventory_from_actors(extract_actors(txn_df))
+    got = {r.address: r for r in inv.collect()}
+    assert set(got) == set(want)
+    for a, s in want.items():
+        r = got[a]
+        assert (r.first_block, r.last_block) == (s["first"], s["last"]), a
+        assert r.n_txns == len(s["txns"]), a
+        assert r.roles == ",".join(sorted(s["roles"])), a
