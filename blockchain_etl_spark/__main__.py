@@ -1,0 +1,145 @@
+"""CLI — the reference ships operational commands (scripts/extensions/
+backfill → be_cli_backfill; genesis load via be_cli_genesis); this module
+is their engine-side equivalent:
+
+    python -m blockchain_etl_spark ingest --input DIR --out DIR [--inventories]
+    python -m blockchain_etl_spark compact --out DIR [--table NAME]
+    python -m blockchain_etl_spark snapshot --out DIR --height H
+    python -m blockchain_etl_spark backfill {gateway_payer,missing_actors,burn_prices} --out DIR
+    python -m blockchain_etl_spark query NAME [--sf-dir DIR] [--write DIR]
+
+Backfills run over the ingested table directories and write their repaired
+output under <out>/_backfills/<name> (history tables are never mutated in
+place — the write-audit-publish discipline everywhere else applies here
+too).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    spark = get_spark("blockchain-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_ingest(args) -> int:
+    from .sources.blockchain import SCHEMAS
+    from .streaming.ingest import BlockIngest
+
+    ing = BlockIngest(args.out, maintain_inventories=args.inventories)
+    ing.run_stream(_spark(), args.input, SCHEMAS["transactions"])
+    print(f"synced to height {ing.sync_height()}")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .streaming.ingest import TABLES, BlockIngest
+
+    ing = BlockIngest(args.out)
+    spark = _spark()
+    for name in [args.table] if args.table else TABLES:
+        n = ing.compact(spark, name, blocks_per_bucket=args.blocks_per_bucket)
+        print(f"{name}: folded {n} blockrange dirs")
+    return 0
+
+
+def cmd_snapshot(args) -> int:
+    from .streaming.ingest import BlockIngest
+
+    path = BlockIngest(args.out).write_snapshot(_spark(), args.height)
+    print(path)
+    return 0
+
+
+def cmd_backfill(args) -> int:
+    import os
+
+    from .operators.actors import extract_actors
+    from .operators.backfills import (
+        backfill_burn_prices,
+        backfill_gateway_payer,
+        backfill_missing_actors,
+    )
+    from .streaming.ingest import BlockIngest
+
+    spark = _spark()
+    ing = BlockIngest(args.out)
+    txns = ing.read_table(spark, "transactions")
+    if args.job == "gateway_payer":
+        out = backfill_gateway_payer(
+            ing.read_inventory(spark, "gateways"), ing.read_table(spark, "transaction_actors"), txns
+        )
+    elif args.job == "missing_actors":
+        out = backfill_missing_actors(
+            ing.read_table(spark, "transaction_actors"), txns, extract_actors
+        )
+    else:
+        out = backfill_burn_prices(
+            ing.read_table(spark, "dc_burns"), ing.read_table(spark, "oracle_prices")
+        )
+    dest = os.path.join(args.out, "_backfills", args.job)
+    out.write.mode("overwrite").parquet(dest)
+    print(dest)
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .plans.registry import get_queries
+
+    queries = get_queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; available: {', '.join(sorted(queries))}", file=sys.stderr)
+        return 2
+    df = queries[args.name](_spark(), args.sf_dir)
+    if args.write:
+        df.write.mode("overwrite").parquet(args.write)
+        print(args.write)
+    else:
+        print(f"{args.name}: {df.count()} rows")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="blockchain_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("ingest", help="ordered stream ingest of txn parquet chunks")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--inventories", action="store_true")
+    s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("compact", help="fold blockrange dirs into height buckets")
+    s.add_argument("--out", required=True)
+    s.add_argument("--table")
+    s.add_argument("--blocks-per-bucket", type=int, default=100_000)
+    s.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser("snapshot", help="materialize tables as of a height")
+    s.add_argument("--out", required=True)
+    s.add_argument("--height", type=int, required=True)
+    s.set_defaults(fn=cmd_snapshot)
+
+    s = sub.add_parser("backfill", help="set-based repair jobs")
+    s.add_argument("job", choices=["gateway_payer", "missing_actors", "burn_prices"])
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_backfill)
+
+    s = sub.add_parser("query", help="run a registered query")
+    s.add_argument("name")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--write")
+    s.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,42 @@
+"""CLI smoke tests — each subcommand drives the real code paths on tiny
+fixture data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from blockchain_etl_spark.__main__ import main
+from blockchain_etl_spark.sources.blockchain import SCHEMAS
+from tests.fixtures_blockchain import gen_transactions
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    _, txns = gen_transactions()
+    df = spark.createDataFrame([Row(**t) for t in txns], schema=SCHEMAS["transactions"])
+    in_dir = str(tmp / "in")
+    os.makedirs(in_dir)
+    df.coalesce(1).write.parquet(os.path.join(in_dir, "chunk=0"))
+    out = str(tmp / "out")
+    assert main(["ingest", "--input", in_dir + "/chunk=*", "--out", out, "--inventories"]) == 0
+    return out
+
+
+def test_cli_ingest_compact_snapshot_backfill(ingested, capsys):
+    assert main(["compact", "--out", ingested, "--table", "transactions",
+                 "--blocks-per-bucket", "50"]) == 0
+    assert main(["snapshot", "--out", ingested, "--height", "60"]) == 0
+    assert main(["backfill", "gateway_payer", "--out", ingested]) == 0
+    out = capsys.readouterr().out
+    assert "_backfills/gateway_payer" in out
+    assert os.path.isdir(os.path.join(ingested, "_backfills", "gateway_payer"))
+
+
+def test_cli_query(capsys):
+    assert main(["query", "sync_resume_point"]) == 0
+    assert "sync_resume_point: 1 rows" in capsys.readouterr().out
+    assert main(["query", "no_such_query"]) == 2
