@@ -141,29 +141,56 @@ def animal_name(col: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
-# F3: H3 helpers — real H3 math needs the h3 library (not in this
-# container); gate behind import-try with a string-level fallback for the
-# operations the reference uses on *string* H3 indexes: to_string /
-# from_string are identity at the string level, and parent-at-res-8
-# truncation is provided by the library when present.
+# F3: H3 index helpers (src/be_db_follower.erl:164-166 to_string/
+# from_string; src/be_db_gateway.erl:233-237 parent at res 8). The
+# *hierarchy* operations the reference performs are pure bit manipulation
+# on the public H3 v3 cell-index layout (bit 63 reserved, bits 59-62 mode,
+# bits 52-55 resolution, bits 45-51 base cell, 15×3-bit digits below;
+# parent = lower resolution field + unused digits set to 7) — implemented
+# as JVM column expressions, no library and no Python. Verified against
+# the documented example chain 8928308280fffff → 872830828ffffff.
+# Geometry ops (cell_to_latlng) DO need the h3 library; HAS_H3 gates them.
 # --------------------------------------------------------------------------
 
-try:  # pragma: no cover - library not present in this container
-    import h3 as _h3  # type: ignore
+_H3_RES_SHIFT = 52
+_H3_RES_MASK = 0xF << _H3_RES_SHIFT
 
-    @pandas_udf(StringType())
-    def h3_parent_res8(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: None if x is None else _h3.cell_to_parent(x, 8))
+
+def h3_resolution(col: Column) -> Column:
+    """Resolution (0-15) of a hex-string H3 cell index."""
+    v = F.conv(col, 16, 10).cast("long")
+    return F.shiftright(v, _H3_RES_SHIFT).bitwiseAND(F.lit(15))
+
+
+def h3_parent(col: Column, res: int) -> Column:
+    """Parent cell at ``res`` as a lowercase hex string; NULL when the
+    input is already coarser than ``res``. Whole-stage-codegen bit math —
+    at 100 TB this is the difference between a scan-speed projection and a
+    Python round-trip."""
+    v = F.conv(col, 16, 10).cast("long")
+    cur = F.shiftright(v, _H3_RES_SHIFT).bitwiseAND(F.lit(15))
+    parent = (
+        v.bitwiseAND(F.lit(~_H3_RES_MASK))
+        .bitwiseOR(F.lit(res << _H3_RES_SHIFT))
+        .bitwiseOR(F.lit((1 << ((15 - res) * 3)) - 1))
+    )
+    return F.when(cur >= res, F.lower(F.hex(parent))).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def h3_parent_res8(col: Column) -> Column:
+    """The reference's location_hex derivation: res-8 parent
+    (src/be_db_gateway.erl:233-237; be_db_backfill location_hex)."""
+    return h3_parent(col, 8)
+
+
+try:  # pragma: no cover - geometry lib not present in this container
+    import h3 as _h3  # type: ignore # noqa: F401
 
     HAS_H3 = True
 except ImportError:
     HAS_H3 = False
-
-    def h3_parent_res8(col: Column) -> Column:  # type: ignore[misc]
-        """Fallback: without the h3 library the parent index cannot be
-        computed; surface the input's res-8 parent as NULL-safe passthrough
-        marker so pipelines keep a stable schema."""
-        return F.lit(None).cast("string")
 
 
 # --------------------------------------------------------------------------

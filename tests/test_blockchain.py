@@ -160,3 +160,39 @@ def test_account_inventory_equals_window_over_history(spark, duck):
     got = got.sort_values("address", ignore_index=True)
     want = want.sort_values("address", ignore_index=True)
     assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_h3_hierarchy_bit_math(spark):
+    """F3: parent/resolution on the public H3 v3 index layout, checked
+    against the documented example chain for 8928308280fffff (res 9)."""
+    from pyspark.sql.functions import col
+
+    from blockchain_etl_spark.functions.encoding import (
+        h3_parent,
+        h3_parent_res8,
+        h3_resolution,
+    )
+
+    df = spark.createDataFrame([("8928308280fffff",)], ["h"]).select(
+        h3_resolution(col("h")).alias("res"),
+        h3_parent_res8(col("h")).alias("p8"),
+        h3_parent(col("h"), 7).alias("p7"),
+        h3_parent(col("h"), 9).alias("p9"),
+    )
+    r = df.first()
+    assert r.res == 9
+    assert r.p7 == "872830828ffffff"  # documented res-7 parent
+    assert r.p8 == "8828308281fffff"
+    assert r.p9 == "8928308280fffff"  # parent at own res is identity
+
+    # coarser-than-target input → NULL; res-8 parent of a res-8 cell is itself
+    df2 = spark.createDataFrame([("872830828ffffff",)], ["h"]).select(
+        h3_parent_res8(col("h")).alias("p8"),
+        h3_resolution(col("h")).alias("res"),
+    )
+    r2 = df2.first()
+    assert r2.res == 7 and r2.p8 is None
+    df3 = spark.createDataFrame([("8828308281fffff",)], ["h"]).select(
+        h3_parent_res8(col("h")).alias("p8")
+    )
+    assert df3.first().p8 == "8828308281fffff"
