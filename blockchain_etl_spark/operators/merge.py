@@ -108,12 +108,15 @@ class ParquetMergeTarget:
     def _pointer(self) -> str:
         return os.path.join(self.path, "_current.json")
 
-    def current_version(self) -> int:
+    def _meta(self) -> dict:
         try:
             with open(self._pointer) as f:
-                return int(json.load(f)["version"])
+                return json.load(f)
         except (OSError, ValueError):
-            return 0
+            return {}
+
+    def current_version(self) -> int:
+        return int(self._meta().get("version", 0))
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         v = self.current_version()
@@ -130,18 +133,84 @@ class ParquetMergeTarget:
         coalesce_cols: Sequence[str] = (),
         first_col: str | None = None,
         last_col: str | None = None,
+        watermark: int | None = None,
     ) -> DataFrame:
-        target = self.read(spark)
-        merged = merge_latest(
-            target, updates, keys, order, coalesce_cols, first_col, last_col
+        return self.merge_with(
+            spark,
+            updates,
+            lambda target, upd: merge_latest(
+                target, upd, keys, order, coalesce_cols, first_col, last_col
+            ),
+            watermark=watermark,
         )
+
+    def merge_with(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        fold,
+        watermark: int | None = None,
+    ) -> DataFrame:
+        """Version-and-publish any target ⊕ updates fold (merge_latest,
+        merge_accumulate, ...): read current, fold, write v+1, flip pointer.
+
+        ``watermark``: monotone batch high-mark. A merge whose watermark is
+        <= the stored one is a REPLAY and is skipped — this is what makes
+        non-idempotent folds (additive aggregates) exactly-once under the
+        ingest's replay-on-crash model, the same role the reference's
+        single transaction per block plays for its running counters."""
+        target = self.read(spark)
+        if watermark is not None and watermark <= self._meta().get("watermark", -1):
+            return target
+        merged = fold(target, updates)
         next_v = self.current_version() + 1
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, f"v={next_v}")
         )
         os.makedirs(self.path, exist_ok=True)
         tmp = self._pointer + ".tmp"
+        meta = {"version": next_v}
+        if watermark is not None:
+            meta["watermark"] = watermark
         with open(tmp, "w") as f:
-            json.dump({"version": next_v}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._pointer)  # publish: atomic pointer flip
         return self.read(spark)
+
+
+def merge_accumulate(
+    target: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    set_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental ASSOCIATIVE aggregate maintenance — the reference's
+    running stats counters (src/be_db_stats.erl:63-99, A4) generalized:
+    target holds the aggregate so far; updates are per-batch partials with
+    the SAME columns; the merged state is sum/min/max/set-union per key.
+
+    Only associative+commutative aggregates belong here (that's what makes
+    the incremental form equal the batch recompute at any chunking);
+    ``set_cols`` hold sorted ``,``-joined member strings and merge by
+    splitting, unioning, re-sorting — bounded sets only (roles, flags).
+    """
+    src = updates if target is None else target.unionByName(updates)
+    by_col = {c: F.sum(c).alias(c) for c in sum_cols}
+    by_col |= {c: F.min(c).alias(c) for c in min_cols}
+    by_col |= {c: F.max(c).alias(c) for c in max_cols}
+    by_col |= {
+        c: F.array_join(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.split(col(c), ","))))
+            ),
+            ",",
+        ).alias(c)
+        for c in set_cols
+    }
+    # emit columns in the updates' order so incremental state and the
+    # batch recompute are column-for-column identical
+    aggs = [by_col[c] for c in updates.columns if c in by_col]
+    return src.groupBy(*keys).agg(*aggs)

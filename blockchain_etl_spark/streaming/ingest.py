@@ -216,6 +216,25 @@ class BlockIngest:
                     os.path.join(self.out_dir, name, rng)
                 )
             if self.maintain_inventories:
+                # accounts: ASSOCIATIVE aggregate state (counts/min/max/
+                # role set) — merged additively, not latest-wins.
+                from ..operators.merge import merge_accumulate
+                from .entities import account_inventory_from_actors
+
+                self.inventory_target("accounts").merge_with(
+                    batch.sparkSession,
+                    account_inventory_from_actors(tables["transaction_actors"]),
+                    lambda target, upd: merge_accumulate(
+                        target,
+                        upd,
+                        keys=["address"],
+                        sum_cols=["n_txns"],
+                        min_cols=["first_block"],
+                        max_cols=["last_block"],
+                        set_cols=["roles"],
+                    ),
+                    watermark=int(bounds.hi),
+                )
                 for name, (keys, coalesce_cols) in INVENTORIES.items():
                     self.inventory_target(name).merge(
                         batch.sparkSession,
@@ -228,6 +247,7 @@ class BlockIngest:
                         coalesce_cols=coalesce_cols,
                         first_col="first_block",
                         last_col="last_block",
+                        watermark=int(bounds.hi),
                     )
             if bounds.hi > stored:
                 self._write_sync_height(bounds.hi)

@@ -187,3 +187,28 @@ def test_account_inventory_from_actors(spark, txn_df, txn_rows):
         assert (r.first_block, r.last_block) == (s["first"], s["last"]), a
         assert r.n_txns == len(s["txns"]), a
         assert r.roles == ",".join(sorted(s["roles"])), a
+
+
+def test_streaming_additive_account_inventory(spark, txn_df, tmp_path):
+    """Additive aggregate state (accounts) maintained per microbatch equals
+    the batch fold — and a replayed batch is skipped by the watermark guard
+    rather than double-counted."""
+    from blockchain_etl_spark.operators.actors import extract_actors
+    from blockchain_etl_spark.streaming.entities import account_inventory_from_actors
+    from blockchain_etl_spark.streaming.ingest import BlockIngest
+
+    ing = BlockIngest(str(tmp_path / "out"), maintain_inventories=True)
+    for lo, hi in ((1, 40), (41, 80), (81, 120)):
+        ing.process_batch(
+            txn_df.filter((F.col("block") >= lo) & (F.col("block") <= hi)), 0
+        )
+    # replay middle range: watermark 80 <= stored 120 → additive merge skipped
+    ing.process_batch(
+        txn_df.filter((F.col("block") >= 41) & (F.col("block") <= 80)), 1
+    )
+    got = {tuple(r) for r in ing.read_inventory(spark, "accounts").collect()}
+    want = {
+        tuple(r)
+        for r in account_inventory_from_actors(extract_actors(txn_df)).collect()
+    }
+    assert got == want
