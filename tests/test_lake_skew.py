@@ -63,3 +63,46 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(fact, dim, "k").select("k", "payload", "attr")
     assert plain.count() == salted.count() == 10_000
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_morton_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.sources.lake import morton_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"]).select(
+        morton_key([F.col("x"), F.col("y")], bits=3).alias("z")
+    )
+    # interleaved LSB-first (x0 y0 x1 y1 x2 y2): x=101, y=011 → 0b011011
+    assert df.first().z == 0b011011
+    # locality: key is monotone when both dims grow together
+    df2 = spark.createDataFrame([(i, i) for i in range(8)], ["x", "y"]).select(
+        "x", morton_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    )
+    zs = [r.z for r in df2.orderBy("x").collect()]
+    assert zs == sorted(zs)
+
+
+def test_write_zordered_clusters_row_groups(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from blockchain_etl_spark.sources.lake import write_zordered
+
+    df = spark.range(0, 4096).selectExpr(
+        "id % 64 AS a", "CAST(id / 64 AS LONG) AS b", "id AS payload"
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["a", "b"], num_files=8, bits=8)
+    # each output file must cover a narrow range of BOTH dims (locality):
+    import glob as g
+
+    spans_a, spans_b = [], []
+    for f in g.glob(out + "/part-*.parquet"):
+        t = pq.read_table(f)
+        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+        spans_a.append(max(a) - min(a))
+        spans_b.append(max(b) - min(b))
+    # random placement would give span ~63 on both; z-order keeps the
+    # average well below
+    assert sum(spans_a) / len(spans_a) < 40, spans_a
+    assert sum(spans_b) / len(spans_b) < 40, spans_b
