@@ -45,20 +45,29 @@ def main() -> None:
 
     region.select(_warm(F.col("r_regionkey").cast("long"))).count()
 
+    # Per-query time = MIN over REPS full re-executions (build + count,
+    # cache cleared between reps): the criterion-style minimum removes
+    # GC/JIT scheduling noise that dominates sub-second queries without
+    # hiding any real work — every rep runs the whole plan.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
+        best, n = None, 0
         try:
-            df = fn(spark, SF_DIR)
-            n = df.count()
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()  # no cross-query cache interference
         except Exception as exc:  # one bad query must not lose the run
             failed.append(name)
+            spark.catalog.clearCache()
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
             continue
-        finally:
-            spark.catalog.clearCache()  # no cross-query cache interference
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -306,3 +306,95 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Train/test contamination: word-5-gram containment of held-out documents
+# in the training split — the decontamination primitive every LLM data
+# pipeline runs before eval. Containment (not Jaccard): |test ∩ train| /
+# |test shingles|, so a short eval doc fully quoted inside a big training
+# doc still scores 1.0.
+# --------------------------------------------------------------------------
+_TEST_SOURCES = ("src0", "src1")
+
+
+@register(
+    "doc_contamination",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source, shingle FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 4
+                        THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4] END),
+                 s -> s IS NOT NULL)) AS shingle
+        FROM toks) t),
+    train AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE source NOT IN ('src0', 'src1')),
+    test AS (SELECT doc_id, shingle FROM sh WHERE source IN ('src0', 'src1'))
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(tr.shingle) AS n_contaminated,
+           CAST(COUNT(tr.shingle) AS DOUBLE) / COUNT(*) AS containment
+    FROM test t
+    LEFT JOIN train tr ON tr.shingle = t.shingle
+    GROUP BY t.doc_id
+    """,
+    survey_ops=(),
+    doc="Eval-set decontamination: distinct word-5-gram shingles per "
+    "held-out doc, left-joined against the distinct training shingle set; "
+    "containment = hit fraction. One shuffle on the shingle (the train set "
+    "is shingle-distinct so the join fans out at most 1:1); at 100 TB the "
+    "train side is the big one and both sides hash-partition on the "
+    "shingle — no broadcast, no all-pairs.",
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        """
+            filter(
+              transform(toks, (w, i) ->
+                IF(i <= size(toks) - 5,
+                   concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]),
+                   NULL)),
+              s -> s IS NOT NULL)
+            """
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    train = (
+        sh.filter(~col("source").isin(*_TEST_SOURCES))
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    test = sh.filter(col("source").isin(*_TEST_SOURCES)).select("doc_id", "shingle")
+    return (
+        test.join(train, ["shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+            (F.count("__hit").cast("double") / F.count(F.lit(1))).alias("containment"),
+        )
+    )
