@@ -119,6 +119,35 @@ def oui_history(txns: DataFrame) -> DataFrame:
     ).filter(col("oui").isNotNull())
 
 
+def vars_history(txns: DataFrame) -> DataFrame:
+    """vars_v1 → one row per changed chain variable (block, hash, name,
+    value) — the append-side of vars_inventory
+    (migrations/1592306954-vars_inventory.sql; src/be_db_vars.erl:84-130).
+    The vars payload is a dynamic name→value object, exploded via a
+    map<string,string> parse; typed encoding (P11) is applied downstream by
+    operators/projections.encode_vars."""
+    var_map = F.from_json(
+        _J(col("fields"), "$.vars"), "map<string,string>"
+    )
+    return (
+        txns.filter(col("type") == "vars_v1")
+        .select("block", "hash", F.explode(var_map).alias("name", "value"))
+    )
+
+
+def vars_inventory(txns: DataFrame) -> DataFrame:
+    """Current chain-variable state: latest value per name with first/last
+    block bookkeeping (the key-value inventory pattern, SURVEY §1.1)."""
+    return merge_latest(
+        None,
+        vars_history(txns),
+        keys=["name"],
+        order=["block", "hash"],
+        first_col="first_block",
+        last_col="last_block",
+    )
+
+
 def account_inventory_from_actors(actors: DataFrame) -> DataFrame:
     """Account inventory derived from the actor index: per account-role'd
     actor, first/last activity block, transaction count, and the sorted

@@ -212,3 +212,22 @@ def test_streaming_additive_account_inventory(spark, txn_df, tmp_path):
         for r in account_inventory_from_actors(extract_actors(txn_df)).collect()
     }
     assert got == want
+
+
+def test_vars_inventory(spark, txn_df, txn_rows):
+    from blockchain_etl_spark.streaming.entities import vars_inventory
+
+    got = {r.name: (r.value, r.first_block, r.last_block)
+           for r in vars_inventory(txn_df).collect()}
+    want = {}
+    for t in txn_rows:  # txn_rows sorted by (block, hash) — fold order
+        if t["type"] != "vars_v1":
+            continue
+        f = json.loads(t["fields"])
+        for name, value in f["vars"].items():
+            s = want.setdefault(name, {"first": t["block"]})
+            s["value"] = str(value)
+            s["last"] = t["block"]
+    assert set(got) == set(want)
+    for n, s in want.items():
+        assert got[n] == (s["value"], s["first"], s["last"]), (n, got[n], s)
