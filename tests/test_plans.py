@@ -85,3 +85,17 @@ def test_stratified_sample_no_shuffle(plan):
     # map-side filter only: no exchange anywhere in the plan.
     p = plan("doc_sample_stratified")
     assert n_exchanges(p) == 0, p
+
+
+def test_asof_join_is_broadcast_not_sort_merge(plan):
+    # J7: the as-of join must broadcast the (small, pre-windowed) price
+    # interval side; a SortMergeJoin would shuffle AND sort the fact side.
+    # (The interval-building window shuffles only the tiny price series.)
+    p = plan("events_asof_price")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_inverted_index_single_shuffle(plan):
+    p = plan("doc_inverted_index")
+    assert n_exchanges(p) == 1, p
