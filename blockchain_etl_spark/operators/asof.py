@@ -50,8 +50,8 @@ def asof_join_dense(
     right: DataFrame,
     left_on: str,
     right_on: str,
-    end: "F.Column | None" = None,
     how: str = "left",
+    fill_tail: bool = True,
 ) -> DataFrame:
     """As-of join for a *discrete* ordered key (DateType here): densify the
     right series into one row per key value between each observation and
@@ -63,18 +63,38 @@ def asof_join_dense(
     side gets a BroadcastHashJoin probe instead of a nested-loop scan:
     each fact row costs O(1) instead of O(|right|).
 
-    ``end``: last key value to fill forward to (e.g. ``lit(max(left_on))``);
-    defaults to the last observation (no forward fill past it).
+    ``fill_tail``: left rows PAST the last observation take the last
+    observation's values (the reference's last-observation-carried-forward
+    contract). Implemented lazily from the right series alone — a 1-row
+    max(struct) reduction broadcast as a fallback — so building the plan
+    never runs a job and never scans the fact side (the previous design
+    took an ``end`` bound the callers computed with an eager ``.first()``
+    over the fact table: a whole extra scan before the job even started).
     """
     w = Window.orderBy(right_on)
-    fill_to = F.date_sub(F.lead(right_on).over(w), 1)
-    if end is not None:
-        fill_to = F.coalesce(fill_to, end.cast("date"))
-    else:
-        fill_to = F.coalesce(fill_to, F.col(right_on))
+    fill_to = F.coalesce(F.date_sub(F.lead(right_on).over(w), 1), F.col(right_on))
     dense = (
         right.withColumn("__end", F.greatest(fill_to, F.col(right_on)))
         .withColumn(left_on, F.explode(F.sequence(F.col(right_on), F.col("__end"))))
         .drop("__end", right_on)
     )
-    return left.join(broadcast(dense), [left_on], how)
+    joined = left.join(broadcast(dense), [left_on], how)
+    if not fill_tail:
+        return joined
+    value_cols = [c for c in right.columns if c != right_on]
+    # 1-row "last observation" reduction: max(struct(key, values)) orders by
+    # the key (unique by contract), so the values ride along.
+    last = right.agg(F.max(F.struct(right_on, *value_cols)).alias("__l")).select(
+        F.col(f"__l.{right_on}").alias("__last_key"),
+        *[F.col(f"__l.{c}").alias(f"__last_{c}") for c in value_cols],
+    )
+    joined = joined.crossJoin(broadcast(last))
+    for c in value_cols:
+        joined = joined.withColumn(
+            c,
+            F.coalesce(
+                F.col(c),
+                F.when(F.col(left_on) >= F.col("__last_key"), F.col(f"__last_{c}")),
+            ),
+        )
+    return joined.drop("__last_key", *[f"__last_{c}" for c in value_cols])

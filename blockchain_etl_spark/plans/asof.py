@@ -67,10 +67,7 @@ def events_asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", col("ts").cast("date").alias("e_date")
     )
     prices = _price_series(spark, sf_dir)
-    max_date = events.agg(F.max(col("ts").cast("date"))).first()[0]
-    joined = asof_join_dense(
-        clicks, prices, left_on="e_date", right_on="price_date", end=F.lit(max_date)
-    )
+    joined = asof_join_dense(clicks, prices, left_on="e_date", right_on="price_date")
     return joined.select("event_id", "ts", col("price").alias("asof_price"))
 
 
@@ -106,10 +103,7 @@ def event_burn_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", "ts", col("ts").cast("date").alias("e_date")
     )
     prices = _price_series(spark, sf_dir)
-    max_date = events.agg(F.max(col("ts").cast("date"))).first()[0]
-    joined = asof_join_dense(
-        burns, prices, left_on="e_date", right_on="price_date", end=F.lit(max_date)
-    )
+    joined = asof_join_dense(burns, prices, left_on="e_date", right_on="price_date")
     return (
         joined.filter(col("price").isNotNull())
         .withColumn("burn_month", F.date_trunc("month", col("ts")))

@@ -74,22 +74,28 @@ def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("A2",),
     doc="Pivot event_type into per-user count columns with an EXPLICIT "
     "pivot value list — schema is static, the plan is one hash aggregate "
-    "with conditional counts, and no extra pass infers distinct values "
-    "(which at 100 TB is a full scan before the real query even starts).",
+    "with conditional counts (exactly what pivot() compiles to, minus the "
+    "distinct-value inference scan, which at 100 TB is a full pass before "
+    "the real query even starts). n_total is a true COUNT(*) computed in "
+    "the SAME aggregate — same shuffle — so rows whose event_type falls "
+    "outside the pivot list still count toward the total instead of "
+    "silently diverging from the oracle.",
 )
 def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    pivoted = (
-        events.groupBy("user_id")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    out = pivoted.select(
-        "user_id",
-        *[F.coalesce(col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
-    )
-    return out.withColumn(
-        "n_total", sum(col(f"n_{t}") for t in _EVENT_TYPES[1:]) + col(f"n_{_EVENT_TYPES[0]}")
+    return pivot_event_counts(events)
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """One hash aggregate: per-type conditional counts + an unconditional
+    COUNT(*). Types outside ``_EVENT_TYPES`` contribute to n_total only
+    (matching the oracle's COUNT(*)) — they never vanish."""
+    return events.groupBy("user_id").agg(
+        *[
+            F.count(F.when(col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        F.count(F.lit(1)).alias("n_total"),
     )
 
 

@@ -102,20 +102,40 @@ def validator_history(txns: DataFrame) -> DataFrame:
 
 def oui_history(txns: DataFrame) -> DataFrame:
     """oui_v1 / routing_v1 → oui history rows with router address arrays
-    (migrations/1612480010-ouis.sql; P7/A12 explode-aggregate shape)."""
+    (migrations/1612480010-ouis.sql; P7/A12 explode-aggregate shape).
+
+    Key semantics: oui_v1 carries the *requested* index while routing_v1
+    carries the *assigned* OUI, so creation rows map the txn field through
+    ``V =< 1 -> 1; V -> V + 1`` (be_db_oui.erl:76-80) — a creation row and
+    its later routing rows then merge under the same inventory key.
+
+    Partial-update contract: a routing action with no router addresses
+    (new_xor / update_xor / request_subnet) leaves ``addresses`` NULL so
+    the MERGE's COALESCE keeps the stored value — the reference re-reads
+    the full ledger routing entry, for which those actions mean
+    "routers unchanged". Coercing to an empty array here would overwrite
+    state. Same for nonce, except at creation where missing means 0.
+    """
     f = col("fields")
     oui_txns = txns.filter(col("type").isin("oui_v1", "routing_v1"))
+    is_create = col("type") == "oui_v1"
+    raw_oui = _J(f, "$.oui").cast("long")
+    oui_key = (
+        F.when(is_create & (raw_oui <= 1), F.lit(1))
+        .when(is_create, raw_oui + 1)
+        .otherwise(raw_oui)
+    )
     addrs = F.when(
-        col("type") == "oui_v1",
-        F.from_json(_J(f, "$.addresses"), "array<string>"),
+        is_create, F.from_json(_J(f, "$.addresses"), "array<string>")
     ).otherwise(F.from_json(_J(f, "$.action.addresses"), "array<string>"))
+    nonce = _J(f, "$.nonce").cast("long")
     return oui_txns.select(
         "block",
         "hash",
-        _J(f, "$.oui").cast("long").alias("oui"),
+        oui_key.alias("oui"),
         _J(f, "$.owner").alias("owner"),
-        F.coalesce(addrs, F.array().cast("array<string>")).alias("addresses"),
-        F.coalesce(_J(f, "$.nonce").cast("long"), F.lit(0)).alias("nonce"),
+        addrs.alias("addresses"),
+        F.when(is_create, F.coalesce(nonce, F.lit(0))).otherwise(nonce).alias("nonce"),
     ).filter(col("oui").isNotNull())
 
 

@@ -179,7 +179,10 @@ class BlockIngest:
         try:
             with open(self._sync_path) as f:
                 return int(json.load(f)["height"])
-        except (OSError, ValueError):
+        except (OSError, ValueError, KeyError, TypeError):
+            # any corrupt/partial/hand-edited state (missing file, bad
+            # JSON, missing "height" key, non-numeric value) means
+            # "start from genesis" — the writes are idempotent anyway
             return 0
 
     def _write_sync_height(self, height: int) -> None:
@@ -292,6 +295,18 @@ class BlockIngest:
         return df
 
     # -- compaction (the 100 TB small-file answer) ----------------------
+    @staticmethod
+    def _bucket_manifest(bucket_dir: str) -> list[str]:
+        """Range names already folded into this bucket. Lives INSIDE the
+        bucket dir (underscore-prefixed → invisible to Spark's parquet
+        reader, like _SUCCESS) so the atomic dir rename that publishes the
+        bucket's rows publishes its fold-ledger in the same instant."""
+        try:
+            with open(os.path.join(bucket_dir, "_folded_ranges.json")) as f:
+                return list(json.load(f))
+        except (OSError, ValueError, TypeError):
+            return []
+
     def compact(
         self, spark: SparkSession, name: str, blocks_per_bucket: int = 100_000
     ) -> int:
@@ -301,11 +316,20 @@ class BlockIngest:
 
         Rewrites ONLY the height buckets the new ranges touch — per-bucket
         work stays proportional to fresh data, not table size, so the job
-        holds at 100 TB where a full-table rewrite would not. Each bucket
-        swap is write-to-tmp + rename; a crash mid-compaction leaves every
-        bucket either old or fully rewritten, and the blockrange dirs are
-        removed only after all swaps succeed (replaying the compaction is
-        then a no-op because the ranges are gone).
+        holds at 100 TB where a full-table rewrite would not.
+
+        Crash-safety / replay idempotency: each bucket carries a manifest
+        (``_folded_ranges.json``) naming every blockrange ever folded into
+        it, published atomically WITH the bucket's rows (single dir
+        rename). A rerun folds only (bucket, range) pairs the manifest
+        does not record, so a crash at ANY point — after some swaps,
+        before range deletion — replays to the exact same state, never a
+        double fold. A blockrange dir is deleted only once every bucket it
+        touches records it. Swaps go old→``.old`` / tmp→live / drop
+        ``.old``; interrupted swaps are healed on entry. Single-writer per
+        table assumed (as in the reference's one-follower design); a read
+        concurrent with the swap window may see a folded range twice —
+        bounded staleness, same as reading mid-backfill in the reference.
         """
         import glob as _glob
         import shutil
@@ -313,45 +337,93 @@ class BlockIngest:
         from ..sources.lake import height_bucket
 
         base = os.path.join(self.out_dir, name)
+        comp_dir = os.path.join(base, "compacted")
+
+        # heal interrupted swaps: a missing live dir with a .old sibling
+        # means the crash hit between the two renames — roll back; stray
+        # .old/.tmp next to a live dir are finished or doomed work — drop.
+        for p in _glob.glob(os.path.join(comp_dir, "height_bucket=*.old")):
+            live = p[: -len(".old")]
+            if os.path.isdir(live):
+                shutil.rmtree(p)
+            else:
+                os.replace(p, live)
+        for p in _glob.glob(os.path.join(comp_dir, "height_bucket=*.tmp")):
+            shutil.rmtree(p)
+
         ranges = sorted(_glob.glob(os.path.join(base, "blockrange=*")))
         if not ranges:
             return 0
         fresh = (
             spark.read.option("basePath", base)
             .parquet(*ranges)
-            .drop("blockrange")
             .withColumn("height_bucket", height_bucket(col("block"), blocks_per_bucket))
         )
-        comp_dir = os.path.join(base, "compacted")
-        buckets = [r.height_bucket for r in fresh.select("height_bucket").distinct().collect()]
-        for b in sorted(buckets):
-            bucket_df = fresh.filter(col("height_bucket") == b).drop("height_bucket")
+        # bucket → the range names that contribute rows to it (dim-sized:
+        # one row per (bucket, pending range) pair)
+        pairs = fresh.select("height_bucket", "blockrange").distinct().collect()
+        by_bucket: dict[int, set[str]] = {}
+        for r in pairs:
+            by_bucket.setdefault(r.height_bucket, set()).add(f"blockrange={r.blockrange}")
+
+        for b in sorted(by_bucket):
             bucket_dir = os.path.join(comp_dir, f"height_bucket={b}")
+            folded = set(self._bucket_manifest(bucket_dir))
+            new_names = sorted(by_bucket[b] - folded)
+            if not new_names:
+                continue  # this bucket already absorbed these ranges
+            bucket_df = fresh.filter(
+                (col("height_bucket") == b)
+                & col("blockrange").isin([n.split("=", 1)[1] for n in new_names])
+            ).drop("height_bucket", "blockrange")
             if os.path.isdir(bucket_dir):
                 bucket_df = bucket_df.unionByName(spark.read.parquet(bucket_dir))
             tmp = bucket_dir + ".tmp"
             bucket_df.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, "_folded_ranges.json"), "w") as f:
+                json.dump(sorted(folded | set(new_names)), f)
             if os.path.isdir(bucket_dir):
-                shutil.rmtree(bucket_dir)
+                os.replace(bucket_dir, bucket_dir + ".old")
             os.replace(tmp, bucket_dir)
+            if os.path.isdir(bucket_dir + ".old"):
+                shutil.rmtree(bucket_dir + ".old")
+
+        # a range may go only when every bucket it feeds records it
+        folded_count = 0
         for r in ranges:
-            shutil.rmtree(r)
-        return len(ranges)
+            rname = os.path.basename(r)
+            touched = [b for b, names in by_bucket.items() if rname in names]
+            if all(
+                rname
+                in self._bucket_manifest(os.path.join(comp_dir, f"height_bucket={b}"))
+                for b in touched
+            ):
+                shutil.rmtree(r)
+                folded_count += 1
+        return folded_count
 
     # -- snapshot sink (S4, src/be_db_block.erl:118-157) ---------------
     def write_snapshot(self, spark: SparkSession, height: int) -> str:
         """Materialize every derived table as of the snapshot and write a
         `latest-snap.json` manifest pointing at it — the reference's
         compressed chain snapshot + manifest pair."""
+        from pyspark.errors import AnalysisException
+
         snap_dir = os.path.join(self.out_dir, "snapshots", f"height={height}")
-        written = []
+        written, skipped = [], []
         for name in TABLES:
             try:
                 df = self.read_table(spark, name).filter(col("block") <= height)
-            except Exception:
+            except (FileNotFoundError, AnalysisException):
+                # table never materialized in this deployment — a valid
+                # partial layout. Anything else (corrupt files, IO errors
+                # mid-write) must surface, not silently thin the snapshot.
+                skipped.append(name)
                 continue
             df.write.mode("overwrite").parquet(os.path.join(snap_dir, name))
             written.append(name)
+        if skipped:
+            print(f"write_snapshot: skipped absent tables: {', '.join(skipped)}")
         manifest = os.path.join(self.out_dir, "snapshots", "latest-snap.json")
         os.makedirs(os.path.dirname(manifest), exist_ok=True)
         tmp = manifest + ".tmp"

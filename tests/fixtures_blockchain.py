@@ -170,10 +170,25 @@ def gen_transactions(seed: int = 42):
             elif ttype == "vars_v1":
                 fields = {"vars": {"poc_version": rng.randrange(1, 12)}, "nonce": rng.randrange(100)}
             elif ttype == "routing_v1":
+                # routing actions: only update_routers carries addresses —
+                # new_xor/update_xor/request_subnet leave routers unchanged
+                # (be_db_oui.erl folds the full ledger entry per block).
+                action = rng.choice(
+                    ["update_routers", "update_routers", "new_xor", "update_xor", "request_subnet"]
+                )
+                if action == "update_routers":
+                    act = {
+                        "action": action,
+                        "addresses": [acct() for _ in range(rng.randrange(1, 3))],
+                    }
+                elif action == "request_subnet":
+                    act = {"action": action, "requested_subnet_size": 8}
+                else:
+                    act = {"action": action, "filter": f"xf{rng.randrange(100):02d}"}
                 fields = {
                     "owner": acct(),
                     "oui": rng.randrange(1, 20),
-                    "action": {"addresses": [acct() for _ in range(rng.randrange(1, 3))]},
+                    "action": act,
                     "fee": rng.randrange(0, 40000),
                     "nonce": rng.randrange(100),
                 }

@@ -109,16 +109,22 @@ def test_oui_inventory(spark, txn_df, txn_rows):
     for t in txn_rows:
         f = json.loads(t["fields"])
         if t["type"] == "oui_v1":
-            state[f["oui"]] = {"owner": f["owner"], "addresses": f["addresses"]}
+            # requested index → assigned OUI (be_db_oui.erl:76-80)
+            key = 1 if f["oui"] <= 1 else f["oui"] + 1
+            state[key] = {"owner": f["owner"], "addresses": f["addresses"]}
         elif t["type"] == "routing_v1":
             s = state.setdefault(f["oui"], {"owner": None, "addresses": None})
             s["owner"] = f["owner"]
-            s["addresses"] = f["action"]["addresses"]
+            # only update_routers carries addresses; other actions leave
+            # the stored router list untouched
+            if f["action"].get("addresses") is not None:
+                s["addresses"] = f["action"]["addresses"]
     got = {r.oui: r for r in inv.collect()}
     assert set(got) == set(state)
     for oui, s in state.items():
-        assert got[oui].owner == s["owner"]
-        assert list(got[oui].addresses) == s["addresses"]
+        assert got[oui].owner == s["owner"], oui
+        have = got[oui].addresses
+        assert (list(have) if have is not None else None) == s["addresses"], oui
 
 
 def test_streaming_incremental_inventory_matches_batch(spark, txn_df, tmp_path):
