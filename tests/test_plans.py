@@ -99,3 +99,52 @@ def test_asof_join_is_broadcast_not_sort_merge(plan):
 def test_inverted_index_single_shuffle(plan):
     p = plan("doc_inverted_index")
     assert n_exchanges(p) == 1, p
+
+
+def _hash_partition_keys(p: str) -> list[str]:
+    """Key lists of every shuffle exchange in a formatted plan."""
+    return re.findall(r"hashpartitioning\(([^)]*)\)", p)
+
+
+def test_dedup_scale_paths_shuffle_on_band_keys_only(plan):
+    # The LSH scale paths must bucket-join: every shuffle is on band/pair
+    # keys, never on a raw shingle/token/embedding — and no all-pairs
+    # fallback join shape anywhere.
+    for name, banned in (
+        ("dedup_minhash_lsh", ("shingle", "tok", "mh")),
+        ("dedup_simhash", ("shingle", "tok", "v#")),
+        ("embedding_cosine_neardup", ("embedding", "e_a", "e_b")),
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, (name, p)
+        assert "BroadcastNestedLoopJoin" not in p, (name, p)
+        for k in _hash_partition_keys(p):
+            for b in banned:
+                assert b not in k, (name, k, p)
+        # the candidate join keys on the band bucket — as a broadcast hash
+        # join (small side at test scale) or a shuffle on the band keys at
+        # cluster scale; never on raw content.
+        banded_join = re.search(r"keys \[2\]: \[band_id#\d+L?, band_val", p)
+        banded_shuffle = any(
+            "band_id" in k and "band_val" in k for k in _hash_partition_keys(p)
+        )
+        assert banded_join or banded_shuffle, (name, p)
+
+
+def test_asof_plan_builds_without_running_a_job(spark, monkeypatch):
+    # J7: building the as-of plans must be fully lazy — the old design ran
+    # an eager max-scan of events at plan-build time to bound the forward
+    # fill. Any driver-side action here is a full extra pass at 100 TB.
+    from pyspark.sql import DataFrame
+
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    def boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("eager action during plan construction")
+
+    for m in ("first", "collect", "head", "take", "count", "toPandas"):
+        monkeypatch.setattr(DataFrame, m, boom)
+    qs = get_queries()
+    for name in ("events_asof_price", "event_burn_valuation"):
+        df = qs[name](spark, SF)
+        assert df.columns  # plan built, nothing executed
