@@ -97,11 +97,23 @@ def subnet_to_base_mask(col: Column) -> Column:
 
 # --------------------------------------------------------------------------
 # F4: animal-name hash — reference erl_angry_purple_tiger
-# (src/be_db_gateway.erl:210): deterministic three-word name from an
-# address digest. Deterministic reimplementation over the md5 digest with
-# compact public word lists (adjective-color-animal, the same shape the
-# reference produces); NOT byte-compatible with angry_purple_tiger's
-# wordlists, but stable and collision-distributed the same way.
+# (src/be_db_gateway.erl:210, be_db_validator.erl:107): deterministic
+# three-word "adjective-color-animal" name from the b58 address.
+#
+# Faithful ALGORITHM (the humanhash scheme angry_purple_tiger uses):
+#   1. digest = md5(address)                          (16 bytes)
+#   2. XOR-compress the digest into 3 bytes: segments [0:5) [5:10) [10:16)
+#   3. word[i] = wordlist_i[ byte_i mod len(wordlist_i) ]
+#   4. join with '-'
+# implemented entirely as JVM column expressions (hex-pair conv + bitwise
+# XOR — whole-stage codegen, no Python on the path).
+#
+# The upstream WORDLISTS are data this container doesn't ship; point
+# APT_WORDLIST_DIR at a directory with adjectives.txt/colors.txt/
+# animals.txt (one word per line, upstream order) for byte-compatible
+# names. The built-in fallback lists keep the operator deterministic and
+# identically distributed, but NOT name-compatible — an acknowledged
+# fidelity gap, not a silent one.
 # --------------------------------------------------------------------------
 
 _ADJECTIVES = (
@@ -123,21 +135,70 @@ _ANIMALS = (
     "ibis", "koala", "lemur", "lion", "llama", "lynx", "mole", "tiger",
 )
 
+# digest byte ranges XOR-folded per output word (humanhash compress of 16
+# bytes into 3: floor(16/3)=5 per segment, remainder to the last)
+_APT_SEGMENTS = ((0, 5), (5, 10), (10, 16))
+
+
+def load_wordlists() -> tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]:
+    """(adjectives, colors, animals) — upstream lists from APT_WORDLIST_DIR
+    when provided, else the built-in fallback."""
+    import os
+
+    d = os.environ.get("APT_WORDLIST_DIR")
+    if d:
+        lists = []
+        for fname in ("adjectives.txt", "colors.txt", "animals.txt"):
+            with open(os.path.join(d, fname)) as f:
+                words = tuple(w.strip() for w in f if w.strip())
+            if not words:
+                raise ValueError(f"empty wordlist: {fname}")
+            lists.append(words)
+        return tuple(lists)  # type: ignore[return-value]
+    return _ADJECTIVES, _COLORS, _ANIMALS
+
+
+def _digest_byte(h: Column, i: int) -> Column:
+    """i-th byte of a hex md5 digest string as a long column."""
+    return F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("long")
+
 
 def animal_name(col: Column) -> Column:
-    """address string → 'adjective-color-animal' (deterministic, md5-based).
-
-    Column-expression implementation (no UDF): three 5-bit slices of the
-    md5 digest index the word lists.
-    """
+    """address string → 'adjective-color-animal' (md5 → XOR-compress →
+    modulo wordlist index; the angry_purple_tiger pipeline)."""
     h = F.md5(col)
-    def _pick(words: tuple[str, ...], offset: int) -> Column:
-        idx = F.conv(F.substring(h, offset, 4), 16, 10).cast("long") % len(words)
-        return F.element_at(F.array(*[F.lit(w) for w in words]), (idx + 1).cast("int"))
+    adjectives, colors, animals = load_wordlists()
+
+    def _pick(words: tuple[str, ...], seg: tuple[int, int]) -> Column:
+        lo, hi = seg
+        folded = _digest_byte(h, lo)
+        for i in range(lo + 1, hi):
+            folded = folded.bitwiseXOR(_digest_byte(h, i))
+        idx = folded % len(words)
+        return F.element_at(
+            F.array(*[F.lit(w) for w in words]), (idx + 1).cast("int")
+        )
 
     return F.concat_ws(
-        "-", _pick(_ADJECTIVES, 1), _pick(_COLORS, 9), _pick(_ANIMALS, 17)
+        "-",
+        _pick(adjectives, _APT_SEGMENTS[0]),
+        _pick(colors, _APT_SEGMENTS[1]),
+        _pick(animals, _APT_SEGMENTS[2]),
     )
+
+
+def py_animal_name(address: str) -> str:
+    """Pure-Python twin of :func:`animal_name` — the independent oracle for
+    cross-implementation tests (two implementations, one spec)."""
+    import functools
+    import hashlib
+
+    digest = hashlib.md5(address.encode()).digest()
+    words = []
+    for wl, (lo, hi) in zip(load_wordlists(), _APT_SEGMENTS):
+        b = functools.reduce(lambda a, x: a ^ x, digest[lo:hi])
+        words.append(wl[b % len(wl)])
+    return "-".join(words)
 
 
 # --------------------------------------------------------------------------
@@ -195,29 +256,39 @@ except ImportError:
 
 # --------------------------------------------------------------------------
 # S7: pending-transaction payload decode — the reference decodes a protobuf
-# BYTEA into a txn record (src/be_db_pending_txn.erl:211-227). Real decode
-# needs the helium proto definitions (not in this container); gated behind
-# import-try with a deterministic JSON-bytes fallback so the decode-failure
-# short-circuit path (status → failed) is testable.
+# BYTEA into a txn record (src/be_db_pending_txn.erl:211-227). Real
+# wire-format decode, no proto toolchain: functions/protowire hand-rolls
+# the varint/tag reader for the two values the ETL extracts (oneof member →
+# type, inner varint → nonce); malformed bytes → NULL → the reference's
+# decoding_failure / status=failed short-circuit.
 # --------------------------------------------------------------------------
-
-try:  # pragma: no cover - helium protos not present
-    import helium_proto  # type: ignore  # noqa: F401
-
-    HAS_PROTO = True
-except ImportError:
-    HAS_PROTO = False
 
 
 def decode_pending_txn(col: Column) -> Column:
-    """binary payload → struct<type:string, nonce:bigint> or NULL when the
-    payload doesn't decode (the reference's decode-failure short-circuit,
-    src/be_db_pending_txn.erl:219-227). Fallback format: utf-8 JSON bytes."""
-    if HAS_PROTO:  # pragma: no cover
-        raise NotImplementedError("protobuf decode path requires proto schemas")
-    parsed = F.from_json(
-        F.decode(col, "utf-8"), "struct<type:string, nonce:bigint>"
+    """binary protobuf payload → struct<type:string, nonce:bigint>, NULL
+    when the payload doesn't decode (src/be_db_pending_txn.erl:219-227).
+    Arrow-vectorized pandas UDF — pending txns are a small control-plane
+    table (thousands of rows), so Python here is off the hot path; the
+    parse itself is per-batch, never per-row dispatch."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .protowire import decode_txn
+
+    @pandas_udf(
+        StructType(
+            [StructField("type", StringType()), StructField("nonce", LongType())]
+        )
     )
-    # from_json yields a struct of NULLs (not NULL) on bad input; normalize
-    # to NULL so callers can branch on decode failure.
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        decoded = [decode_txn(b) for b in s]
+        return pd.DataFrame(
+            {
+                "type": [d[0] if d else None for d in decoded],
+                "nonce": [d[1] if d else None for d in decoded],
+            }
+        )
+
+    parsed = _decode(col)
+    # a failed decode yields a struct of NULLs; normalize to NULL so
+    # callers can branch on decode failure like the reference does.
     return F.when(parsed["type"].isNotNull(), parsed)

@@ -128,6 +128,46 @@ def test_animal_name_deterministic(spark):
     assert len(out[0].split("-")) == 3
 
 
+def test_animal_name_matches_python_twin(spark):
+    """The Spark column pipeline (md5 → XOR-compress → modulo index) must
+    equal the independent pure-Python implementation byte for byte — two
+    implementations, one spec. With upstream wordlists mounted via
+    APT_WORDLIST_DIR, both become angry_purple_tiger-compatible."""
+    from blockchain_etl_spark.functions.encoding import animal_name, py_animal_name
+
+    addrs = [f"11{i:038d}" for i in range(64)] + ["angry-purple-tiger", ""]
+    df = spark.createDataFrame([(a,) for a in addrs], "a: string")
+    got = {r.a: r.n for r in df.select("a", animal_name(col("a")).alias("n")).collect()}
+    for a in addrs:
+        assert got[a] == py_animal_name(a), a
+
+
+def test_animal_name_loads_wordlist_dir(spark, tmp_path, monkeypatch):
+    """APT_WORDLIST_DIR supplies the (upstream) wordlists; index = compressed
+    digest byte mod list length, per-list."""
+    import functools
+    import hashlib
+
+    for fname, words in (
+        ("adjectives.txt", [f"adj{i}" for i in range(11)]),
+        ("colors.txt", [f"col{i}" for i in range(7)]),
+        ("animals.txt", [f"ani{i}" for i in range(13)]),
+    ):
+        (tmp_path / fname).write_text("\n".join(words) + "\n")
+    monkeypatch.setenv("APT_WORDLIST_DIR", str(tmp_path))
+    from blockchain_etl_spark.functions.encoding import _APT_SEGMENTS, animal_name
+
+    addr = "112qB3YaH5bZkCnKA5uRH7tBtGNv2Y"
+    digest = hashlib.md5(addr.encode()).digest()
+    seg = [
+        functools.reduce(lambda a, x: a ^ x, digest[lo:hi])
+        for lo, hi in _APT_SEGMENTS
+    ]
+    want = f"adj{seg[0] % 11}-col{seg[1] % 7}-ani{seg[2] % 13}"
+    df = spark.createDataFrame([(addr,)], "a: string")
+    assert df.select(animal_name(col("a")).alias("n")).collect()[0].n == want
+
+
 def test_account_inventory_equals_window_over_history(spark, duck):
     """J9 ≡ W1 property: the inventory operator over full history equals the
     latest-row-per-key SQL with first/last bookkeeping."""

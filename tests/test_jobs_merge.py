@@ -167,18 +167,80 @@ def test_genesis_and_signatures(spark, tmp_path):
 
 
 def test_pending_txn_decode(spark):
+    """S7: real protobuf wire decode — a hand-encoded blockchain_txn
+    wrapper round-trips to (type, nonce); malformed bytes short-circuit to
+    NULL (the reference's decoding_failure → status=failed)."""
     from blockchain_etl_spark.functions.encoding import decode_pending_txn
+    from blockchain_etl_spark.functions.protowire import (
+        WIRE_LEN,
+        WIRE_VARINT,
+        encode_field,
+    )
 
+    # payment_v2 (oneof member 17) whose inner message carries
+    # payer(1)=bytes, nonce(4)=7 — extra unknown inner fields must be
+    # skipped, not break the decode.
+    inner = (
+        encode_field(1, WIRE_LEN, b"\x01payer-bin")
+        + encode_field(4, WIRE_VARINT, 7)
+        + encode_field(9, WIRE_VARINT, 123)  # unknown field → ignored
+    )
+    payment = encode_field(17, WIRE_LEN, inner)
+    # vars_v1 (member 12): nonce field 3, two occurrences → last wins
+    vars_txn = encode_field(
+        12, WIRE_LEN, encode_field(3, WIRE_VARINT, 1) + encode_field(3, WIRE_VARINT, 9)
+    )
+    # heartbeat (member 28) has no nonce field registered → NULL nonce
+    heartbeat = encode_field(28, WIRE_LEN, encode_field(2, WIRE_VARINT, 5000))
     df = spark.createDataFrame(
         [
-            (b'{"type": "payment_v2", "nonce": 7}',),
-            (b"\x00\x01garbage",),
+            (payment,),
+            (vars_txn,),
+            (heartbeat,),
+            (b"\x00\x01garbage",),  # malformed: field number 0
+            (payment[:-3],),  # truncated mid-message
         ],
         "data binary",
     )
     rows = df.select(decode_pending_txn(col("data")).alias("d")).collect()
     assert rows[0].d.type == "payment_v2" and rows[0].d.nonce == 7
-    assert rows[1].d is None  # decode failure short-circuit
+    assert rows[1].d.type == "vars_v1" and rows[1].d.nonce == 9
+    assert rows[2].d.type == "validator_heartbeat_v1" and rows[2].d.nonce is None
+    assert rows[3].d is None  # decode failure short-circuit
+    assert rows[4].d is None
+
+
+def test_protowire_parser_units():
+    """Wire-format reader edge cases, independent of Spark."""
+    import pytest as _pytest
+
+    from blockchain_etl_spark.functions.protowire import (
+        WIRE_LEN,
+        WIRE_VARINT,
+        decode_txn,
+        encode_field,
+        encode_varint,
+        parse_fields,
+        read_varint,
+    )
+
+    # multi-byte varint: 300 = 0b10101100 0b00000010
+    assert encode_varint(300) == b"\xac\x02"
+    assert read_varint(b"\xac\x02", 0) == (300, 2)
+    with _pytest.raises(ValueError):
+        read_varint(b"\xac", 0)  # continuation bit set, then EOF
+    with _pytest.raises(ValueError):
+        parse_fields(b"\xff" * 11)  # varint > 64 bits
+    # fixed32/fixed64 are parsed (wire types 5/1)
+    fields = parse_fields(b"\x0d\x01\x00\x00\x00" + b"\x11" + b"\x02" + b"\x00" * 7)
+    assert fields == [(1, 5, 1), (2, 1, 2)]
+    # wrapper with two oneof members is malformed for a oneof
+    two = encode_field(17, WIRE_LEN, b"") + encode_field(12, WIRE_LEN, b"")
+    assert decode_txn(two) is None
+    assert decode_txn(None) is None
+    # unknown member number still yields a typed row
+    unknown = encode_field(99, WIRE_LEN, encode_field(1, WIRE_VARINT, 3))
+    assert decode_txn(unknown) == ("txn_99", None)
 
 
 def test_snapshot_sink(spark, tmp_path):
