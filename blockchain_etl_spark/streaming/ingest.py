@@ -33,7 +33,7 @@ from pyspark.sql.functions import col
 
 from ..operators.actors import extract_actors
 from ..sources.blockchain import FIELDS_SCHEMAS
-from .entities import gateway_history, oui_history, validator_history
+from .entities import gateway_history, oui_history, validator_history, vars_history
 
 TABLES = (
     "transactions",
@@ -45,15 +45,20 @@ TABLES = (
     "gateways",
     "validators",
     "ouis",
+    "vars",
 )
 
 # per-entity inventory MERGE specs (the trigger semantics of
-# migrations/1590689602:32-62 / 1622293265:49-77 / 1612480010:32-56):
+# migrations/1590689602:32-62 / 1622293265:49-77 / 1612480010:32-56;
+# vars_inventory migrations/1592306954; oracle price last-seen state
+# src/be_db_oracle_price.erl:85-99 keyed per feed):
 # history table → (keys, COALESCE partial-update columns).
 INVENTORIES = {
     "gateways": (["address"], ["owner", "location", "elevation", "gain"]),
     "validators": (["address"], ["owner", "stake", "last_heartbeat", "status"]),
     "ouis": (["oui"], ["owner", "addresses", "nonce"]),
+    "vars": (["name"], ["value"]),
+    "oracle_prices": (["public_key"], ["price"]),
 }
 
 
@@ -149,6 +154,8 @@ def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
 
     out["oracle_prices"] = txns.filter(col("type") == "price_oracle_v1").select(
         "block",
+        "hash",
+        F.get_json_object("fields", "$.public_key").alias("public_key"),
         F.get_json_object("fields", "$.price").cast("long").alias("price"),
     )
 
@@ -157,6 +164,7 @@ def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
     out["gateways"] = gateway_history(txns)
     out["validators"] = validator_history(txns)
     out["ouis"] = oui_history(txns)
+    out["vars"] = vars_history(txns)
     return out
 
 

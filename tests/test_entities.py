@@ -145,10 +145,15 @@ def test_streaming_incremental_inventory_matches_batch(spark, txn_df, tmp_path):
         txn_df.filter((F.col("block") >= 81) & (F.col("block") <= 120)), 1
     )
 
+    from blockchain_etl_spark.streaming.entities import vars_history
+    from blockchain_etl_spark.streaming.ingest import derive_tables
+
     history_fns = {
         "gateways": gateway_history,
         "validators": validator_history,
         "ouis": oui_history,
+        "vars": vars_history,
+        "oracle_prices": lambda df: derive_tables(df)["oracle_prices"],
     }
     for name, (keys, coalesce_cols) in INVENTORIES.items():
         want_df = fold_inventory(
