@@ -24,16 +24,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join fact ⋈ dim on ``key`` with an n-way salt.
 
-    The salt is ``pmod(hash(whole fact row), n)`` — deterministic, so the
-    plan stays reproducible, but decorrelated from the join key, so a hot
-    key's rows spread uniformly. The dimension side is exploded n× (only
-    acceptable for dimension tables ≪ fact; that is exactly the skew-join
-    scenario). Result equals the plain join, row for row.
+    The salt is ``pmod(hash(key, partition_id, row-in-partition), n)`` —
+    deterministic within a run, decorrelated from the join key, and O(1)
+    per row regardless of fact width (hashing every column of a wide fact
+    row would cost more than the skew it fixes). Rows of one hot key
+    spread uniformly because the monotonic row id varies within the key.
+    The dimension side is exploded n× (only acceptable for dimension
+    tables ≪ fact; that is exactly the skew-join scenario). Result equals
+    the plain join, row for row.
     """
-    fact_cols = fact.columns
     salted_fact = fact.withColumn(
         "__salt",
-        F.pmod(F.hash(*[col(c) for c in fact_cols]), F.lit(salt_buckets)),
+        F.pmod(
+            F.hash(col(key), F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ),
     )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

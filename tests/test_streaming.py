@@ -192,3 +192,40 @@ def test_compaction_preserves_contents(spark, txn_df, tmp_path):
     assert ing.compact(spark, "transactions", blocks_per_bucket=50) == 1
     assert ing.compact(spark, "transactions", blocks_per_bucket=50) == 0
     assert _table_set(ing.read_table(spark, "transactions")) == _table_set(txn_df)
+
+
+def test_compaction_replay_after_crash_is_idempotent(spark, txn_df, tmp_path):
+    """Crash-window replays must not double-fold: the per-bucket fold
+    manifest records which blockranges a bucket absorbed, so rerunning
+    compact after a crash at any point converges to the same rows."""
+    import glob
+    import shutil
+
+    out_dir = str(tmp_path / "out5")
+    ing = BlockIngest(out_dir)
+    for lo, hi in ((1, 30), (31, 60)):
+        ing.process_batch(
+            txn_df.filter((F.col("block") >= lo) & (F.col("block") <= hi)), 0
+        )
+    base = os.path.join(out_dir, "transactions")
+    want = _table_set(ing.read_table(spark, "transactions"))
+
+    # crash scenario A: buckets swapped but blockrange dirs NOT deleted —
+    # simulate by compacting with the range dirs backed up, then restoring
+    backup = str(tmp_path / "backup")
+    shutil.copytree(base, backup)
+    assert ing.compact(spark, "transactions", blocks_per_bucket=50) == 2
+    for r in glob.glob(os.path.join(backup, "blockrange=*")):
+        shutil.copytree(r, os.path.join(base, os.path.basename(r)))
+    # replay: manifests say both ranges are folded → dirs removed, no re-fold
+    assert ing.compact(spark, "transactions", blocks_per_bucket=50) == 2
+    assert not glob.glob(os.path.join(base, "blockrange=*"))
+    assert _table_set(ing.read_table(spark, "transactions")) == want
+
+    # crash scenario B: interrupted swap (live dir renamed to .old, new dir
+    # not yet in place) — the healing preamble must restore the bucket
+    bucket = glob.glob(os.path.join(base, "compacted", "height_bucket=*"))[0]
+    os.replace(bucket, bucket + ".old")
+    assert ing.compact(spark, "transactions", blocks_per_bucket=50) == 0
+    assert os.path.isdir(bucket) and not os.path.isdir(bucket + ".old")
+    assert _table_set(ing.read_table(spark, "transactions")) == want
