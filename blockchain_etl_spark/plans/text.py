@@ -260,3 +260,122 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_ratio.alias("repetition_ratio"),
         ((distinct_ratio >= 0.15) & (repetition_ratio <= 0.2)).alias("passes_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms — the classic relevance weighting a training-data /
+# retrieval pipeline derives from the inverted-index statistics.
+# --------------------------------------------------------------------------
+@register(
+    "doc_tfidf_top_terms",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL.format(c='text')}) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+             tf * ((n_docs * 1000000) // df) AS tfidf_fp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf * ((n_docs * 1000000) // df) DESC,
+                                         term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf_fp FROM ranked WHERE rn <= 3
+    """,
+    survey_ops=(),
+    doc="Top-3 TF-IDF terms per document. Fixed-point rational idf "
+    "(tf x (N x 1e6 div df) -- integer arithmetic, so Spark and the oracle "
+    "agree bit-for-bit; a float ln() would differ in the last ulp across "
+    "engines). Scale shape: ONE corpus scan -- term frequencies are a hash "
+    "aggregate, document frequencies a window COUNT over the term "
+    "partition of the same tf frame (a tf x df self-join would scan and "
+    "aggregate the corpus twice: Spark does not share subplans); top-3 is "
+    "a per-doc window over the bounded per-doc vocabulary. No Python "
+    "anywhere.",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS.format(c="text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf_fp", col("tf") * F.expr("(n_docs * 1000000) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(col("tfidf_fp").desc(), col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram repetition score — boilerplate/looping-text detector (the n-gram
+# repetition filter of C4/Gopher-style corpus cleaning), zero-shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition_score",
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(toks, (w, i) ->
+                 CASE WHEN i <= len(toks) - 1
+                      THEN toks[i] || ' ' || toks[i + 1] END),
+               x -> x IS NOT NULL) AS grams
+      FROM (SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks
+            FROM documents) t)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_bigrams,
+           CASE WHEN len(grams) = 0 THEN NULL
+                ELSE ((len(grams) - len(list_distinct(grams))) * 1000000)
+                     // len(grams) END AS dup_fraction_fp,
+           CASE WHEN len(grams) = 0 THEN NULL
+                ELSE ((len(grams) - len(list_distinct(grams))) * 1000000)
+                     // len(grams) > 300000 END AS is_repetitive
+    FROM g
+    """,
+    survey_ops=(),
+    doc="Word-bigram repetition fraction per document (duplicated bigrams / "
+    "total, fixed-point) with a Gopher-style repetitiveness flag. Pure "
+    "higher-order-function projection: tokenize, zip adjacent tokens, "
+    "array_distinct -- all codegen, ZERO exchanges in the plan (gated in "
+    "tests/test_plans.py), so at 100 TB it runs at scan speed.",
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        """filter(
+             transform(toks, (w, i) ->
+               IF(i <= size(toks) - 2,
+                  concat_ws(' ', toks[i], toks[i + 1]), NULL)),
+             x -> x IS NOT NULL)"""
+    )
+    d = (
+        docs.withColumn("toks", F.expr(_TOKENS.format(c="text")))
+        .withColumn("grams", grams)
+        .withColumn("n_bigrams", F.size("grams").cast("long"))
+        .withColumn("n_distinct_bigrams", F.size(F.array_distinct("grams")).cast("long"))
+    )
+    # integer div (not /, which is float division in Spark) so both engines
+    # compute the identical fixed-point fraction
+    dup_fp = F.when(
+        col("n_bigrams") > 0,
+        F.expr("((n_bigrams - n_distinct_bigrams) * 1000000) div n_bigrams"),
+    )
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        dup_fp.alias("dup_fraction_fp"),
+        F.when(col("n_bigrams") > 0, dup_fp > 300000).alias("is_repetitive"),
+    )

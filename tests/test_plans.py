@@ -131,6 +131,21 @@ def test_dedup_scale_paths_shuffle_on_band_keys_only(plan):
         assert banded_join or banded_shuffle, (name, p)
 
 
+def test_repetition_score_zero_shuffle(plan):
+    # pure HOF projection: no exchange anywhere — runs at scan speed.
+    p = plan("doc_repetition_score")
+    assert n_exchanges(p) == 0, p
+
+
+def test_tfidf_single_corpus_aggregation(plan):
+    # df comes from a window over the tf frame, not a tf⋈df self-join —
+    # exactly one (doc_id, term) aggregation shuffle exists.
+    p = plan("doc_tfidf_top_terms")
+    keys = _hash_partition_keys(p)
+    assert sum(1 for k in keys if "doc_id" in k and "term" in k) == 1, keys
+    assert "SortMergeJoin" not in p, p
+
+
 def test_asof_plan_builds_without_running_a_job(spark, monkeypatch):
     # J7: building the as-of plans must be fully lazy — the old design ran
     # an eager max-scan of events at plan-build time to bound the forward
