@@ -1,4 +1,5 @@
-from .latest_state import latest_rows, inventory
 from .asof import asof_join, asof_join_dense
+from .latest_state import inventory, latest_rows
+from .lsh_index import MinHashIndex
 
-__all__ = ["latest_rows", "inventory", "asof_join", "asof_join_dense"]
+__all__ = ["latest_rows", "inventory", "asof_join", "asof_join_dense", "MinHashIndex"]

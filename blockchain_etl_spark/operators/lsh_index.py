@@ -1,0 +1,95 @@
+"""Incremental MinHash/LSH index maintenance — the streaming face of the
+corpus-dedup pipeline (plans/dedup.py) for a training-data lake that grows
+batch by batch.
+
+At 100 TB you cannot re-shingle the whole corpus every time a crawl lands:
+the index is a persisted signature table maintained with the same MERGE
+machinery as the chain inventories (operators/merge.py — versioned
+write-audit-publish target, watermark replay guard). Each upsert computes
+signatures for the NEW documents only (work ∝ fresh data) and merges on
+doc_id; candidate generation then band-joins either the whole stored
+corpus or just a probe frame against it.
+
+Scale shape: signatures are 8 fixed-width strings per document — the
+stored index is ~1e-4 of corpus bytes, and the band join shuffles on
+(band_id, band_val) buckets only (plan-gated for the batch twin in
+tests/test_plans.py). The incremental ≡ batch property is tested in
+tests/test_lsh_index.py with a replayed chunk, mirroring the inventory
+stream≡batch tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.dedup import (
+    band_rows,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_rows_from_text,
+)
+from .merge import ParquetMergeTarget
+
+
+class MinHashIndex:
+    """Persisted (doc_id, mh0..mh7) signature table with incremental upsert
+    and LSH candidate generation."""
+
+    def __init__(self, path: str):
+        self.target = ParquetMergeTarget(path)
+
+    def upsert(
+        self, spark: SparkSession, docs: DataFrame, watermark: "int | None" = None
+    ) -> DataFrame:
+        """Shingle + sign ONLY ``docs`` (doc_id, text) and MERGE into the
+        stored signatures: new ids insert, re-crawled ids overwrite (update
+        wins ties, so a replayed batch converges). ``watermark``: monotone
+        batch id making replays of non-idempotent upstream chunking
+        exactly-once, as in the chain inventories."""
+        from .merge import merge_latest
+
+        sig = minhash_signatures(shingle_rows_from_text(docs))
+        return self.target.merge_with(
+            spark,
+            sig,
+            lambda target, upd: merge_latest(
+                target, upd, keys=["doc_id"], order=["doc_id"]
+            ),
+            watermark=watermark,
+        )
+
+    def signatures(self, spark: SparkSession) -> DataFrame:
+        sig = self.target.read(spark)
+        if sig is None:
+            raise FileNotFoundError(self.target.path)
+        return sig
+
+    def candidate_pairs(self, spark: SparkSession) -> DataFrame:
+        """All near-dup candidate pairs within the stored corpus — equal to
+        the batch dedup_minhash_lsh over the union of every upsert."""
+        return lsh_candidate_pairs(band_rows(self.signatures(spark)))
+
+    def probe(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
+        """Candidates between incoming ``docs`` and the STORED corpus only
+        (doc_a = stored id, doc_b = probe id): the pre-ingest "is this
+        crawl page already in the lake?" check. Band join cost ∝ probe
+        size, never corpus²."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import col
+
+        probe_bands = band_rows(minhash_signatures(shingle_rows_from_text(docs)))
+        stored = band_rows(self.signatures(spark))
+        return (
+            stored.select(
+                col("doc_id").alias("doc_a"), "band_id", "band_val"
+            )
+            .join(
+                probe_bands.select(
+                    col("doc_id").alias("doc_b"), "band_id", "band_val"
+                ),
+                ["band_id", "band_val"],
+            )
+            .filter(col("doc_a") != col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("bands_hit"))
+        )

@@ -60,14 +60,7 @@ _SHINGLE_ROWS_SQL = """
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id",
-            F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
-        )
-        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
-    )
+    return shingle_rows_from_text(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -179,14 +172,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket key only — never a full pairwise join.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All k hash values are computed per shingle row (one projection, no
-    # seed explode), then the signature is k element-wise MIN aggregates in
-    # a single groupBy — one shuffle over |shingle rows|, not k×|rows|.
-    s = _shingle_rows(spark, sf_dir)
-    # two md5 digests per shingle, sliced into 8-hex-char (32-bit) hash
-    # values — 4x fewer digest computations than one md5 per hash function,
-    # with independent slices preserving the minhash property.
-    hashes = s.select(
+    # cache: |docs| rows, but lineage covers the shingle hashing — both
+    # sides of the band self-join reuse it instead of recomputing.
+    sig = minhash_signatures(_shingle_rows(spark, sf_dir)).localCheckpoint()
+    return lsh_candidate_pairs(band_rows(sig))
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows → (doc_id, mh0..mh7) MinHash signatures.
+
+    All k hash values are computed per shingle row (one projection, no
+    seed explode), then the signature is k element-wise MIN aggregates in
+    a single groupBy — one shuffle over |shingle rows|, not k×|rows|.
+    Two md5 digests per shingle, sliced into 8-hex-char (32-bit) hash
+    values — 4x fewer digest computations than one md5 per hash function,
+    with independent slices preserving the minhash property.
+    """
+    hashes = shingles.select(
         "doc_id",
         F.md5(F.concat(F.lit("0:"), col("shingle"))).alias("b0"),
         F.md5(F.concat(F.lit("1:"), col("shingle"))).alias("b1"),
@@ -197,11 +199,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_NUM_HASHES)
         ],
     )
-    # cache: |docs| rows, but lineage covers the shingle hashing — both
-    # sides of the band self-join reuse it instead of recomputing.
-    sig = hashes.groupBy("doc_id").agg(
+    return hashes.groupBy("doc_id").agg(
         *[F.min(f"h{k}").alias(f"mh{k}") for k in range(_NUM_HASHES)]
-    ).localCheckpoint()
+    )
+
+
+def band_rows(sig: DataFrame) -> DataFrame:
+    """Signatures → (doc_id, band_id, band_val) LSH bucket rows (4 bands of
+    2 adjacent signature elements, map-side explode — no shuffle)."""
     n_bands = _NUM_HASHES // _BAND_SIZE
     band_structs = F.array(
         *[
@@ -215,9 +220,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bv")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bv")).select(
         "doc_id", col("bv.band_id").alias("band_id"), col("bv.band_val").alias("band_val")
     )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Band rows → (doc_a, doc_b, bands_hit) candidate pairs: equi-join on
+    the band bucket key only — never all-pairs."""
     a = bands.select(col("doc_id").alias("doc_a"), "band_id", "band_val")
     b = bands.select(col("doc_id").alias("doc_b"), "band_id", "band_val")
     return (
@@ -225,6 +235,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("bands_hit"))
+    )
+
+
+def shingle_rows_from_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame → distinct (doc_id, shingle) rows — the entry
+    point for callers that bring their own document frame (e.g. the
+    incremental MinHash index) rather than a table path."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
     )
 
 
