@@ -369,3 +369,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(col("hamming") <= _SIMHASH_MAX_HAMMING)
     )
+
+
+# --------------------------------------------------------------------------
+# Composed corpus cleaning — the actual deliverable of a training-data
+# pipeline: quality-gate each document, then keep one canonical copy per
+# exact-content group.
+# --------------------------------------------------------------------------
+@register(
+    "doc_clean_corpus",
+    sql="""
+    WITH q AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
+             END AS distinct_fp
+      FROM (SELECT doc_id, lang, text,
+                   list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+            FROM documents) t),
+    g AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS canonical_id,
+             COUNT(*) OVER (PARTITION BY h) AS dup_count
+      FROM q)
+    SELECT doc_id, lang, n_tokens, distinct_fp, dup_count
+    FROM g
+    WHERE doc_id = canonical_id
+      AND n_tokens >= 10 AND distinct_fp >= 150000
+    """,
+    survey_ops=("X2",),
+    doc="End-to-end corpus cleaning in one plan: per-document quality "
+    "features computed map-side as pure HOFs (token count, vocabulary "
+    "diversity as a fixed-point integer ratio), exact-dup groups via a "
+    "content-hash window (ONE shuffle on md5(text) serves both the "
+    "canonical pick and the dup count), then the gate: canonical copies "
+    "passing quality survive. The min-doc_id canonical rule matches "
+    "dedup_exact, so downstream joins agree on which row represents a "
+    "group. 100 TB shape: one exchange total; everything else is "
+    "scan-speed projection.",
+)
+def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), w -> length(w) > 0)"
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN NULL"
+            f" ELSE (size(array_distinct({toks})) * 1000000) div size({toks}) END"
+        ).alias("distinct_fp"),
+    )
+    w = Window.partitionBy("h")
+    g = q.withColumn("canonical_id", F.min("doc_id").over(w)).withColumn(
+        "dup_count", F.count(F.lit(1)).over(w)
+    )
+    return g.filter(
+        (col("doc_id") == col("canonical_id"))
+        & (col("n_tokens") >= 10)
+        & (col("distinct_fp") >= 150000)
+    ).select("doc_id", "lang", "n_tokens", "distinct_fp", "dup_count")

@@ -244,3 +244,82 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias("days_since_prev"),
         F.datediff(F.lead("o_orderdate").over(w), "o_orderdate").cast("long").alias("days_until_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: ordered signup → click → purchase conversion per user.
+# The sequence constraint ("click after signup, purchase after that
+# click") is what separates this from a plain pivot of firsts.
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    sql="""
+    WITH w AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id) AS signup_ts
+      FROM events),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= signup_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS click_ts
+      FROM w),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= click_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS purchase_ts
+      FROM w2)
+    SELECT user_id, signup_ts, click_ts, purchase_ts,
+           (CASE WHEN signup_ts IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS funnel_depth
+    FROM w3
+    GROUP BY user_id, signup_ts, click_ts, purchase_ts
+    """,
+    survey_ops=(),
+    doc="Ordered conversion funnel per user: first signup, first click at "
+    "or after it, first purchase at or after that click. Three chained "
+    "unordered window MINs over the SAME user_id partitioning — one "
+    "exchange, no per-partition sort (unbounded frames need none) — then "
+    "one dedup aggregate. The window-chain trick avoids the naive 3-way "
+    "self-join of the events table (three scans, two shuffles each).",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = events.select("user_id", "event_type", col("ts"))
+    step1 = base.withColumn(
+        "signup_ts", F.min(F.when(col("event_type") == "signup", col("ts"))).over(w)
+    )
+    step2 = step1.withColumn(
+        "click_ts",
+        F.min(
+            F.when(
+                (col("event_type") == "click") & (col("ts") >= col("signup_ts")),
+                col("ts"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (col("event_type") == "purchase") & (col("ts") >= col("click_ts")),
+                col("ts"),
+            )
+        ).over(w),
+    )
+    depth = (
+        col("signup_ts").isNotNull().cast("int")
+        + col("click_ts").isNotNull().cast("int")
+        + col("purchase_ts").isNotNull().cast("int")
+    )
+    return (
+        step3.groupBy("user_id", "signup_ts", "click_ts", "purchase_ts")
+        .agg(F.first(F.lit(1)))
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            depth.cast("long").alias("funnel_depth"),
+        )
+    )

@@ -464,3 +464,84 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored_pairs.withColumn("rank", F.row_number().over(wk).cast("long"))
         .filter(col("rank") <= _TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization — the memory-scale path for ANN: a 64-dim float
+# vector becomes 64 bytes + one scale, an 8x footprint cut before any IVF/
+# LSH structure is built. Integer-only math so the oracle matches exactly.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_quantize_stats",
+    sql="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vf
+      FROM embeddings),
+    s AS (SELECT vec_id, vf,
+                 list_max(list_transform(vf, x -> abs(x))) AS scale_fp
+          FROM v),
+    q AS (SELECT vec_id, vf, scale_fp,
+                 CASE WHEN scale_fp = 0 THEN NULL ELSE
+                   list_transform(vf, x ->
+                     CASE WHEN x >= 0 THEN (x * 254 + scale_fp) // (2 * scale_fp)
+                          ELSE -(((-x) * 254 + scale_fp) // (2 * scale_fp)) END)
+                 END AS qv
+          FROM s),
+    e AS (SELECT vec_id, scale_fp, qv,
+                 CASE WHEN scale_fp = 0 THEN NULL ELSE
+                   list_transform(range(1, len(vf) + 1),
+                     i -> abs(vf[i] * 127 - qv[i] * scale_fp))
+                 END AS errs
+          FROM q)
+    SELECT vec_id, scale_fp,
+           CASE WHEN scale_fp = 0 THEN NULL ELSE list_sum(qv) END AS q_sum,
+           CASE WHEN scale_fp = 0 THEN NULL ELSE list_max(errs) END AS max_err_fp,
+           CASE WHEN scale_fp = 0 THEN NULL ELSE
+             list_sum(list_transform(errs, x -> x * x)) END AS sse_fp
+    FROM e
+    """,
+    survey_ops=(),
+    doc="Per-vector int8 scalar quantization with reconstruction-error "
+    "audit: symmetric scale = max|component|, q = round(v*127/scale) via "
+    "pure INTEGER arithmetic ((|vf|*254 + s) div (2s), sign restored), "
+    "errors in the 127e6 fixed-point domain — both engines compute "
+    "identical integers, no float division anywhere. Scale shape: "
+    "zero-shuffle map-only projection over the corpus (HOFs in codegen); "
+    "at 100 TB this is the compression pass that makes the ANN index fit "
+    "executor memory (8x smaller vectors, error bounds as columns).",
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = emb.withColumn(
+        "vf",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ),
+    ).withColumn("scale_fp", F.expr("array_max(transform(vf, x -> abs(x)))"))
+    q = v.withColumn(
+        "qv",
+        F.expr(
+            """CASE WHEN scale_fp = 0 THEN NULL ELSE
+                 transform(vf, x ->
+                   CASE WHEN x >= 0 THEN (x * 254 + scale_fp) div (2 * scale_fp)
+                        ELSE -(((-x) * 254 + scale_fp) div (2 * scale_fp)) END)
+               END"""
+        ),
+    ).withColumn(
+        "errs",
+        F.expr(
+            """CASE WHEN scale_fp = 0 THEN NULL ELSE
+                 transform(sequence(1, size(vf)),
+                   i -> abs(element_at(vf, i) * 127 - element_at(qv, i) * scale_fp))
+               END"""
+        ),
+    )
+    return q.select(
+        "vec_id",
+        "scale_fp",
+        F.expr("aggregate(qv, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.expr("array_max(errs)").alias("max_err_fp"),
+        F.expr("aggregate(errs, 0L, (a, x) -> a + x * x)").alias("sse_fp"),
+    )

@@ -146,6 +146,27 @@ def test_tfidf_single_corpus_aggregation(plan):
     assert "SortMergeJoin" not in p, p
 
 
+def test_clean_corpus_single_shuffle(plan):
+    # quality features map-side; dup grouping + canonical pick share ONE
+    # exchange on the content hash.
+    p = plan("doc_clean_corpus")
+    assert n_exchanges(p) == 1, p
+    assert any("h#" in k for k in _hash_partition_keys(p)), p
+
+
+def test_funnel_single_exchange_chained_windows(plan):
+    # three chained window MINs + final dedup agg all ride one user_id
+    # shuffle — the naive 3-way self-join would scan events three times.
+    p = plan("events_funnel")
+    assert n_exchanges(p) == 1, p
+    assert "Join" not in p, p
+
+
+def test_quantize_stats_zero_shuffle(plan):
+    p = plan("embedding_quantize_stats")
+    assert n_exchanges(p) == 0, p
+
+
 def test_asof_plan_builds_without_running_a_job(spark, monkeypatch):
     # J7: building the as-of plans must be fully lazy — the old design ran
     # an eager max-scan of events at plan-build time to bound the forward
