@@ -1,0 +1,132 @@
+"""Persisted IVF ANN index — the disk-layout scale path for similarity
+search that the in-plan query `knn_cosine_ivf` (plans/similarity.py)
+promises in its docstring: the corpus is written PARTITIONED BY CELL, so a
+probe physically reads only the probed partitions (Catalyst partition
+pruning on the directory column) instead of scanning 100 TB of vectors.
+
+Build: deterministic coarse quantizer (the k vectors with the smallest
+md5(vec_id) — an RNG-free uniform sample, the same md5-derived-sampling
+contract as plans/pipeline.doc_sample_stratified), one broadcast scoring
+pass to assign every vector to its nearest cell, one shuffle on cell to
+write `cell=N/` partitions. Centroids (k × dim floats — k ≈ √N stays
+driver-sized even at 100 TB) are stored next to the data.
+
+Query: nearest `probes` cells per query vector from the broadcast
+centroids, then ONE pruned read of exactly those partitions, exact
+fixed-point cosine, per-query top-k. The pruning is asserted in
+tests/test_ann_index.py via `inputFiles()` — fewer files than cells —
+plus recall against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+# fixed-point cosine machinery shared with the in-plan queries
+from ..plans.similarity import _fx_dot, _with_norm
+
+
+class IVFIndex:
+    """cell-partitioned vector index: ``<path>/data/cell=N/`` parquet plus
+    ``<path>/centroids`` parquet."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    @property
+    def _data(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _centroids(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    def build(
+        self, spark: SparkSession, vectors: DataFrame, n_cells: int = 8
+    ) -> None:
+        """``vectors``: (vec_id, embedding). Deterministic build — same
+        corpus in, same index out, no RNG."""
+        corpus = _with_norm(vectors.select("vec_id", "embedding"), "embedding", "nrm")
+        # RNG-free uniform centroid sample: smallest md5(vec_id) wins.
+        # TakeOrderedAndProject (per-partition top-k) — no global sort.
+        cent = (
+            corpus.withColumn("__r", F.md5(col("vec_id").cast("string")))
+            .orderBy("__r")
+            .limit(n_cells)
+            .withColumn("cell", F.row_number().over(Window.orderBy("__r")) - 1)
+            .select("cell", col("embedding").alias("cvec"), col("nrm").alias("cnrm"))
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(self._centroids)
+
+        cent_r = spark.read.parquet(self._centroids)
+        assigned = self._nearest_cells(corpus, cent_r, 1).select(
+            "vec_id", "embedding", "nrm", "cell"
+        )
+        # one shuffle on cell → one directory per cell, clustered files
+        assigned.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(self._data)
+
+    @staticmethod
+    def _nearest_cells(
+        vecs: DataFrame, cent: DataFrame, top: int, id_col: str = "vec_id"
+    ) -> DataFrame:
+        """Top-``top`` cells per vector by fixed-point cosine against the
+        broadcast centroid table."""
+        scored = vecs.join(broadcast(cent)).select(
+            id_col,
+            "embedding",
+            "nrm",
+            "cell",
+            (_fx_dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).alias("score"),
+        )
+        w = Window.partitionBy(id_col).orderBy(col("score").desc(), col("cell"))
+        return scored.withColumn("__rn", F.row_number().over(w)).filter(
+            col("__rn") <= top
+        )
+
+    def query(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        probes: int = 2,
+    ) -> DataFrame:
+        """(qid, embedding) → (qid, neighbor_id, cosine, rank ≤ k), probing
+        each query's ``probes`` nearest cells. The probed cell set is
+        collected (an index LOOKUP is an action, bounded by
+        |queries|×probes) and pushed into the read as a partition filter —
+        only those directories are opened."""
+        cent = spark.read.parquet(self._centroids)
+        q = _with_norm(queries.select(col("qid").alias("vec_id"), "embedding"), "embedding", "nrm")
+        probe_cells = self._nearest_cells(q, cent, probes).select(
+            col("vec_id").alias("qid"), "cell"
+        )
+        cells = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+        data = spark.read.option("basePath", self._data).parquet(
+            *[os.path.join(self._data, f"cell={c}") for c in sorted(cells)]
+        )
+        qside = q.select(
+            col("vec_id").alias("qid"), col("embedding").alias("qe"), col("nrm").alias("qnrm")
+        )
+        cand = broadcast(probe_cells).join(data, ["cell"]).join(broadcast(qside), ["qid"])
+        scored = cand.filter(col("vec_id") != col("qid")).select(
+            "qid",
+            col("vec_id").alias("neighbor_id"),
+            (_fx_dot("qe", "embedding") / (col("qnrm") * col("nrm"))).alias("cosine"),
+        )
+        w = Window.partitionBy("qid").orderBy(col("cosine").desc(), col("neighbor_id"))
+        return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+            col("rank") <= k
+        )
+
+    def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
+        """How many data files a probe of ``cells`` opens (test hook)."""
+        data = spark.read.option("basePath", self._data).parquet(
+            *[os.path.join(self._data, f"cell={c}") for c in sorted(cells)]
+        )
+        return len(data.inputFiles())

@@ -116,3 +116,19 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def deduped_event_stream(
+    events: DataFrame, keys: "list[str] | None" = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop re-deliveries of the same event
+    within the watermark horizon (dropDuplicatesWithinWatermark — state is
+    EVICTED once the watermark passes, unlike dropDuplicates whose state
+    grows without bound). This is the ingest-side guard a training-data
+    event pipeline puts in front of windowed aggregation when the source
+    is at-least-once (a crawler retry, a Kafka redelivery): the chain
+    ingest doesn't need it (totally ordered, idempotent writes) but the
+    event plane does. Keys default to the event identity column."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -1,0 +1,98 @@
+"""Persisted IVF index: deterministic build, physical partition pruning on
+probe, and recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from blockchain_etl_spark.operators.ann_index import IVFIndex
+
+SF = "/root/testdata/sf0.001"
+N_CELLS = 8
+N_QUERIES = 10
+K = 5
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+
+
+def _brute_topk(spark, emb, qids, k):
+    """Exact cosine top-k (excluding self) for the query ids — the recall
+    yardstick, computed with the same fixed-point machinery."""
+    from blockchain_etl_spark.plans.similarity import _fx_dot, _with_norm
+    from pyspark.sql import Window
+
+    corpus = _with_norm(emb, "embedding", "nrm")
+    q = corpus.filter(col("vec_id").isin(qids)).select(
+        col("vec_id").alias("qid"), col("embedding").alias("qe"), col("nrm").alias("qnrm")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(col("vec_id") != col("qid"))
+    scored = pairs.select(
+        "qid", "vec_id", (_fx_dot("qe", "embedding") / (col("qnrm") * col("nrm"))).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(col("cos").desc(), col("vec_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(col("rn") <= k)
+    return {(r.qid, r.vec_id) for r in top.collect()}
+
+
+def test_build_query_prune_and_recall(spark, tmp_path):
+    emb = _emb(spark).cache()
+    idx = IVFIndex(str(tmp_path / "ivf"))
+    idx.build(spark, emb, n_cells=N_CELLS)
+
+    # every vector landed in exactly one cell partition
+    data = spark.read.option("basePath", idx._data).parquet(idx._data)
+    assert data.count() == emb.count()
+    assert data.select("cell").distinct().count() <= N_CELLS
+
+    # probing a subset of cells opens strictly fewer files than the corpus
+    all_cells = [r.cell for r in data.select("cell").distinct().collect()]
+    some = sorted(all_cells)[:2]
+    assert idx.pruned_files(spark, some) < idx.pruned_files(spark, all_cells)
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=K, probes=2)
+    rows = got.collect()
+    assert {r.qid for r in rows} == set(range(N_QUERIES))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append((r.rank, r.neighbor_id, r.cosine))
+    for qid, lst in per_q.items():
+        assert len(lst) == K, (qid, lst)
+        ranks = [t[0] for t in sorted(lst)]
+        assert ranks == list(range(1, K + 1))
+
+    # recall@5 vs exact brute force: 2/8 cells probed must recover a
+    # meaningful fraction of true neighbors (deterministic corpus+build →
+    # stable number; bound kept loose on purpose)
+    truth = _brute_topk(spark, emb, list(range(N_QUERIES)), K)
+    hits = sum(1 for r in rows if (r.qid, r.neighbor_id) in truth)
+    recall = hits / len(truth)
+    assert recall >= 0.5, recall
+
+
+def test_build_is_deterministic(spark, tmp_path):
+    emb = _emb(spark)
+    a, b = IVFIndex(str(tmp_path / "a")), IVFIndex(str(tmp_path / "b"))
+    a.build(spark, emb, n_cells=N_CELLS)
+    b.build(spark, emb, n_cells=N_CELLS)
+    def rows(path):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert rows(a._centroids) == rows(b._centroids)
+    da = {
+        (r.vec_id, r.cell)
+        for r in spark.read.option("basePath", a._data).parquet(a._data).collect()
+    }
+    db = {
+        (r.vec_id, r.cell)
+        for r in spark.read.option("basePath", b._data).parquet(b._data).collect()
+    }
+    assert da == db

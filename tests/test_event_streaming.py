@@ -168,3 +168,37 @@ def test_session_window_stream(spark, tmp_path):
         (1, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00")): 1,
         (2, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:35:00")): 1,
     }
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    """Streaming exactly-once dedup: a redelivered event_id inside the
+    watermark horizon is dropped; distinct ids all pass; dedup state is
+    evicted as the watermark advances (bounded state)."""
+    import os
+    import time
+
+    from blockchain_etl_spark.streaming.windows import deduped_event_stream
+
+    in_dir = str(tmp_path / "in3")
+    os.makedirs(in_dir)
+    chunk1 = [
+        _ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        _ev(2, "2024-01-01 10:01:00", 2, "view", 2.0),
+    ]
+    chunk2 = [
+        _ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),  # redelivery → dropped
+        _ev(3, "2024-01-01 10:02:00", 1, "click", 3.0),
+    ]
+    for i, c in enumerate([chunk1, chunk2]):
+        _write_chunk(spark, c, os.path.join(in_dir, f"c={i}"))
+        time.sleep(1.1)
+
+    out = _run_stream(
+        spark,
+        in_dir + "/c=*",
+        deduped_event_stream,
+        "dedup_stream",
+        str(tmp_path / "ckpt3"),
+        mode="append",
+    ).collect()
+    ids = sorted(r.event_id for r in out)
+    assert ids == [1, 2, 3]
