@@ -40,6 +40,31 @@ def latest_rows(
     )
 
 
+def latest_rows_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Sort-free latest-row-per-key for FACT-scale inputs: a
+    ``max(struct(order..., payload...))`` hash aggregate.
+
+    Struct comparison is lexicographic by field order, so with
+    ``order_cols`` forming a total order (unique tie-break included) the
+    max picks exactly the row ``latest_rows`` would — but as a hash
+    aggregate with map-side partial combine: only one candidate row per
+    key per partition crosses the shuffle, and nothing is sorted. Use
+    this when the input is the 100 TB side; ``latest_rows`` (window) only
+    when rank numbers are genuinely needed. The payload rides in the
+    struct and never influences the pick (order_cols tie-break first).
+    """
+    s = F.struct(*[F.col(c) for c in [*order_cols, *payload_cols]])
+    return df.groupBy(*keys).agg(F.max(s).alias("__l")).select(
+        *keys,
+        *[F.col(f"__l.{c}").alias(c) for c in [*order_cols, *payload_cols]],
+    )
+
+
 def inventory(
     history: DataFrame,
     keys: Sequence[str],

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
-from ..operators.latest_state import inventory, latest_rows
+from ..operators.latest_state import inventory, latest_rows, latest_rows_agg
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -32,13 +32,19 @@ from .registry import register
     """,
     survey_ops=("W1",),
     doc="Latest row per key — the account_ledger/gateway_ledger matview "
-    "semantics (migrations/1577040141-create-account.sql:22-27): "
-    "row_number()==1 over (key ORDER BY block DESC).",
+    "semantics (migrations/1577040141-create-account.sql:22-27). "
+    "Executed as a max(struct) aggregate with map-side partial combine "
+    "(latest_rows_agg): one candidate row per (key, partition) crosses "
+    "the shuffle instead of every order row. The window form lives on in "
+    "top_orders_per_customer, which genuinely needs rank numbers.",
 )
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    latest = latest_rows(
-        orders, ["o_custkey"], [col("o_orderdate").desc(), col("o_orderkey").desc()]
+    latest = latest_rows_agg(
+        orders,
+        keys=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        payload_cols=["o_orderstatus", "o_totalprice"],
     )
     return latest.select(
         "o_custkey",
@@ -115,15 +121,22 @@ def customer_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ops=("J3", "W1"),
     doc="Full latest row at max(block) per key — J3 history self-join "
-    "(migrations/1586706609-ledger_first_block.sql:7-11) as a window dedup; "
-    "avoids the reference's groupBy+self-join double scan.",
+    "(migrations/1586706609-ledger_first_block.sql:7-11), here as a "
+    "max(struct) aggregate with map-side partial combine (latest_rows_agg): "
+    "a window row_number would shuffle EVERY fact row; the aggregate moves "
+    "one candidate row per (key, map partition) — at 100 TB the shuffle "
+    "drops from corpus-sized to |keys|x|partitions|. (Spark executes "
+    "struct max as SortAggregate — the per-partition key sort is local "
+    "and spill-friendly; the network win is what matters.) Plan-gated: "
+    "partial_max present, no Window.",
 )
 def latest_shipment_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    latest = latest_rows(
+    latest = latest_rows_agg(
         li,
-        ["l_suppkey"],
-        [col("l_shipdate").desc(), col("l_orderkey").desc(), col("l_linenumber").desc()],
+        keys=["l_suppkey"],
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        payload_cols=["l_quantity"],
     )
     return latest.select(
         "l_suppkey",

@@ -167,6 +167,16 @@ def test_quantize_stats_zero_shuffle(plan):
     assert n_exchanges(p) == 0, p
 
 
+def test_latest_shipment_shuffles_one_row_per_key(plan):
+    # W1 over the FACT table: max(struct) aggregate with MAP-SIDE partial
+    # combine — only one candidate row per (key, partition) crosses the
+    # exchange. A window row_number would shuffle every lineitem row.
+    p = plan("latest_shipment_per_supplier")
+    assert "Window" not in p, p
+    assert "partial_max" in p, p
+    assert n_exchanges(p) == 1, p
+
+
 def test_asof_plan_builds_without_running_a_job(spark, monkeypatch):
     # J7: building the as-of plans must be fully lazy — the old design ran
     # an eager max-scan of events at plan-build time to bound the forward
