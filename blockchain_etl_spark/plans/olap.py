@@ -323,3 +323,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             depth.cast("long").alias("funnel_depth"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE: all 4 grouping sets of (event_type, day) in one aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "event_type_day_cube",
+    sql="""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS value_fp
+    FROM events
+    GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP))
+    """,
+    survey_ops=("A2",),
+    doc="CUBE aggregation: every combination of (event_type, day) "
+    "subtotals — per-cell, per-type, per-day, grand total — expanded "
+    "inside ONE hash aggregate (one shuffle), not four queries. Values "
+    "ride the 1e4 fixed-point contract so subtotal sums are exact across "
+    "engines. Complements region_customer_rollup (ROLLUP) for full "
+    "grouping-sets coverage.",
+)
+def event_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            col("ts").cast("date").cast("timestamp").alias("day"),
+            F.round(col("value") * 10000).cast("long").alias("v_fp"),
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_fp").alias("value_fp"),
+        )
+    )
