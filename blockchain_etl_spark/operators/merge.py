@@ -118,6 +118,11 @@ class ParquetMergeTarget:
     def current_version(self) -> int:
         return int(self._meta().get("version", 0))
 
+    def watermark(self) -> int:
+        """Last merge's watermark (-1 before any watermarked merge) — lets
+        callers skip a whole replayed batch before recomputing anything."""
+        return int(self._meta().get("watermark", -1))
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         v = self.current_version()
         if v == 0:

@@ -1,0 +1,114 @@
+"""Streaming document ingest — the training-data twin of BlockIngest: each
+microbatch of crawled documents is quality-gated, exact-deduped against
+everything already in the lake, appended to the clean corpus, and folded
+into the incremental MinHash index, with the same replay discipline as the
+chain ingest (idempotent chunk overwrite + watermark-guarded merges).
+
+Order of operations matches the batch plan `doc_clean_corpus`
+(plans/dedup.py): quality FIRST, then canonical-per-content-hash — so the
+streamed corpus converges to exactly the batch recompute over the union of
+all batches (tests/test_doc_ingest.py).
+
+Scale shape per batch: quality features are map-side HOFs; the in-batch
+canonical pick is one shuffle on the content hash (batch-sized, not
+corpus-sized); the against-lake check is an anti-join into the hash
+inventory (|corpus-hashes| rows — ids only, ~1e-4 of corpus bytes);
+signature maintenance shingles only the fresh documents (MinHashIndex).
+Nothing ever rescans the stored corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..operators.lsh_index import MinHashIndex
+from ..operators.merge import ParquetMergeTarget, merge_latest
+
+MIN_TOKENS = 10
+MIN_DISTINCT_FP = 150_000
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Map-side quality features: content hash, token count, vocabulary
+    diversity (fixed-point) — identical thresholds to doc_clean_corpus."""
+    toks = "filter(split(text, ' '), w -> length(w) > 0)"
+    return docs.withColumn("h", F.md5("text")).withColumn(
+        "n_tokens", F.expr(f"CAST(size({toks}) AS BIGINT)")
+    ).withColumn(
+        "distinct_fp",
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN NULL"
+            f" ELSE (size(array_distinct({toks})) * 1000000) div size({toks}) END"
+        ),
+    )
+
+
+class DocIngest:
+    """Directory layout: ``docs/chunk=<batch>/`` clean-corpus parquet,
+    ``hash_inventory/`` (ParquetMergeTarget: text_hash → canonical doc),
+    ``mh_index/`` (MinHashIndex signatures)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
+        self.index = MinHashIndex(os.path.join(out_dir, "mh_index"))
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch_id <= self.hashes.watermark():
+            # REPLAY of a fully-committed batch: the hash inventory already
+            # absorbed it, so recomputing `fresh` here would anti-join the
+            # batch against itself (empty) and clobber its chunk dir. The
+            # first-run crash window (chunk written, merges not yet) still
+            # replays fine — the watermark only advances on merge commit.
+            return
+        q = quality_features(batch)
+        good = q.filter(
+            (col("n_tokens") >= MIN_TOKENS) & (col("distinct_fp") >= MIN_DISTINCT_FP)
+        )
+        # in-batch canonical per content hash (min doc_id — the
+        # doc_clean_corpus rule); batch-sized shuffle.
+        w = Window.partitionBy("h")
+        firsts = good.withColumn("__min", F.min("doc_id").over(w)).filter(
+            col("doc_id") == col("__min")
+        ).drop("__min")
+        # against-lake exact dedup: drop anything whose hash is already
+        # canonical in the corpus (ids-only anti-join).
+        stored = self.hashes.read(spark)
+        if stored is not None:
+            firsts = firsts.join(
+                stored.select(col("text_hash").alias("h")), ["h"], "left_anti"
+            )
+        # chunk write is overwrite-idempotent; replays rewrite the same dir.
+        # localCheckpoint: three consumers below (write, hash merge, index
+        # upsert) must agree on the fresh set even under re-computation.
+        fresh = firsts.localCheckpoint()
+        fresh.drop("h", "n_tokens", "distinct_fp").write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, "docs", f"chunk={batch_id}")
+        )
+        self.hashes.merge_with(
+            spark,
+            fresh.select(col("h").alias("text_hash"), col("doc_id").alias("canonical_doc_id")),
+            lambda target, upd: merge_latest(
+                target, upd, keys=["text_hash"], order=["canonical_doc_id"]
+            ),
+            watermark=batch_id,
+        )
+        self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+
+    def read_corpus(self, spark: SparkSession) -> DataFrame:
+        import glob as _glob
+
+        base = os.path.join(self.out_dir, "docs")
+        chunks = _glob.glob(os.path.join(base, "chunk=*"))
+        if not chunks:
+            raise FileNotFoundError(base)
+        return (
+            spark.read.option("basePath", base)
+            .parquet(*chunks)
+            .drop("chunk")
+        )

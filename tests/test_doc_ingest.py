@@ -1,0 +1,91 @@
+"""Streaming document ingest: chunked processing (with replay) must
+converge to the batch corpus-cleaning recompute over the full input, and
+the maintained MinHash index must equal the batch signatures of the clean
+corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from blockchain_etl_spark.plans.dedup import minhash_signatures, shingle_rows_from_text
+from blockchain_etl_spark.streaming.docs import (
+    MIN_DISTINCT_FP,
+    MIN_TOKENS,
+    DocIngest,
+    quality_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    # inject cross-chunk exact duplicates and junk the quality gate drops:
+    # doc 100000/100001 duplicate doc 3's text in later chunks; 100002 is
+    # low-quality repetition.
+    extra = [
+        Row(doc_id=100000, text=None, lang="en"),
+        Row(doc_id=100001, text=None, lang="en"),
+        Row(doc_id=100002, text=" ".join(["dup"] * 60), lang="en"),
+        Row(doc_id=100003, text="too short", lang="en"),
+    ]
+    t3 = base.filter(col("doc_id") == 3).collect()[0].text
+    rows = [Row(doc_id=r.doc_id, text=(t3 if r.text is None else r.text), lang=r.lang)
+            for r in extra]
+    return base.unionByName(spark.createDataFrame(rows, base.schema))
+
+
+def _batch_clean(spark, docs):
+    """Independent batch recompute: quality gate, then min-doc_id canonical
+    per content hash (the doc_clean_corpus rule)."""
+    from pyspark.sql import Window
+
+    q = quality_features(docs).filter(
+        (col("n_tokens") >= MIN_TOKENS) & (col("distinct_fp") >= MIN_DISTINCT_FP)
+    )
+    w = Window.partitionBy("h")
+    return q.withColumn("__m", F.min("doc_id").over(w)).filter(
+        col("doc_id") == col("__m")
+    ).select("doc_id", "text", "lang")
+
+
+def test_chunked_ingest_equals_batch_clean(spark, tmp_path):
+    docs = _docs(spark).cache()
+    ing = DocIngest(str(tmp_path / "doc_lake"))
+    chunks = [(0, 200), (200, 400), (400, 10**9)]
+    for i, (lo, hi) in enumerate(chunks):
+        ing.process_batch(
+            docs.filter((col("doc_id") >= lo) & (col("doc_id") < hi)), i
+        )
+    # replay the last chunk — idempotent (watermark guards the merges, the
+    # chunk dir is overwritten with identical content)
+    ing.process_batch(docs.filter(col("doc_id") >= 400), 2)
+
+    got = {(r.doc_id, r.text, r.lang) for r in ing.read_corpus(spark).collect()}
+    want = {(r.doc_id, r.text, r.lang) for r in _batch_clean(spark, docs).collect()}
+    assert got == want
+    # the injected duplicates and junk were dropped
+    kept_ids = {t[0] for t in got}
+    assert {100000, 100001, 100002, 100003}.isdisjoint(kept_ids)
+
+    # the maintained index equals batch signatures over the clean corpus
+    clean = _batch_clean(spark, docs).select("doc_id", "text")
+    want_sig = {
+        tuple(r) for r in minhash_signatures(shingle_rows_from_text(clean)).collect()
+    }
+    got_sig = {tuple(r) for r in ing.index.signatures(spark).collect()}
+    assert got_sig == want_sig
+
+
+def test_cross_chunk_duplicate_keeps_first_arrival(spark, tmp_path):
+    docs = _docs(spark)
+    ing = DocIngest(str(tmp_path / "doc_lake2"))
+    ing.process_batch(docs.filter(col("doc_id") < 10), 0)
+    ing.process_batch(docs.filter(col("doc_id") >= 100000), 1)
+    kept = {r.doc_id for r in ing.read_corpus(spark).collect()}
+    assert 3 in kept  # original
+    assert 100000 not in kept and 100001 not in kept  # later exact copies

@@ -258,3 +258,32 @@ def test_snapshot_sink(spark, tmp_path):
     assert manifest["height"] == 40 and "transactions" in manifest["tables"]
     snap_txns = spark.read.parquet(os.path.join(snap, "transactions"))
     assert snap_txns.agg(F.max("block")).first()[0] <= 40
+
+
+def test_protowire_roundtrip_property():
+    """Property: any message built from valid (field, wire0/wire2, value)
+    triples round-trips through encode_field -> parse_fields exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blockchain_etl_spark.functions.protowire import (
+        WIRE_LEN,
+        WIRE_VARINT,
+        encode_field,
+        parse_fields,
+    )
+
+    field_nums = st.integers(min_value=1, max_value=2**28)
+    varints = st.integers(min_value=0, max_value=2**63 - 1)
+    triple = st.one_of(
+        st.tuples(field_nums, st.just(WIRE_VARINT), varints),
+        st.tuples(field_nums, st.just(WIRE_LEN), st.binary(max_size=64)),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(triple, max_size=20))
+    def check(triples):
+        buf = b"".join(encode_field(f, w, v) for f, w, v in triples)
+        assert parse_fields(buf) == [(f, w, v) for f, w, v in triples]
+
+    check()
