@@ -43,13 +43,31 @@ def oracle_sql():
     return get_oracle_sql()
 
 
+_LAZY = {
+    "BlockIngest": ("blockchain_etl_spark.streaming.ingest", "BlockIngest"),
+    "DocIngest": ("blockchain_etl_spark.streaming.docs", "DocIngest"),
+    "MinHashIndex": ("blockchain_etl_spark.operators.lsh_index", "MinHashIndex"),
+    "IVFIndex": ("blockchain_etl_spark.operators.ann_index", "IVFIndex"),
+}
+
+
 def __getattr__(name):
     # lazy so `import blockchain_etl_spark` stays instant (no Spark import)
-    if name == "BlockIngest":
-        from .streaming.ingest import BlockIngest
+    if name in _LAZY:
+        import importlib
 
-        return BlockIngest
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(name)
 
 
-__all__ = ["get_spark", "queries", "oracle_sql", "BlockIngest", "__version__"]
+__all__ = [
+    "get_spark",
+    "queries",
+    "oracle_sql",
+    "BlockIngest",
+    "DocIngest",
+    "MinHashIndex",
+    "IVFIndex",
+    "__version__",
+]
