@@ -360,3 +360,55 @@ def event_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_fp").alias("value_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users cohorted by first-activity week; per (cohort,
+# week-offset) distinct active users — the standard retention matrix.
+# --------------------------------------------------------------------------
+@register(
+    "events_retention_cohorts",
+    sql="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      FROM events)
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_index,
+           COUNT(*) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort, date_diff('day', cohort, wk) // 7
+    """,
+    survey_ops=(),
+    doc="Weekly cohort retention matrix: cohort = week of first activity, "
+    "week_index = whole weeks since (day-difference div 7 — identical "
+    "integer arithmetic in both engines; engine-native 'week' datediffs "
+    "disagree on boundary rules). (cohort, wk, user) triples are distinct "
+    "before counting, so COUNT(*) == COUNT(DISTINCT user) without a "
+    "second distinct aggregation. Scale shape: two hash aggregates on "
+    "user_id feeding a user_id-keyed join — cohort assignment never "
+    "rescans raw events.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("week", col("first_ts")).cast("date").alias("cohort"))
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        activity.join(firsts, ["user_id"])
+        .select(
+            col("cohort").cast("timestamp").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").alias("week_index"),
+        )
+        .groupBy("cohort_week", "week_index")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
