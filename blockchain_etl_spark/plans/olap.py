@@ -412,3 +412,133 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_index")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# Moving window frame: trailing 3-day per-user activity. RANGE frame over a
+# day-grain pre-aggregate — the window never sees raw events.
+# --------------------------------------------------------------------------
+@register(
+    "events_user_moving_stats",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(25,6))) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS n_events_3d,
+           CAST(SUM(v) OVER w AS DOUBLE) AS value_sum_3d
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+    """,
+    survey_ops=("A4",),
+    doc="Trailing 3-day moving sum/count per user: day-grain pre-aggregate "
+    "(exact DECIMAL accumulator), then a RANGE-interval window frame over "
+    "integer day numbers. ONE exchange total: an explicit repartition on "
+    "user_id satisfies both the (user_id, day) hash aggregate and the "
+    "user_id window partitioning, so Catalyst reuses the same shuffle for "
+    "both — and the frame walks ~days-per-user rows, never raw events.",
+)
+def events_user_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.repartition("user_id")
+        .groupBy("user_id", col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(col("value").cast("decimal(25,6)")).alias("v"),
+        )
+        .withColumn("day_num", F.datediff(col("day"), F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num").rangeBetween(-2, 0)
+    return daily.select(
+        "user_id",
+        col("day").cast("timestamp").alias("day"),
+        F.sum("n_events").over(w).cast("long").alias("n_events_3d"),
+        F.sum("v").over(w).cast("double").alias("value_sum_3d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram + cumulative distribution of order value.
+# --------------------------------------------------------------------------
+@register(
+    "order_value_histogram",
+    sql="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT bucket,
+           bucket * 25000 AS bucket_lo,
+           (bucket + 1) * 25000 AS bucket_hi,
+           n_orders,
+           CAST(SUM(n_orders) OVER (ORDER BY bucket
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_orders,
+           CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER () AS share
+    FROM b
+    """,
+    survey_ops=("A2",),
+    doc="Equi-width value histogram with cumulative counts and shares: one "
+    "hash aggregate on the bucket key (map-side combinable — executors "
+    "emit at most n_buckets rows each), then window passes over the "
+    "BUCKET-GRAIN result only (dozens of rows), where a single-partition "
+    "window is free. The share division is one int/int IEEE op — "
+    "deterministic cross-engine without decimal scaffolding.",
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.floor(col("o_totalprice") / 25000).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return b.select(
+        "bucket",
+        (col("bucket") * 25000).alias("bucket_lo"),
+        ((col("bucket") + 1) * 25000).alias("bucket_hi"),
+        "n_orders",
+        F.sum("n_orders").over(w_cum).cast("long").alias("cum_orders"),
+        (col("n_orders").cast("double") / F.sum("n_orders").over(w_all)).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Decile segmentation: ntile over a total order, per-decile rollup.
+# --------------------------------------------------------------------------
+@register(
+    "customer_balance_deciles",
+    sql="""
+    WITH d AS (
+      SELECT c_custkey, c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+    FROM d GROUP BY decile
+    """,
+    survey_ops=("A2",),
+    doc="Customer deciles by account balance (ntile with a c_custkey "
+    "tiebreak so bucket assignment is total-order deterministic), rolled "
+    "up to per-decile count/min/max/decimal-sum. Exact ntile requires a "
+    "total sort of the keyed projection (2 narrow columns, not the row); "
+    "the 100 TB path swaps the sort for approx_percentile boundary cuts — "
+    "this form is the exact yardstick the sketch is judged against.",
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    d = cust.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey"))
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.sum(col("c_acctbal").cast("decimal(25,6)")).cast("double").alias("total_bal"),
+    )

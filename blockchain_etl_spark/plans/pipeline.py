@@ -269,6 +269,18 @@ def _dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first corpus that doesn't fit in one machine's memory.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    return (
+        labels.groupBy(col("label").alias("component_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(col("n_docs") > 1)
+    )
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) for EVERY document — label = min doc_id reachable
+    over the candidate-edge graph (singletons label themselves). Shared by
+    dedup_components and dedup_cluster_representatives."""
     e = _dedup_edges(spark, sf_dir)
     edges = (
         e.unionByName(e.select(col("dst").alias("src"), col("src").alias("dst")))
@@ -301,10 +313,61 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return (
-        labels.groupBy(col("label").alias("component_id"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
-        .filter(col("n_docs") > 1)
+    return labels
+
+
+# --------------------------------------------------------------------------
+# Dedup keep-best: the decision step after clustering. Every component
+# (including singletons) elects ONE representative — the longest document,
+# ties to the smallest doc_id — and the output IS the surviving corpus,
+# each row carrying how many near-dups it absorbed. This is the query a
+# training pipeline actually materializes; components alone are diagnostics.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cluster_representatives",
+    sql=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT edges.dst, reach.label
+      FROM reach JOIN edges ON edges.src = reach.doc_id
+      WHERE reach.label < edges.dst),
+    comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY comp.component_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY comp.component_id) AS n_merged
+      FROM comp JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, source, n_chars, n_merged
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ops=("X2", "A10"),
+    doc="Surviving corpus after near-dup clustering: per component keep the "
+    "longest doc (tie → smallest doc_id), with n_merged = cluster size. "
+    "Spark elects representatives with ONE max(struct(n_chars, -doc_id)) "
+    "hash aggregate per component — map-side combinable, no per-component "
+    "window sort — then joins attributes back on the (already-distinct) "
+    "winner ids. Shuffles: the label aggregate + one id-keyed join; both "
+    "partition on keys whose cardinality grows with the corpus, so the "
+    "plan holds at 100 TB.",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        labels.join(docs.select("doc_id", "n_chars"), ["doc_id"])
+        .groupBy("label")
+        .agg(
+            F.max(F.struct(col("n_chars"), (-col("doc_id")).alias("nid"))).alias("best"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select((-col("best.nid")).alias("doc_id"), "n_merged")
+    )
+    return reps.join(docs, ["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars", "n_merged"
     )
 
 

@@ -379,3 +379,62 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_fp.alias("dup_fraction_fp"),
         F.when(col("n_bigrams") > 0, dup_fp > 300000).alias("is_repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII-shaped pattern scrubbing: global regex redaction + per-pattern match
+# counts. The patterns are the standard training-pipeline scrub set (email,
+# phone) plus a secret-shaped long-token rule that this corpus actually
+# exercises; all three use the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically — no lookaround, no backreferences.
+# --------------------------------------------------------------------------
+_SCRUB_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SCRUB_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_SCRUB_LONGTOKEN = r"\b[a-z]{8,}\b"
+
+
+@register(
+    "doc_pattern_scrub",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_EMAIL}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_PHONE}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_LONGTOKEN}')) AS INT)
+             AS n_secret,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_SCRUB_EMAIL}', '[EMAIL]', 'g'),
+                   '{_SCRUB_PHONE}', '[PHONE]', 'g'),
+                 '{_SCRUB_LONGTOKEN}', '[SECRET]', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+    survey_ops=("F9",),
+    doc="PII/secret scrubbing pass: per document, count matches of each "
+    "scrub pattern and emit the md5 of the fully-redacted text (the hash "
+    "keeps the oracle row narrow; production writes the redacted text "
+    "itself). Pure JVM regexp_replace/regexp_extract_all projection — "
+    "zero exchanges, scan-speed at 100 TB. Patterns stay inside the "
+    "Java∩RE2 regex subset so both engines redact byte-identically.",
+)
+def doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col("text"), _SCRUB_EMAIL, "[EMAIL]"),
+            _SCRUB_PHONE,
+            "[PHONE]",
+        ),
+        _SCRUB_LONGTOKEN,
+        "[SECRET]",
+    )
+    # column-API regexp_* take the pattern as a plain string/Column — no SQL
+    # string-literal escaping pass, so backslashes survive verbatim
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(col("text"), F.lit(_SCRUB_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(col("text"), F.lit(_SCRUB_PHONE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all(col("text"), F.lit(_SCRUB_LONGTOKEN), F.lit(0))).alias(
+            "n_secret"
+        ),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

@@ -194,3 +194,25 @@ def test_asof_plan_builds_without_running_a_job(spark, monkeypatch):
     for name in ("events_asof_price", "event_burn_valuation"):
         df = qs[name](spark, SF)
         assert df.columns  # plan built, nothing executed
+
+
+def test_moving_stats_single_shared_shuffle(plan):
+    # the repartition("user_id") serves BOTH the (user_id, day) aggregate
+    # and the user_id window — exactly one exchange in the whole plan.
+    p = plan("events_user_moving_stats")
+    assert n_exchanges(p) == 1, p
+
+
+def test_pattern_scrub_zero_shuffle(plan):
+    # per-doc regex projection: scan speed, no exchange.
+    p = plan("doc_pattern_scrub")
+    assert n_exchanges(p) == 0, p
+
+
+def test_cluster_representatives_no_raw_text_shuffle(plan):
+    # the keep-best election shuffles ids/labels/length only — the document
+    # text column must be pruned out of every exchange.
+    p = plan("dedup_cluster_representatives")
+    for k in _hash_partition_keys(p):
+        assert "text" not in k, (k, p)
+    assert "CartesianProduct" not in p, p
