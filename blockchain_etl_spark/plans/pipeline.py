@@ -381,6 +381,57 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 _TEST_SOURCES = ("src0", "src1")
 
 
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shingle): distinct word-5-gram shingles per doc —
+    shared by doc_contamination (exact join) and doc_contamination_bloom
+    (bitmap scale path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        """
+            filter(
+              transform(toks, (w, i) ->
+                IF(i <= size(toks) - 5,
+                   concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]),
+                   NULL)),
+              s -> s IS NOT NULL)
+            """
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+# the shingle CTE shared by both contamination oracles
+_SHINGLES_SQL = """
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source, shingle FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 4
+                        THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4] END),
+                 s -> s IS NOT NULL)) AS shingle
+        FROM toks) t)
+"""
+
+
 @register(
     "doc_contamination",
     sql="""
@@ -419,32 +470,7 @@ _TEST_SOURCES = ("src0", "src1")
     "shingle — no broadcast, no all-pairs.",
 )
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        """
-            filter(
-              transform(toks, (w, i) ->
-                IF(i <= size(toks) - 5,
-                   concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]),
-                   NULL)),
-              s -> s IS NOT NULL)
-            """
-                    )
-                )
-            ).alias("shingle"),
-        )
-    )
+    sh = _doc_shingles(spark, sf_dir)
     train = (
         sh.filter(~col("source").isin(*_TEST_SOURCES))
         .select("shingle")
@@ -460,4 +486,120 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__hit").alias("n_contaminated"),
             (F.count("__hit").cast("double") / F.count(F.lit(1))).alias("containment"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the broadcast scale path. The exact join
+# in doc_contamination shuffles BOTH sides on the shingle; at 100 TB the
+# train side is the whole corpus and that shuffle dominates the job. The
+# bloom pass compresses the train shingle set into a fixed-size bitmap
+# (4096 × 63-bit words here ≈ 32 KB) built with one bit_or aggregate, then
+# probes it with a broadcast join — the test side never shuffles and the
+# train side shuffles 4096-key words, not shingles. False positives are
+# possible (never negatives); the md5-derived hash positions make them
+# DETERMINISTIC, so the oracle reproduces the identical bitmap and the
+# identical candidate set. Exact-join the candidates afterwards if zero
+# false positives are required — on the (tiny) candidate subset only.
+# --------------------------------------------------------------------------
+_BLOOM_M = 4096 * 63  # total bits; 63-bit words (DuckDB << overflows at 63)
+_BLOOM_SALTS = ("b0:", "b1:", "b2:")
+
+
+def _bloom_pos_sql_duck(salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || shingle), 1, 15) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_spark(salt: str):
+    return F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}', shingle)), 1, 15), 16, 10) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+@register(
+    "doc_contamination_bloom",
+    sql=f"""
+    WITH {_SHINGLES_SQL},
+    train AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE source NOT IN ('src0', 'src1')),
+    bitmap AS (
+      SELECT pos // 63 AS word,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql_duck(s) for s in _BLOOM_SALTS)}]) AS pos
+        FROM train) p
+      GROUP BY 1),
+    testsh AS (
+      SELECT doc_id, shingle FROM sh WHERE source IN ('src0', 'src1')),
+    probe AS (
+      SELECT doc_id, shingle,
+             CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << CAST(p.pos % 63 AS INT))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM (
+        SELECT doc_id, shingle,
+               unnest([{", ".join(_bloom_pos_sql_duck(s) for s in _BLOOM_SALTS)}]) AS pos
+        FROM testsh) p
+      LEFT JOIN bitmap b ON b.word = p.pos // 63),
+    per_sh AS (
+      SELECT doc_id, shingle, MIN(hit) AS all_hit FROM probe GROUP BY 1, 2)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(all_hit) AS BIGINT) AS n_candidates,
+           CAST(SUM(all_hit) AS DOUBLE) / COUNT(*) AS bloom_containment
+    FROM per_sh GROUP BY doc_id
+    """,
+    survey_ops=(),
+    doc="Decontamination via a deterministic Bloom filter: 3 md5-salted "
+    "hash positions per train shingle bit_or-folded into a 32 KB bitmap "
+    "(one aggregate over 4096 word keys), broadcast to the probe side — "
+    "the held-out docs check membership without any shingle-keyed "
+    "shuffle. The superset-candidate semantics (possible false positives, "
+    "no false negatives) are reproduced exactly by the oracle because "
+    "every hash position is md5-derived.",
+)
+def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    train = sh.filter(~col("source").isin(*_TEST_SOURCES)).select("shingle").distinct()
+    positions = F.array(*[_bloom_pos_spark(s) for s in _BLOOM_SALTS])
+    bitmap = (
+        train.select(F.explode(positions).alias("pos"))
+        .select(
+            F.expr("pos div 63").alias("word"),
+            F.expr("CAST(pos % 63 AS INT)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("bits"))
+    )
+    testsh = sh.filter(col("source").isin(*_TEST_SOURCES)).select("doc_id", "shingle")
+    probe = (
+        testsh.select("doc_id", "shingle", F.explode(positions).alias("pos"))
+        .select(
+            "doc_id",
+            "shingle",
+            F.expr("pos div 63").alias("word"),
+            F.expr("CAST(pos % 63 AS INT)").alias("bit"),
+        )
+        .join(F.broadcast(bitmap), ["word"], "left")
+        .select(
+            "doc_id",
+            "shingle",
+            F.when(
+                col("bits").isNotNull()
+                & (col("bits").bitwiseAND(F.expr("shiftleft(1L, bit)")) != 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+    )
+    per_sh = probe.groupBy("doc_id", "shingle").agg(F.min("hit").alias("all_hit"))
+    return per_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("all_hit").cast("long").alias("n_candidates"),
+        (F.sum("all_hit").cast("double") / F.count(F.lit(1))).alias("bloom_containment"),
     )

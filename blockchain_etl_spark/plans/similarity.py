@@ -545,3 +545,62 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_max(errs)").alias("max_err_fp"),
         F.expr("aggregate(errs, 0L, (a, x) -> a + x * x)").alias("sse_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recall evaluation: IVF (approximate) against brute-force (exact ground
+# truth) — the "measure, don't guess" loop every ANN deployment needs.
+# Both sides are this module's own registered queries, so the oracle is
+# their SQL composed verbatim; recall@k = |approx ∩ exact| / k per query.
+# --------------------------------------------------------------------------
+def _registered_sql(name: str) -> str:
+    from .registry import QUERIES
+
+    return QUERIES[name].sql
+
+
+@register(
+    "knn_recall_eval",
+    sql=None,  # composed from the sibling queries' SQL below, post-registration
+    survey_ops=(),
+    doc="ANN quality gate: per-query recall@k of the IVF index against the "
+    "exact brute-force top-k. Composes the two registered queries — in "
+    "production this runs on a sampled query set after each index build, "
+    "and a recall drop blocks the index swap. The comparison join is on "
+    "(qid, neighbor_id): k·|queries| rows, negligible at any scale.",
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_cosine_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    approx = knn_cosine_ivf(spark, sf_dir).select("qid", "neighbor_id")
+    hit = exact.withColumn("__hit", F.lit(1))
+    return (
+        approx.join(hit, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.count("__hit").alias("n_hit"),
+            (F.count("__hit").cast("double") / F.lit(_TOP_K)).alias("recall_at_k"),
+        )
+    )
+
+
+# compose the oracle from the sibling queries' SQL now that both are
+# registered (WITH-in-subquery is valid DuckDB)
+def _finalize_recall_oracle() -> None:
+    from .registry import QUERIES
+
+    QUERIES["knn_recall_eval"].sql = f"""
+    WITH exact AS ({_registered_sql("knn_cosine_bruteforce")}),
+    approx AS ({_registered_sql("knn_cosine_ivf")})
+    SELECT a.qid,
+           COUNT(*) AS n_approx,
+           COUNT(e.neighbor_id) AS n_hit,
+           CAST(COUNT(e.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM approx a
+    LEFT JOIN exact e
+      ON e.qid = a.qid AND e.neighbor_id = a.neighbor_id
+    GROUP BY a.qid
+    """
+
+
+_finalize_recall_oracle()

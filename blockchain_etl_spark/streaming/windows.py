@@ -132,3 +132,59 @@ def deduped_event_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def purchase_attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join (T3/T4): attribute each purchase to the
+    click(s) by the same user within the preceding ``horizon_s`` seconds.
+
+    Both inputs are watermarked so Spark can BOUND the join state: a
+    buffered click is evicted once the purchase-side watermark passes
+    ``click.ts + horizon`` (the interval condition gives the engine the
+    eviction rule — an unbounded-condition stream join would buffer
+    forever). Inner join: unmatched purchases are droppable here; the
+    attribution report is a separate batch query.
+
+    Scale shape: state is partitioned by the join key (user_id), so the
+    operator scales horizontally like any keyed state; the watermark, not
+    the data volume, bounds per-key memory.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon_s} SECONDS
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "amount",
+    )

@@ -202,3 +202,54 @@ def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     ).collect()
     ids = sorted(r.event_id for r in out)
     assert ids == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Purchases attribute to same-user clicks within the preceding hour —
+    across microbatch boundaries (clicks arrive in an earlier batch than
+    the purchases they match), with out-of-window purchases dropped."""
+    from blockchain_etl_spark.streaming.windows import purchase_attribution_stream
+
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    # batch 1: clicks only
+    _write_chunk(
+        spark,
+        [
+            _ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+            _ev(4, "2024-01-01 10:00:00", 2, "click", 0.0),
+            _ev(5, "2024-01-01 10:45:00", 2, "click", 0.0),
+        ],
+        str(indir / "c0.parquet"),
+    )
+    # batch 2: purchases (one in-window per user 1, one exactly-at-horizon
+    # and one mid-window for user 2, one out-of-window for user 1)
+    _write_chunk(
+        spark,
+        [
+            _ev(2, "2024-01-01 10:30:00", 1, "purchase", 9.5),
+            _ev(3, "2024-01-01 12:00:00", 1, "purchase", 1.0),
+            _ev(6, "2024-01-01 11:00:00", 2, "purchase", 3.25),
+        ],
+        str(indir / "c1.parquet"),
+    )
+
+    def build(stream):
+        clicks = stream.filter(stream.event_type == "click")
+        purchases = stream.filter(stream.event_type == "purchase")
+        return purchase_attribution_stream(clicks, purchases, horizon_s=3600)
+
+    out = _run_stream(
+        spark,
+        str(indir / "*.parquet"),
+        build,
+        "attribution_sink",
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    # purchase 2 ← click 1; purchase 6 ← clicks 4 (exactly 1h) and 5;
+    # purchase 3 matches nothing (last click 2h earlier)
+    assert got == {(2, 1), (6, 4), (6, 5)}
+    amounts = {r.purchase_id: r.amount for r in out.collect()}
+    assert amounts[2] == 9.5 and amounts[6] == 3.25
