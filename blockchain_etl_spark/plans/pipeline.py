@@ -603,3 +603,139 @@ def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("all_hit").cast("long").alias("n_candidates"),
         (F.sum("all_hit").cast("double") / F.count(F.lit(1))).alias("bloom_containment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-mixture rebalancing: per-source sampling rates that equalize source
+# contributions (the "domain mixing" step of a training-data pipeline),
+# applied with the same md5-bucket determinism as doc_sample_stratified.
+# Rates are integer fixed-point (ppm) so both engines compute identical
+# keep decisions.
+# --------------------------------------------------------------------------
+@register(
+    "doc_mixture_rebalance",
+    sql="""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                 COUNT(*) AS n_sources FROM s),
+    r AS (SELECT source, n_docs,
+                 LEAST(1000000,
+                       ((total // n_sources) * 1000000) // n_docs) AS rate_ppm
+          FROM s, t),
+    k AS (SELECT d.source, r.n_docs, r.rate_ppm,
+                 CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 1000000 AS b
+          FROM documents d JOIN r ON r.source = d.source)
+    SELECT source, n_docs, rate_ppm,
+           CAST(SUM(CASE WHEN b < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM k GROUP BY source, n_docs, rate_ppm
+    """,
+    survey_ops=(),
+    doc="Domain-mixture rebalancing: per-source counts set a fixed-point "
+    "(ppm) sampling rate targeting equal contributions; each doc's keep "
+    "decision is an md5-bucket threshold — RNG-free, identical on any "
+    "engine or cluster size. Plan: one aggregate builds the (tiny) rate "
+    "table, broadcast back onto the corpus; the only corpus-wide shuffle "
+    "is the final per-source rollup (drop it when materializing the "
+    "sampled rows instead of the report).",
+)
+def doc_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    r = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1000000),
+            F.expr("((total div n_sources) * 1000000) div n_docs"),
+        ).alias("rate_ppm"),
+    )
+    b = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        " % 1000000"
+    )
+    k = docs.select("doc_id", "source", b.alias("b")).join(F.broadcast(r), ["source"])
+    return k.groupBy("source", "n_docs", "rate_ppm").agg(
+        F.sum(F.when(col("b") < col("rate_ppm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed token-budget bins — the
+# sample-packing step before training. Packing is PER SHARD (md5-derived),
+# so the cumulative-sum window parallelizes across shards instead of
+# forcing one global sort; each shard's bins are then budget-sliced by
+# integer division of the running token offset.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 16
+
+
+@register(
+    "doc_pack_sequences",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT)
+               % {_PACK_SHARDS} AS shard,
+             CAST(CEIL(length(text) / 4.0) AS BIGINT) AS toks
+      FROM documents),
+    c AS (
+      SELECT shard, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT shard,
+           CAST((cum - toks) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+    survey_ops=("A4",),
+    doc="Token-budget sequence packing: estimated token counts cumsum per "
+    "md5-shard (window partitioned by shard → embarrassingly parallel, no "
+    "global sort), bin = running-offset div budget. One shuffle on the "
+    "shard key serves the window AND the bin rollup; shard count scales "
+    "with the cluster, and packing quality is per-shard greedy — the "
+    "standard trade at 100 TB, where a global pack order is neither "
+    "feasible nor needed.",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+            f" % {_PACK_SHARDS}"
+        ).alias("shard"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("toks"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = t.withColumn("cum", F.sum("toks").over(w))
+    return (
+        c.select(
+            "shard",
+            F.expr(f"(cum - toks) div {_PACK_BUDGET}").cast("long").alias("bin_id"),
+            "doc_id",
+            "toks",
+        )
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
