@@ -48,6 +48,14 @@ _LAZY = {
     "DocIngest": ("blockchain_etl_spark.streaming.docs", "DocIngest"),
     "MinHashIndex": ("blockchain_etl_spark.operators.lsh_index", "MinHashIndex"),
     "IVFIndex": ("blockchain_etl_spark.operators.ann_index", "IVFIndex"),
+    "read_jsonl_documents": (
+        "blockchain_etl_spark.sources.textcorpus",
+        "read_jsonl_documents",
+    ),
+    "read_csv_documents": (
+        "blockchain_etl_spark.sources.textcorpus",
+        "read_csv_documents",
+    ),
 }
 
 
@@ -69,5 +77,7 @@ __all__ = [
     "DocIngest",
     "MinHashIndex",
     "IVFIndex",
+    "read_jsonl_documents",
+    "read_csv_documents",
     "__version__",
 ]

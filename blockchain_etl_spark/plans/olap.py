@@ -542,3 +542,33 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_bal"),
         F.sum(col("c_acctbal").cast("decimal(25,6)")).cast("double").alias("total_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch path: approximate distincts + quantiles. At 100 TB the exact
+# forms (count distinct, percentile_disc, ntile) pay key-cardinality
+# shuffles or total sorts; HyperLogLog++ and t-digest sketches are
+# map-side-combinable and constant-memory. Registered WITHOUT an oracle —
+# sketch estimates are engine-specific by nature, so the driver does the
+# rows-only check and tests/test_olap.py bounds the estimation error
+# against the exact queries instead.
+# --------------------------------------------------------------------------
+@register(
+    "events_approx_stats",
+    sql=None,
+    survey_ops=("A3",),
+    doc="Per-event-type approximate statistics: HyperLogLog++ distinct "
+    "users (approx_count_distinct, rsd 2%) and t-digest value quantiles "
+    "(approx_percentile) in ONE map-side-combinable aggregate — "
+    "constant-memory sketches that replace the exact count-distinct "
+    "shuffle and the ntile total sort at 100 TB. No oracle by design "
+    "(sketches are engine-specific); error is bounded against the exact "
+    "queries in pytest.",
+)
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+    )

@@ -292,27 +292,26 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-label propagation to fixpoint: labels flow along edges; converged
     # when a round changes nothing. Component diameters in dedup graphs are
     # tiny (chains of near-dups), so this terminates in a few rounds.
+    # Convergence test: labels only ever DECREASE, so sum(label) is strictly
+    # monotone while anything changes — an O(1)-output aggregate per round
+    # instead of a join of old vs new labels (which cost a second shuffle
+    # and a full comparison pass per round).
+    prev_sum = None
     for _ in range(30):
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(col("dst").alias("doc_id"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(col("n.label") != col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        label_sum = labels.agg(F.sum("label")).first()[0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
 
 

@@ -1,0 +1,40 @@
+"""Partition-count independence: the determinism contract says no output
+value may depend on how the data is partitioned. Run representative
+queries (hash-bucket sampling, shard packing, bloom bitmaps, iterative
+clustering, window frames) under different shuffle-partition settings and
+require identical row sets."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "doc_pack_sequences",
+    "doc_mixture_rebalance",
+    "doc_contamination_bloom",
+    "dedup_cluster_representatives",
+    "events_user_moving_stats",
+    "order_value_histogram",
+]
+
+
+def _rows(df):
+    return {tuple(tuple(v) if isinstance(v, list) else v for v in r) for r in df.collect()}
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_partition_count_invariance(spark, name):
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    fn = get_queries()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = _rows(fn(spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = _rows(fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, name

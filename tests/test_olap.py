@@ -22,3 +22,39 @@ def test_pivot_total_counts_unlisted_event_types(spark):
     assert got[2]["n_total"] == 2
     assert got[2]["n_click"] == 1
     assert sum(got[2][f"n_{t}"] for t in _EVENT_TYPES) == 1
+
+
+def test_approx_stats_error_bounds(spark):
+    """The sketch query's estimates must sit within tight bounds of the
+    exact answers (rsd 2% HLL -> allow 5%; t-digest accuracy 1e4 -> 2%
+    of the value range)."""
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in get_queries()["events_approx_stats"](spark, sf).collect()}
+
+    from blockchain_etl_spark.sources.testdata import load_table
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, sf, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g.approx_users - e.users) <= max(2, 0.05 * e.users), et
+        # the GK sketch guarantees RANK error <= n/accuracy, not value
+        # error: assert the fraction of values at or below each estimate
+        # is within 1% (plus small-group slack) of the target quantile
+        for approx_q, p in zip(g.value_quantiles, (0.5, 0.9, 0.99)):
+            frac = (
+                events.filter(
+                    (F.col("event_type") == et) & (F.col("value") <= approx_q)
+                ).count()
+                / e.n
+            )
+            assert abs(frac - p) <= 0.01 + 2.0 / e.n, (et, p, frac)
