@@ -140,6 +140,91 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for candidate generation: a shingle seen in more
+# than this many documents is excluded from the candidate self-join (it
+# still counts toward the exact Jaccard of any pair found). Caps the
+# per-shingle pair fan-out at C(cap, 2) — the quadratic stop-shingle
+# blowup of the naive self-join cannot happen, at the cost of missing
+# pairs whose ONLY shared shingles are stop-shingles (which are exactly
+# the pairs a near-dup detector should not report anyway).
+_JACCARD_DF_CAP = 8
+
+
+@register(
+    "dedup_jaccard_dfcapped",
+    sql=f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM s
+      WHERE shingle IN (
+        SELECT shingle FROM s GROUP BY shingle
+        HAVING COUNT(*) <= {_JACCARD_DF_CAP})
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.intersection,
+           CAST(i.intersection AS DOUBLE) / (za.n + zb.n - i.intersection) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.intersection AS DOUBLE) / (za.n + zb.n - i.intersection) >= 0.012
+    """,
+    survey_ops=(),
+    doc="Skew-safe n-gram Jaccard: candidate pairs come only from shingles "
+    f"with document frequency <= {_JACCARD_DF_CAP}; the exact Jaccard of "
+    "each candidate is then verified over ALL its shingles. This is the "
+    "production form of the shingle self-join — per-shingle pair fan-out "
+    "is bounded by C(cap,2), so the stop-shingle quadratic blowup the "
+    "naive baseline suffers at 100 TB is structurally impossible. Shuffle "
+    "keys: shingle (df + candidates), then (doc_a, doc_b) (verify).",
+)
+def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager materialization: four consumers (df counts, candidate join,
+    # both verify sides) would otherwise recompute the shingle pipeline.
+    s = _shingle_rows(spark, sf_dir).localCheckpoint()
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare_shingles = (
+        s.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(col("df") <= _JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    rare = s.join(rare_shingles, ["shingle"])
+    cand = (
+        rare.select(col("doc_id").alias("doc_a"), "shingle")
+        .join(rare.select(col("doc_id").alias("doc_b"), "shingle"), ["shingle"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(s.select(col("doc_id").alias("doc_a"), "shingle"), ["doc_a"])
+        .join(s.select(col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    jac = col("intersection").cast("double") / (
+        col("na") + col("nb") - col("intersection")
+    )
+    return (
+        inter.join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
+        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= 0.012)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     sql=f"""

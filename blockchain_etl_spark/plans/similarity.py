@@ -604,3 +604,72 @@ def _finalize_recall_oracle() -> None:
 
 
 _finalize_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection: 64-dim float embeddings down to
+# 8 dims with a deterministic ±1 sign matrix (md5-derived, no RNG — the
+# repo-wide determinism contract). The standard cheap dimensionality
+# reduction before clustering / coarse ANN at 100 TB: map-side only, zero
+# shuffle, and the ±1 matrix means the projection is exact integer
+# arithmetic on the fixed-point inputs — no float accumulation order
+# hazard, so Spark and the oracle agree bit-for-bit.
+# --------------------------------------------------------------------------
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+
+
+def _rp_sign_strings() -> list[str]:
+    import hashlib
+
+    return [
+        "".join(
+            "+"
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else "-"
+            for i in range(_RP_IN_DIMS)
+        )
+        for j in range(_RP_OUT_DIMS)
+    ]
+
+
+_RP_SIGNS = _rp_sign_strings()
+
+_RP_COLS_SQL = ",\n".join(
+    f"""           CAST(list_sum(list_transform(embedding, (x, i) ->
+             CAST(ROUND(CAST(x AS DOUBLE) * 1e12) AS BIGINT)
+             * (CASE WHEN substr('{s}', i, 1) = '+' THEN 1 ELSE -1 END)))
+             AS BIGINT) AS r{j}"""
+    for j, s in enumerate(_RP_SIGNS)
+)
+
+
+@register(
+    "embedding_random_projection",
+    sql=f"""
+    SELECT vec_id,
+{_RP_COLS_SQL}
+    FROM embeddings
+    """,
+    survey_ops=(),
+    doc=f"JL random projection {_RP_IN_DIMS}->{_RP_OUT_DIMS} dims with a "
+    "deterministic md5-derived ±1 matrix. Each element is rounded to "
+    "fixed-point BIGINT once, then only multiplied by ±1 and summed — "
+    "exact integer math, order-insensitive, cross-engine stable. Purely "
+    "map-side (no shuffle): the 100 TB pre-step that makes downstream "
+    "clustering and coarse quantization 8x cheaper.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Spark transform indexes are 0-based; the shared sign strings are
+    # 1-indexed via substr in the oracle, hence i + 1 here.
+    proj = [
+        F.expr(
+            f"""aggregate(transform(embedding, (x, i) ->
+                  CAST(ROUND(CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)
+                  * IF(substring('{s}', i + 1, 1) = '+', 1L, -1L)),
+                0L, (acc, v) -> acc + v)"""
+        ).alias(f"r{j}")
+        for j, s in enumerate(_RP_SIGNS)
+    ]
+    return emb.select("vec_id", *proj)

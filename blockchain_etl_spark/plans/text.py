@@ -438,3 +438,148 @@ def doc_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed linear text classifier — the fastText-style inference shape used
+# by pre-training quality/language filters (score = mean of per-token
+# bucket weights). Tokens hash into 64 buckets; the bucket weight is a
+# fixed multiplicative-hash formula, so both engines derive identical
+# integer weights with no weight table to ship. At 100 TB: one explode +
+# one per-doc hash aggregate, all codegen, no Python, no broadcast.
+# --------------------------------------------------------------------------
+_CLS_BUCKETS = 64
+# Knuth multiplicative hash on the bucket id, folded to [-500, 500]; stands
+# in for trained weights while exercising the exact inference dataflow.
+_CLS_W = f"(((b * 2654435761) % 1001) - 500)"
+
+
+@register(
+    "doc_quality_classifier",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_TOKENS_SQL.format(c='text')}) AS w
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {_CLS_BUCKETS} AS b
+      FROM tok),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM({_CLS_W}) AS score_sum
+      FROM feat GROUP BY doc_id)
+    SELECT doc_id, n_tokens, score_sum,
+           CAST(score_sum AS DOUBLE) / n_tokens AS mean_score,
+           CAST(score_sum AS DOUBLE) / n_tokens >= 0.0 AS accept
+    FROM agg
+    """,
+    survey_ops=(),
+    doc="Hashed bag-of-words linear classifier inference (fastText shape): "
+    "token -> md5 -> one of 64 weight buckets; document score is the mean "
+    "bucket weight; accept = score >= 0. Weights are a deterministic "
+    "multiplicative-hash formula (integer arithmetic, so the oracle "
+    "matches bit-for-bit; the real model would broadcast a 64-entry map). "
+    "Scale: explode + single hash aggregate, all whole-stage codegen.",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS.format(c="text"))).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _CLS_BUCKETS
+    )
+    weight = ((bucket * F.lit(2654435761)) % 1001) - 500
+    agg = tok.select("doc_id", weight.alias("wgt")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("wgt").alias("score_sum"),
+    )
+    mean_score = col("score_sum").cast("double") / col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "score_sum",
+        mean_score.alias("mean_score"),
+        (mean_score >= 0.0).alias("accept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level exact-substring dedup (ExactSubstr-lite / C4 span dedup):
+# split each document into consecutive 16-token chunks, hash them, and
+# report how much of each document is covered by chunks that also appear
+# verbatim in OTHER documents. The production remedy for boilerplate and
+# template text that document-level dedup cannot see.
+# --------------------------------------------------------------------------
+_CHUNK_TOKENS = 16
+
+
+@register(
+    "doc_chunk_dedup",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0) AS BIGINT)),
+               i -> md5(array_to_string(toks[1 + {_CHUNK_TOKENS} * i:
+                                             {_CHUNK_TOKENS} * (i + 1)], ' '))))
+               AS chunk_hash
+      FROM t),
+    df AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS doc_df
+      FROM chunks GROUP BY chunk_hash)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN d.doc_df >= 2 THEN 1 ELSE 0 END) AS n_shared_chunks,
+           CAST(SUM(CASE WHEN d.doc_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_fraction
+    FROM chunks c JOIN df d USING (chunk_hash)
+    GROUP BY c.doc_id
+    """,
+    survey_ops=(),
+    doc=f"Exact-substring dedup at {_CHUNK_TOKENS}-token-chunk granularity: "
+    "chunk hashes -> cross-document frequency -> per-document shared-text "
+    "fraction. Scale shape: chunk rows shuffle ONCE on chunk_hash (the df "
+    "aggregate and the join co-partition on the same key); everything "
+    "upstream is a map-side explode of slices. The 100 TB fix for "
+    "boilerplate/template text invisible to whole-document dedup.",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # sequence(0, n-1) would yield [0, -1] for an empty token list (Spark
+    # sequences run DESCENDING when stop < start) — guard with an empty
+    # array so tokenless rows contribute no chunks, like the oracle.
+    chunks = (
+        docs.select("doc_id", F.expr(_TOKENS.format(c="text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""IF(size(toks) = 0, array(),
+                       transform(
+                         sequence(0, int(ceil(size(toks) / {_CHUNK_TOKENS}.0)) - 1),
+                         i -> md5(concat_ws(' ',
+                                slice(toks, 1 + {_CHUNK_TOKENS} * i,
+                                      {_CHUNK_TOKENS})))))"""
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    df_counts = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("doc_df")
+    )
+    shared = (col("doc_df") >= 2).cast("int")
+    return (
+        chunks.join(df_counts, ["chunk_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(shared).alias("n_shared_chunks"),
+            (F.sum(shared).cast("double") / F.count(F.lit(1))).alias(
+                "shared_fraction"
+            ),
+        )
+    )
