@@ -216,3 +216,33 @@ def test_cluster_representatives_no_raw_text_shuffle(plan):
     for k in _hash_partition_keys(p):
         assert "text" not in k, (k, p)
     assert "CartesianProduct" not in p, p
+
+
+def test_random_projection_zero_shuffle(plan):
+    # JL projection is map-side arithmetic only — any Exchange would mean
+    # the projection accidentally repartitions 100 TB of embeddings.
+    p = plan("embedding_random_projection")
+    assert n_exchanges(p) == 0, p
+
+
+def test_quality_classifier_single_shuffle(plan):
+    # explode + hash aggregate: exactly one exchange (the per-doc agg);
+    # the hashed weights must not introduce a join or second shuffle.
+    p = plan("doc_quality_classifier")
+    assert n_exchanges(p) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_dfcapped_jaccard_verify_joins_on_pair_keys(plan):
+    # the exact-verify stage must join candidates on doc ids — a join of
+    # raw shingle rows against raw shingle rows without the df-capped
+    # candidate set would be the quadratic blowup the query exists to
+    # prevent. Allowed shingle-only joins: the two df-filter applications
+    # and the rare×rare candidate join (3); the verify stage must key on
+    # doc ids (doc_a, then (doc_b, shingle)).
+    p = plan("dedup_jaccard_dfcapped")
+    joins = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", p)
+    shingle_only = [k for k in joins if k.startswith("shingle#") and "," not in k]
+    doc_keyed = [k for k in joins if k.startswith(("doc_a#", "doc_b#"))]
+    assert len(shingle_only) <= 3, joins
+    assert doc_keyed, joins
