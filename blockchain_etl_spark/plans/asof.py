@@ -113,3 +113,83 @@ def event_burn_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("burn_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Keyless range (interval) join — the custom-operator class Spark lacks a
+# shuffle strategy for: joining a fact stream against time INTERVALS with
+# no equi key degenerates to BroadcastNestedLoopJoin, which dies once the
+# interval side outgrows a broadcast. The scale-safe plan is interval
+# bucketing: align both sides to fixed-width time buckets (an interval
+# explodes to every bucket it overlaps, an event to exactly one), equi-join
+# on the bucket, then apply the range predicate as a post-filter. Shuffle
+# key = bucket — bounded fan-out, no nested loop, works at any interval
+# count. DuckDB's oracle uses its native IEJoin for the same semantics.
+# --------------------------------------------------------------------------
+_INCIDENT_VALUE_MIN = 19.0
+_INCIDENT_WINDOW_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "incident_window_events",
+    sql=f"""
+    WITH inc AS (
+      SELECT event_id AS incident_id,
+             CAST(ts AS TIMESTAMP) AS t0,
+             CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS t1
+      FROM events
+      WHERE event_type = 'error' AND value >= {_INCIDENT_VALUE_MIN})
+    SELECT i.incident_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           {dsum_expr('e.value')} AS total_value
+    FROM inc i
+    JOIN events e
+      ON CAST(e.ts AS TIMESTAMP) >= i.t0 AND CAST(e.ts AS TIMESTAMP) <= i.t1
+    GROUP BY i.incident_id
+    """,
+    survey_ops=("J7",),
+    doc="Keyless range join via interval bucketing: severe error events "
+    "open a 10-minute incident window; every event inside any window is "
+    "attributed to it (events under overlapping windows count once per "
+    "window). Intervals explode to the 10-minute buckets they overlap "
+    "(=2 each), events map to exactly ONE bucket — so the bucket equi-join "
+    "emits each qualifying (incident, event) pair exactly once and no "
+    "dedup pass is needed. Shuffle on the bucket key only; the oracle "
+    "runs DuckDB's native IEJoin over the identical predicate.",
+)
+def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = F.lit(_INCIDENT_WINDOW_US)
+    inc = (
+        events.filter(
+            (col("event_type") == "error") & (col("value") >= _INCIDENT_VALUE_MIN)
+        )
+        .select(
+            col("event_id").alias("incident_id"),
+            F.unix_micros("ts").alias("t0_us"),
+            (F.unix_micros("ts") + w).alias("t1_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(F.sequence(F.expr("t0_us div 600000000"), F.expr("t1_us div 600000000"))),
+        )
+    )
+    ev = events.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("e_us"),
+        # integer div, not float division-and-truncate: a double quotient
+        # one ulp above an exact boundary would misassign the bucket
+        F.expr("unix_micros(ts) div 600000000").alias("bucket"),
+    )
+    return (
+        inc.join(ev, ["bucket"])
+        .filter((col("e_us") >= col("t0_us")) & (col("e_us") <= col("t1_us")))
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )

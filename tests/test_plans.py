@@ -246,3 +246,15 @@ def test_dfcapped_jaccard_verify_joins_on_pair_keys(plan):
     doc_keyed = [k for k in joins if k.startswith(("doc_a#", "doc_b#"))]
     assert len(shingle_only) <= 3, joins
     assert doc_keyed, joins
+
+
+def test_range_join_is_bucketed_equi_join_not_nested_loop(plan):
+    # the keyless interval join must go through the bucket equi-join —
+    # BroadcastNestedLoopJoin/CartesianProduct here means the bucketing
+    # regressed and the plan dies when the interval side outgrows a
+    # broadcast at scale.
+    p = plan("incident_window_events")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    joins = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", p)
+    assert any(k.startswith("bucket#") for k in joins), joins
