@@ -738,3 +738,48 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diff — dataset versioning. The two snapshots are derived
+# deterministically from `documents` (modulo-keyed membership and a
+# synthetic edit), so the driver can oracle-check the full diff semantics:
+# added / removed / changed / unchanged classification over a single
+# full-outer hash join (operators/corpus_diff.py).
+# --------------------------------------------------------------------------
+@register(
+    "corpus_snapshot_diff",
+    sql="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 11 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+      FROM documents WHERE doc_id % 13 <> 0)
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           old_hash, new_hash,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash <> new_hash THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+    survey_ops=("X1",),
+    doc="Snapshot diff between two corpus versions (dataset versioning): "
+    "added/removed/changed/unchanged per document via ONE full-outer join "
+    "of map-side (key, md5) pairs — text bodies never shuffle. Snapshots "
+    "are modulo-derived from `documents` so the classification logic is "
+    "driver-checkable end-to-end.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus_diff import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(col("doc_id") % 11 != 0)
+    new = docs.filter(col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(col("doc_id") % 17 == 0, F.concat(col("text"), F.lit(" v2"))).otherwise(
+            col("text")
+        ),
+    )
+    return corpus_diff(old, new)

@@ -17,6 +17,11 @@ QUERIES = [
     "dedup_cluster_representatives",
     "events_user_moving_stats",
     "order_value_histogram",
+    "dedup_jaccard_dfcapped",
+    "doc_quality_classifier",
+    "doc_chunk_dedup",
+    "embedding_random_projection",
+    "incident_window_events",
 ]
 
 
