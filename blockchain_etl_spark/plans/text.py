@@ -583,3 +583,48 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset-card rollup: the per-source summary a corpus release ships with.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_source_stats",
+    sql=f"""
+    WITH t AS (
+      SELECT source, lang, md5(text) AS h,
+             len({_TOKENS_SQL.format(c='text')}) AS n_toks
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT h) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT h) AS n_dups,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS mean_tokens
+    FROM t
+    GROUP BY source
+    """,
+    survey_ops=("A2", "A3"),
+    doc="Dataset-card per-source statistics: document/unique/dup counts, "
+    "language coverage, token totals. One groupBy(source) with two "
+    "count-distincts (Spark expands to a two-pass hash agg on the same "
+    "shuffle key); token counting is a map-side HOF — integer arithmetic "
+    "end-to-end, one double division at the end.",
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.expr(_TOKENS.format(c="text"))).cast("long").alias("n_toks"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dups"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+    )

@@ -24,3 +24,29 @@ def test_dfcapped_jaccard_is_exact_subset(spark):
     assert set(capped) <= set(base)
     for pair, scores in capped.items():
         assert scores == base[pair], pair
+
+
+def test_chunk_dedup_full_duplicate_is_fully_shared(spark):
+    """A verbatim duplicate pair must have every chunk shared (fraction
+    1.0); a unique doc with a disjoint vocabulary shares nothing."""
+    import pyspark.sql.functions as F
+    from blockchain_etl_spark.plans.text import doc_chunk_dedup
+
+    base = " ".join(f"w{i % 23}" for i in range(64))
+    uniq = " ".join(f"u{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], ["doc_id", "text"]
+    )
+
+    import blockchain_etl_spark.plans.text as text_mod
+
+    orig = text_mod.load_table
+    try:
+        text_mod.load_table = lambda spark, sf_dir, name: docs
+        got = {r.doc_id: r for r in doc_chunk_dedup(spark, "ignored").collect()}
+    finally:
+        text_mod.load_table = orig
+    assert got[1].shared_fraction == 1.0
+    assert got[2].shared_fraction == 1.0
+    assert got[3].shared_fraction == 0.0
+    assert got[1].n_chunks == 4
