@@ -783,3 +783,164 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return corpus_diff(old, new)
+
+
+# --------------------------------------------------------------------------
+# The composed corpus-prep pipeline — quality gate → exact-dedup canonical
+# → eval-set decontamination → domain-mixture rebalance, as ONE lazy
+# Catalyst plan. This is the point of a declarative engine: the stages are
+# the already-tested operators (doc_clean_corpus, doc_contamination,
+# doc_mixture_rebalance semantics), but composed they compile into a
+# single job — no intermediate materialization, column pruning and
+# filter pushdown run ACROSS stage boundaries, and AQE sizes every
+# exchange from runtime stats. Corpus-scale shuffle budget: md5(text)
+# window (clean) + shingle semi-join (decon) + per-source rollups
+# (report) = 3; the report-assembly joins exchange only ~|sources| rows
+# (AQE coalesces them to single-task stages).
+# --------------------------------------------------------------------------
+@register(
+    "corpus_prep_pipeline",
+    sql=f"""
+    WITH q AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
+             END AS distinct_fp
+      FROM (SELECT doc_id, source, text,
+                   list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+            FROM documents) t),
+    surv AS (
+      SELECT doc_id, source FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS canonical_id FROM q) g
+      WHERE doc_id = canonical_id AND n_tokens >= 10 AND distinct_fp >= 150000
+        AND source NOT IN {_TEST_SOURCES!r}),
+    {_SHINGLES_SQL.strip()},
+    test_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE source IN {_TEST_SOURCES!r}),
+    cont AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN surv USING (doc_id) JOIN test_sh t USING (shingle)),
+    decon AS (
+      SELECT surv.* FROM surv LEFT JOIN cont USING (doc_id)
+      WHERE cont.doc_id IS NULL),
+    nin AS (
+      SELECT source, COUNT(*) AS n_input FROM documents
+      WHERE source NOT IN {_TEST_SOURCES!r} GROUP BY source),
+    ncl AS (SELECT source, COUNT(*) AS n_clean FROM surv GROUP BY source),
+    nde AS (SELECT source, COUNT(*) AS n_decon FROM decon GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_decon) AS BIGINT) AS total,
+                   COUNT(*) AS n_sources FROM nde),
+    rates AS (
+      SELECT source, n_decon,
+             CASE WHEN n_decon = 0 THEN 0
+                  ELSE LEAST(1000000,
+                             ((total // n_sources) * 1000000) // n_decon)
+             END AS rate_ppm
+      FROM nde, tot),
+    final AS (
+      SELECT d.source, COUNT(*) AS n_final
+      FROM decon d JOIN rates r USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) % 1000000 < r.rate_ppm
+      GROUP BY d.source)
+    SELECT nin.source, n_input, n_clean, n_decon, rate_ppm,
+           COALESCE(n_final, 0) AS n_final
+    FROM nin
+    JOIN ncl USING (source) JOIN rates USING (source)
+    LEFT JOIN final USING (source)
+    """,
+    survey_ops=(),
+    doc="Composed corpus-prep pipeline in ONE Catalyst plan: quality gate "
+    "+ exact-dedup canonical (one md5(text) window), drop training docs "
+    "sharing any 5-gram with the held-out sources (shingle semi-join), "
+    "equalize the surviving domain mixture (ppm-rate md5-bucket keeps), "
+    "and report per-source funnel counts. Stage semantics match "
+    "doc_clean_corpus / doc_contamination / doc_mixture_rebalance "
+    "exactly; composing them stays lazy so nothing materializes between "
+    "stages at 100 TB.",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), w -> length(w) > 0)"
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN NULL"
+            f" ELSE (size(array_distinct({toks})) * 1000000) div size({toks}) END"
+        ).alias("distinct_fp"),
+    )
+    surv = (
+        q.withColumn("canonical_id", F.min("doc_id").over(Window.partitionBy("h")))
+        .filter(
+            (col("doc_id") == col("canonical_id"))
+            & (col("n_tokens") >= 10)
+            & (col("distinct_fp") >= 150000)
+            & ~col("source").isin(*_TEST_SOURCES)
+        )
+        .select("doc_id", "source")
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    test_sh = (
+        sh.filter(col("source").isin(*_TEST_SOURCES)).select("shingle").distinct()
+    )
+    cont = (
+        sh.select("doc_id", "shingle")
+        .join(surv.select("doc_id"), ["doc_id"], "left_semi")
+        .join(test_sh, ["shingle"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = surv.join(cont, ["doc_id"], "left_anti")
+    nin = (
+        docs.filter(~col("source").isin(*_TEST_SOURCES))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_input"))
+    )
+    ncl = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
+    nde = decon.groupBy("source").agg(F.count(F.lit(1)).alias("n_decon"))
+    tot = nde.agg(
+        F.sum("n_decon").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = nde.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_decon",
+        F.when(col("n_decon") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(1000000),
+                F.expr("((total div n_sources) * 1000000) div n_decon"),
+            )
+        )
+        .alias("rate_ppm"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        " % 1000000"
+    )
+    final = (
+        decon.withColumn("b", bucket)
+        .join(F.broadcast(rates.select("source", "rate_ppm")), ["source"])
+        .filter(col("b") < col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_final"))
+    )
+    return (
+        nin.join(ncl, ["source"])
+        .join(rates.select("source", "n_decon", "rate_ppm"), ["source"])
+        .join(final, ["source"], "left")
+        .select(
+            "source",
+            "n_input",
+            "n_clean",
+            "n_decon",
+            "rate_ppm",
+            F.coalesce(col("n_final"), F.lit(0)).alias("n_final"),
+        )
+    )
