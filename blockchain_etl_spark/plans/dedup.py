@@ -189,10 +189,21 @@ _JACCARD_DF_CAP = 8
     "keys: shingle (df + candidates), then (doc_a, doc_b) (verify).",
 )
 def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # eager materialization: four consumers (df counts, candidate join,
-    # both verify sides) would otherwise recompute the shingle pipeline.
-    s = _shingle_rows(spark, sf_dir).localCheckpoint()
-    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Per-doc shingle ARRAYS are computed map-side (array_distinct of the
+    # slide transform — zero shuffle); the exploded row form feeds the df
+    # count + candidate join, the array form feeds the verify. Verifying
+    # with size(array_intersect(..)) joins |cand| rows on doc ids instead
+    # of fanning every candidate back out to |cand| x ~shingles/doc rows
+    # and re-aggregating them — comparable wall-clock at test SF, but the
+    # intermediate that grows with candidate count at 100 TB is |cand|
+    # array-pair rows, not a |cand| x shingles/doc exploded aggregate.
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = docs.selectExpr(
+        "doc_id",
+        "filter(split(text, ' '), w -> length(w) > 0) AS toks",
+    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    arrays = arrays.localCheckpoint()  # 3 consumers: explode + both verify sides
+    s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     rare_shingles = (
         s.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -207,19 +218,28 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    inter = (
-        cand.join(s.select(col("doc_id").alias("doc_a"), "shingle"), ["doc_a"])
-        .join(s.select(col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
+    verified = (
+        cand.join(
+            arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sh_a")),
+            ["doc_a"],
+        )
+        .join(
+            arrays.select(col("doc_id").alias("doc_b"), col("shingles").alias("sh_b")),
+            ["doc_b"],
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("intersection"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
     )
     jac = col("intersection").cast("double") / (
         col("na") + col("nb") - col("intersection")
     )
     return (
-        inter.join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
-        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
-        .withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(col("jaccard") >= 0.012)
         .select("doc_a", "doc_b", "intersection", "jaccard")
     )
