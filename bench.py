@@ -84,8 +84,48 @@ def main() -> None:
     }
     if failed:
         result["failed"] = failed
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
+        result["oracle_duckdb"] = _bench_oracle(reps)
     print(json.dumps(result))
     spark.stop()
+
+
+def _bench_oracle(reps: int) -> dict:
+    """Optional single-node reference: time every oracle SQL in DuckDB on
+    the same parquet at the same SF (min over `reps`). Regime note: at
+    the toy SFs this container holds, per-query wall-clock is dominated
+    by Spark's FIXED cost (planning, codegen, task scheduling — a few
+    hundred ms/query) while DuckDB runs the same megabytes in
+    milliseconds; the informative signals are per-query OUTLIERS against
+    that fixed floor and the scaling slope between SFs, not the totals.
+    Enabled only by SPARK_GRAFT_BENCH_ORACLE=1 — stderr commentary, one
+    extra JSON key ('oracle_duckdb'), stdout stays one JSON line."""
+    import duckdb
+
+    from blockchain_etl_spark.plans.registry import get_oracle_sql
+    from blockchain_etl_spark.sources.testdata import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(SF_DIR, t + '.parquet')}')"
+        )
+    timings: dict[str, float] = {}
+    for name, sql in sorted(get_oracle_sql().items()):
+        best = None
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:
+            print(f"# oracle {name}: FAILED {exc}", file=sys.stderr)
+            continue
+        timings[name] = round(best, 3)
+        print(f"# oracle {name}: {timings[name]:.3f}s", file=sys.stderr)
+    return {"total": round(sum(timings.values()), 3), "queries": timings}
 
 
 if __name__ == "__main__":
