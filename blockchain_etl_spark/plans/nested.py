@@ -117,7 +117,28 @@ def order_discount_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_json_projection",
-    sql=None,  # JSON string formatting is engine-specific → rows-only check
+    # JSON serialization IS comparable here: both engines emit compact
+    # to_json, struct field order fixes key order, list_sort/sort_array
+    # both compare structs field-lexicographically, and the payload is
+    # strings + ints + doubles only — Java's Double.toString and DuckDB's
+    # shortest-round-trip formatter agree on every value in range
+    # (no decimals: Spark pads scale '945.00' where DuckDB trims; no
+    # timestamps: formats differ; doubles >= 1e7 would hit Java
+    # E-notation, far above this column's domain).
+    sql="""
+    WITH b AS (
+      SELECT l_orderkey,
+             list_sort(list(struct_pack(
+                 l_linenumber := l_linenumber,
+                 l_partkey := l_partkey,
+                 l_extendedprice := l_extendedprice,
+                 l_discount := l_discount))) AS lines
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderkey, o_orderdate, o_orderstatus,
+           to_json(struct_pack(status := o_orderstatus, lines := lines))
+             AS fields_json
+    FROM orders JOIN b ON l_orderkey = o_orderkey
+    """,
     survey_ops=("P3",),
     doc="Txn JSON projection: each order → (key, date, status, fields_json) "
     "with the nested line array serialized to one JSON document "
