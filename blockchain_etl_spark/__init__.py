@@ -48,6 +48,7 @@ _LAZY = {
     "DocIngest": ("blockchain_etl_spark.streaming.docs", "DocIngest"),
     "MinHashIndex": ("blockchain_etl_spark.operators.lsh_index", "MinHashIndex"),
     "IVFIndex": ("blockchain_etl_spark.operators.ann_index", "IVFIndex"),
+    "ContinuousAggregate": ("blockchain_etl_spark.operators.rollup", "ContinuousAggregate"),
     "read_jsonl_documents": (
         "blockchain_etl_spark.sources.textcorpus",
         "read_jsonl_documents",
@@ -77,6 +78,7 @@ __all__ = [
     "DocIngest",
     "MinHashIndex",
     "IVFIndex",
+    "ContinuousAggregate",
     "read_jsonl_documents",
     "read_csv_documents",
     "__version__",
