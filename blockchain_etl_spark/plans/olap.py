@@ -572,3 +572,35 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
     )
+
+
+@register(
+    "events_distinct_sketch_rollup",
+    sql=None,
+    survey_ops=("A3",),
+    doc="Sketch partial-merge rollup: per-(day, event_type) HLL sketches "
+    "(Apache DataSketches via hll_sketch_agg) union-merged per event_type "
+    "to a whole-range distinct-user estimate. THE pattern for distinct "
+    "counts at 100 TB: daily partials are small, mergeable, and "
+    "incrementally maintainable (a new day never re-reads history), while "
+    "exact re-aggregation of raw events would shuffle every (day, user) "
+    "row per refresh. Rows-only by design (sketch estimates are "
+    "engine-specific); pytest bounds the estimate against exact "
+    "count-distinct.",
+)
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", col("ts")))
+        .groupBy("day", "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+                "approx_total_users"
+            ),
+        )
+    )

@@ -22,6 +22,7 @@ QUERIES = [
     "doc_chunk_dedup",
     "embedding_random_projection",
     "incident_window_events",
+    "events_distinct_sketch_rollup",
 ]
 
 

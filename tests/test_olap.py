@@ -58,3 +58,27 @@ def test_approx_stats_error_bounds(spark):
                 / e.n
             )
             assert abs(frac - p) <= 0.01 + 2.0 / e.n, (et, p, frac)
+
+
+def test_distinct_sketch_rollup_error_bound(spark):
+    """Union-merged daily HLL partials must land within 5% of the exact
+    whole-range distinct count (lgK=14 standard error ~0.8%)."""
+    import pyspark.sql.functions as F
+    from blockchain_etl_spark.plans.registry import get_queries
+    from blockchain_etl_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r.approx_total_users
+        for r in get_queries()["events_distinct_sketch_rollup"](spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.u
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, u in exact.items():
+        assert abs(got[et] - u) <= max(2, 0.05 * u), (et, got[et], u)
