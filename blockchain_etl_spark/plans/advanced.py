@@ -467,3 +467,40 @@ def sync_resume_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@register(
+    "customer_geo_grid_density",
+    sql="""
+    SELECT (c_custkey * 37 % 180) // 10 AS cell_row,
+           (c_custkey * 91 % 360) // 10 AS cell_col,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    survey_ops=("F11", "A2"),
+    doc="Grid-cell density rollup — the hotspot density-map query the "
+    "reference serves from H3-indexed cells (be_db_gateway location_hex, "
+    "migrations/1633375157-gateway_mode.sql), expressed on the synthetic "
+    "lat/lon grid: derive the cell id with integer arithmetic map-side, "
+    "ONE hash aggregate. At 100 TB this is the same plan whether the cell "
+    "is a 10-degree box or an H3 parent index (functions/encoding.py "
+    "h3_parent) — the cell id is just a different map-side expression.",
+)
+def customer_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.expr("(c_custkey * 37 % 180) div 10").alias("cell_row"),
+            F.expr("(c_custkey * 91 % 360) div 10").alias("cell_col"),
+            "c_acctbal",
+        )
+        .groupBy("cell_row", "cell_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+        )
+    )

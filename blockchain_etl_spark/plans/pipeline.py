@@ -944,3 +944,42 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(col("n_final"), F.lit(0)).alias("n_final"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixed-SIZE per-stratum sample (the fixed-RATE variant is
+# doc_sample_stratified): k docs per source, chosen by md5 rank — the
+# RNG-free reservoir-sample equivalent, identical on any engine/cluster.
+# --------------------------------------------------------------------------
+_FIXED_SAMPLE_K = 10
+
+
+@register(
+    "doc_sample_fixed_per_source",
+    sql=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents) t
+    WHERE rk <= {_FIXED_SAMPLE_K}
+    """,
+    survey_ops=(),
+    doc=f"Fixed-size stratified sample: {_FIXED_SAMPLE_K} docs per source "
+    "by md5-rank window — deterministic reservoir-sample equivalent. One "
+    "shuffle on source; when a stratum is huge, pre-filter with an "
+    "md5-bucket rate (doc_mixture_rebalance's ppm machinery) sized to "
+    "~2k survivors before the window so the per-stratum sort stays "
+    "bounded.",
+)
+def doc_sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.md5(col("doc_id").cast("string")))
+    )
+    return (
+        docs.select("doc_id", "source", rk.alias("rk"))
+        .filter(col("rk") <= _FIXED_SAMPLE_K)
+    )
