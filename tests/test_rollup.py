@@ -70,3 +70,52 @@ def test_refresh_preserves_untouched_buckets_and_schema(spark, tmp_path):
         assert v2[b] == row, b
     # decimal accumulator type pinned across folds (no precision drift)
     assert agg.read(spark).schema == schema1
+
+
+def test_continuous_aggregate_from_structured_stream(spark, tmp_path):
+    """The rollup refresh IS the foreachBatch contract: a file stream
+    (1 file per microbatch) folded through ContinuousAggregate must equal
+    the batch recompute, including replay-safety via batch_id watermarks."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from blockchain_etl_spark.operators.rollup import ContinuousAggregate
+    from blockchain_etl_spark.sources.testdata import load_table
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    events = load_table(spark, SF, "events").select("ts", "event_type", "value")
+    indir = tmp_path / "in"
+    for i, cond in enumerate(
+        [F.dayofmonth("ts") <= 10, F.dayofmonth("ts") > 10]
+    ):
+        events.filter(cond).coalesce(1).write.parquet(str(indir / f"chunk{i}"))
+
+    agg = ContinuousAggregate(str(tmp_path / "rollup"))
+
+    def fold(batch, batch_id):
+        agg.refresh(batch.sparkSession, batch, watermark=batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "chunk*"))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert _rows(agg.read(spark)) == _rows(_expected(events))
