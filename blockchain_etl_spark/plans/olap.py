@@ -604,3 +604,40 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "user_event_type_unpivot",
+    sql=f"""
+    WITH p AS (
+      SELECT user_id,
+             {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+                        for t in _EVENT_TYPES)}
+      FROM events GROUP BY user_id)
+    SELECT user_id, event_type, n_events FROM (
+      {' UNION ALL '.join(
+          f"SELECT user_id, '{t}' AS event_type, n_{t} AS n_events FROM p"
+          for t in _EVENT_TYPES)}
+    ) u
+    WHERE n_events > 0
+    """,
+    survey_ops=("A2",),
+    doc="Unpivot (melt) of the per-user pivot back to long form via "
+    "Spark's native stack(): wide columns -> (user_id, event_type, "
+    "n_events) rows, zeros dropped. stack() is a map-side GENERATE after "
+    "the pivot's single hash aggregate — no extra shuffle; the oracle "
+    "mirrors it with a UNION ALL per column (what UNPIVOT desugars to).",
+)
+def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wide = pivot_event_counts(events).drop("n_total")
+    stack_args = ", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(
+                f"stack({len(_EVENT_TYPES)}, {stack_args}) AS (event_type, n_events)"
+            ),
+        )
+        .filter(col("n_events") > 0)
+    )
