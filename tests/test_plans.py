@@ -258,3 +258,22 @@ def test_range_join_is_bucketed_equi_join_not_nested_loop(plan):
     assert "CartesianProduct" not in p, p
     joins = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", p)
     assert any(k.startswith("bucket#") for k in joins), joins
+
+
+def test_sketch_rollup_two_small_aggregations(plan):
+    # daily partials then union-merge: two hash aggregates, both keyed on
+    # low-cardinality keys; no (day, user) row ever reshuffles twice.
+    p = plan("events_distinct_sketch_rollup")
+    assert n_exchanges(p) == 2, p
+
+
+def test_geo_grid_density_single_aggregate(plan):
+    p = plan("customer_geo_grid_density")
+    assert n_exchanges(p) == 1, p
+
+
+def test_unpivot_adds_no_shuffle_after_pivot(plan):
+    # stack() is a map-side Generate over the pivot's single aggregate.
+    p = plan("user_event_type_unpivot")
+    assert n_exchanges(p) == 1, p
+    assert "Generate" in p, p
