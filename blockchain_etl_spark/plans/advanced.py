@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
+from ..functions.timeutil import epoch_ms, epoch_s
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -363,13 +364,20 @@ def typed_var_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_time_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    epoch_s = F.expr("unix_micros(ts) div 1000000")
+    # ts is TIMESTAMP_NTZ (sources.testdata canonical): all epoch math via
+    # tz-independent wall-clock diffs against the NTZ epoch, and the
+    # truncated second is rebuilt as NTZ — unix_micros/timestamp_micros
+    # would crash on NTZ input or shift with the session timezone.
     return events.select(
         "event_id",
         "ts",
-        epoch_s.alias("epoch_s"),
-        F.unix_millis("ts").alias("epoch_msec"),
-        F.timestamp_micros(epoch_s * F.lit(1000000)).alias("ts_second"),
+        epoch_s("ts").alias("epoch_s"),
+        epoch_ms("ts").alias("epoch_msec"),
+        F.expr(
+            "timestampadd(SECOND, timestampdiff(SECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("ts_second"),
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from ..functions.numeric import dsum, dsum_expr
+from ..functions.timeutil import epoch_us, epoch_us_expr
 from ..operators.asof import asof_join_dense
 from ..sources.testdata import load_table
 from .registry import register
@@ -167,8 +168,8 @@ def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             col("event_id").alias("incident_id"),
-            F.unix_micros("ts").alias("t0_us"),
-            (F.unix_micros("ts") + w).alias("t1_us"),
+            epoch_us("ts").alias("t0_us"),
+            (epoch_us("ts") + w).alias("t1_us"),
         )
         .withColumn(
             "bucket",
@@ -178,10 +179,10 @@ def incident_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events.select(
         "user_id",
         "value",
-        F.unix_micros("ts").alias("e_us"),
+        epoch_us("ts").alias("e_us"),
         # integer div, not float division-and-truncate: a double quotient
         # one ulp above an exact boundary would misassign the bucket
-        F.expr("unix_micros(ts) div 600000000").alias("bucket"),
+        F.expr(f"({epoch_us_expr('ts')}) div 600000000").alias("bucket"),
     )
     return (
         inc.join(ev, ["bucket"])

@@ -334,7 +334,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS value_fp
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_fp
     FROM events
     GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP))
     """,

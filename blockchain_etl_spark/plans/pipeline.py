@@ -45,9 +45,12 @@ _SAMPLE_PCT = 20
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
     numbered AS (
       SELECT user_id, event_id, ts,
-             SUM(is_start) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
+             -- CAST: DuckDB SUM(int) yields HUGEINT -> pandas float64,
+             -- which hash-diverges from Spark's int64
+             CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
       FROM ordered)
     SELECT user_id, session_no,
            MIN(ts) AS session_start,
@@ -67,9 +70,13 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
+    from ..functions.timeutil import epoch_s as _epoch_s
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    marked = events.select(
+    # tz-independent wall-clock gap (ts is TIMESTAMP_NTZ; unix_timestamp
+    # would coerce through the session timezone or crash)
+    gap = col("_ts_s") - F.lag("_ts_s").over(w)
+    marked = events.withColumn("_ts_s", _epoch_s("ts")).select(
         "user_id",
         "event_id",
         "ts",

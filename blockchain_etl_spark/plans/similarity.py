@@ -496,10 +496,13 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  END AS errs
           FROM q)
     SELECT vec_id, scale_fp,
-           CASE WHEN scale_fp = 0 THEN NULL ELSE list_sum(qv) END AS q_sum,
+           -- CAST: DuckDB list_sum(BIGINT[]) yields HUGEINT, which lands in
+           -- pandas as float64 and hash-diverges from Spark's int64
+           CASE WHEN scale_fp = 0 THEN NULL
+                ELSE CAST(list_sum(qv) AS BIGINT) END AS q_sum,
            CASE WHEN scale_fp = 0 THEN NULL ELSE list_max(errs) END AS max_err_fp,
            CASE WHEN scale_fp = 0 THEN NULL ELSE
-             list_sum(list_transform(errs, x -> x * x)) END AS sse_fp
+             CAST(list_sum(list_transform(errs, x -> x * x)) AS BIGINT) END AS sse_fp
     FROM e
     """,
     survey_ops=(),

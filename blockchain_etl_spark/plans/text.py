@@ -467,7 +467,9 @@ _CLS_W = f"(((b * 2654435761) % 1001) - 500)"
       FROM tok),
     agg AS (
       SELECT doc_id, COUNT(*) AS n_tokens,
-             SUM({_CLS_W}) AS score_sum
+             -- CAST: DuckDB SUM(BIGINT) yields HUGEINT -> pandas float64,
+             -- which hash-diverges from Spark's int64
+             CAST(SUM({_CLS_W}) AS BIGINT) AS score_sum
       FROM feat GROUP BY doc_id)
     SELECT doc_id, n_tokens, score_sum,
            CAST(score_sum AS DOUBLE) / n_tokens AS mean_score,
@@ -533,7 +535,8 @@ _CHUNK_TOKENS = 16
       FROM chunks GROUP BY chunk_hash)
     SELECT c.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN d.doc_df >= 2 THEN 1 ELSE 0 END) AS n_shared_chunks,
+           CAST(SUM(CASE WHEN d.doc_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
            CAST(SUM(CASE WHEN d.doc_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS shared_fraction
     FROM chunks c JOIN df d USING (chunk_hash)

@@ -33,26 +33,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC at read time so any NTZ<->LTZ coercion (and rendering of
+    # collected timestamps) matches the oracle's naive-timestamp semantics
+    # even when the host session was built with a different timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which the Spark reader rejects
-    outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
-    conf and truncate to microsecond TimestampType — the same truncation a
-    DuckDB ``CAST(ts AS TIMESTAMP)`` applies, which every oracle query uses
-    so both engines see identical values."""
-    from pyspark.sql import functions as F
+    """events.ts is TIMESTAMP(NANOS) parquet. Spark 4.1 reads it as
+    TIMESTAMP_NTZ truncated to micros — the canonical type for this engine
+    (tz-independent, renders wall-clock like DuckDB's ``CAST(ts AS
+    TIMESTAMP)`` which every oracle query uses). Older readers reject nanos
+    (PARQUET_TYPE_ILLEGAL) unless the legacy ``nanosAsLong`` conf surfaces
+    raw int64; ``to_ntz`` folds every reader behavior to the same NTZ
+    column so plans never see an engine-version-dependent type."""
+    from ..functions.timeutil import to_ntz
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        # integer div — double division would lose precision on int64 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return to_ntz(df, "ts")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
