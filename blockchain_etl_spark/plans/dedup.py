@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import broadcast, col
 
 from ..sources.testdata import load_table
 from .registry import register
@@ -537,3 +537,108 @@ def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (col("n_tokens") >= 10)
         & (col("distinct_fp") >= 150000)
     ).select("doc_id", "lang", "n_tokens", "distinct_fp", "dup_count")
+
+
+# --------------------------------------------------------------------------
+# Sketch-accuracy evaluation: MinHash/LSH candidate recall against the
+# exact Jaccard ground truth — the "measure, don't guess" loop for the
+# dedup sketch, mirroring what knn_recall_eval does for the ANN index.
+# Both sides are this module's own registered pipelines composed verbatim.
+# --------------------------------------------------------------------------
+_RECALL_J = 0.5  # ground-truth near-dup threshold the sketch must recover
+
+
+@register(
+    "dedup_minhash_recall",
+    sql=f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    exact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) p
+      JOIN sz za ON za.doc_id = doc_a
+      JOIN sz zb ON zb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= {_RECALL_J}),
+    sig AS (
+      SELECT doc_id, r.k AS k,
+             MIN(substr(CASE WHEN r.k < 4 THEN h0 ELSE h1 END,
+                        1 + 8 * (r.k % 4), 8)) AS mh
+      FROM (SELECT doc_id, md5('0:' || shingle) AS h0,
+                   md5('1:' || shingle) AS h1 FROM s) z
+      CROSS JOIN range({_NUM_HASHES}) r(k)
+      GROUP BY doc_id, r.k),
+    bands AS (
+      SELECT doc_id, band_id, string_agg(mh, '|' ORDER BY k) AS band_val
+      FROM (SELECT doc_id, k, CAST(k // {_BAND_SIZE} AS BIGINT) AS band_id, mh
+            FROM sig) z
+      GROUP BY doc_id, band_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id),
+    hit AS (SELECT COUNT(*) AS n_hit
+            FROM exact JOIN cand USING (doc_a, doc_b))
+    SELECT (SELECT COUNT(*) FROM exact) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           n_hit,
+           CAST(n_hit AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM exact), 0) AS recall,
+           CAST(n_hit AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM cand), 0) AS precision
+    FROM hit
+    """,
+    survey_ops=(),
+    doc="MinHash/LSH sketch recall/precision against exact Jaccard ground "
+    "truth at j>=0.5: composes the exact shingle self-join (truth) and the "
+    "banded candidate join (sketch) and counts the overlap — one row of "
+    "metrics. This is the evaluation harness a production dedup deploys "
+    "BEFORE trusting the sketch at 100 TB, where only the sketch is "
+    "affordable; the exact side runs on a sampled slice there.",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_rows(spark, sf_dir).localCheckpoint()
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    exact = (
+        pairs.join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
+        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
+        .filter(jac >= _RECALL_J)
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        lsh_candidate_pairs(band_rows(minhash_signatures(s)))
+        .select("doc_a", "doc_b")
+    )
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_hit.crossJoin(broadcast(n_true))
+        .crossJoin(broadcast(n_cand))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            (
+                col("n_hit").cast("double")
+                / F.nullif(col("n_true"), F.lit(0))
+            ).alias("recall"),
+            (
+                col("n_hit").cast("double")
+                / F.nullif(col("n_cand"), F.lit(0))
+            ).alias("precision"),
+        )
+    )

@@ -641,3 +641,71 @@ def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(col("n_events") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group outlier detection WITHOUT sqrt or division: the 2-sigma z-score
+# test |x - mean| > 2*stddev is cross-multiplied into pure int64 arithmetic
+# on the 1e4 fixed-point domain —
+#     (n*x - S)^2 > 4 * (n*Q - S^2)      where S = sum, Q = sum of squares
+# — so Spark and the oracle compute bit-identical integers (no float mean,
+# no ulp drift in variance). Magnitude audit at test scale: v_fp <= 1e6,
+# n/user <= ~1e3 -> every product stays under 2^62; the 100 TB path lifts
+# the same identity to DECIMAL(38,0).
+# --------------------------------------------------------------------------
+@register(
+    "events_user_outliers",
+    sql="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v_fp
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, v_fp,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(v_fp) OVER w AS BIGINT) AS s_sum,
+             CAST(SUM(v_fp * v_fp) OVER w AS BIGINT) AS q_sum
+      FROM v WINDOW w AS (PARTITION BY user_id))
+    SELECT user_id, event_id, v_fp,
+           (n * v_fp - s_sum) * (n * v_fp - s_sum) AS dev2_scaled,
+           4 * (n * q_sum - s_sum * s_sum) AS var4_scaled
+    FROM s
+    WHERE n >= 30
+      AND (n * v_fp - s_sum) * (n * v_fp - s_sum)
+          > 4 * (n * q_sum - s_sum * s_sum)
+    """,
+    survey_ops=("A4",),
+    doc="Integer-exact 2-sigma outlier flagging per user: one shuffle on "
+    "user_id feeds an unbounded window computing (n, sum, sum-of-squares), "
+    "then the z-test runs as a cross-multiplied int64 comparison in the "
+    "same stage — no second shuffle, no join-back, no float variance. "
+    "The anomaly-detection primitive of a metrics pipeline, shaped so the "
+    "per-user state is 3 integers regardless of group size.",
+)
+def events_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "user_id",
+        "event_id",
+        F.round(col("value") * 10000).cast("long").alias("v_fp"),
+    )
+    w = Window.partitionBy("user_id")
+    s = v.select(
+        "user_id",
+        "event_id",
+        "v_fp",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("v_fp").over(w).cast("long").alias("s_sum"),
+        F.sum(col("v_fp") * col("v_fp")).over(w).cast("long").alias("q_sum"),
+    )
+    dev = col("n") * col("v_fp") - col("s_sum")
+    var4 = F.lit(4) * (col("n") * col("q_sum") - col("s_sum") * col("s_sum"))
+    return s.filter((col("n") >= 30) & (dev * dev > var4)).select(
+        "user_id",
+        "event_id",
+        "v_fp",
+        (dev * dev).alias("dev2_scaled"),
+        var4.alias("var4_scaled"),
+    )

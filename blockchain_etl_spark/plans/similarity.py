@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col, pandas_udf
+from pyspark.sql.functions import broadcast, col, pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..sources.testdata import load_table
@@ -676,3 +676,134 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, s in enumerate(_RP_SIGNS)
     ]
     return emb.select("vec_id", *proj)
+
+
+# --------------------------------------------------------------------------
+# IVF codebook TRAINING: Lloyd's k-means over the embedding corpus, fully
+# integer-exact — vectors on the 1e6 fixed-point grid, squared-L2 distances
+# in int64, new centroids via truncating integer division — so two engines
+# (and two cluster sizes) converge to bit-identical codebooks. This is the
+# missing upstream half of knn_cosine_ivf, which consumes a codebook.
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, vf) × broadcast (cell, cvec) → (vec_id, cell) nearest-cell
+    assignment; min-struct keeps the smallest cell id on distance ties."""
+    d2 = F.expr(
+        "aggregate(zip_with(vf, cvec, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, p) -> acc + p)"
+    )
+    return (
+        emb.crossJoin(broadcast(cent))
+        .select("vec_id", "cell", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("w"))
+        .select("vec_id", col("w.cell").alias("cell"))
+    )
+
+
+@register(
+    "ivf_kmeans_codebook",
+    sql=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vf
+      FROM embeddings),
+    vd AS (SELECT vec_id, unnest(vf) AS val,
+                  generate_subscripts(vf, 1) - 1 AS dim
+           FROM v),
+    c0 AS (SELECT vec_id AS cell, dim, val AS c FROM vd WHERE vec_id < {_KM_K}),
+    d1 AS (SELECT vd.vec_id AS vec_id, c0.cell AS cell,
+                  CAST(SUM((val - c) * (val - c)) AS BIGINT) AS d2
+           FROM vd JOIN c0 USING (dim) GROUP BY vd.vec_id, c0.cell),
+    a1 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cell) AS rn
+             FROM d1) t WHERE rn = 1),
+    m1 AS (SELECT a1.cell AS cell, vd.dim AS dim,
+                  CAST(SUM(val) AS BIGINT) // COUNT(*) AS c
+           FROM vd JOIN a1 USING (vec_id) GROUP BY a1.cell, vd.dim),
+    c1 AS (SELECT c0.cell, c0.dim, COALESCE(m1.c, c0.c) AS c
+           FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell AND m1.dim = c0.dim),
+    d2_ AS (SELECT vd.vec_id AS vec_id, c1.cell AS cell,
+                   CAST(SUM((val - c) * (val - c)) AS BIGINT) AS d2
+            FROM vd JOIN c1 USING (dim) GROUP BY vd.vec_id, c1.cell),
+    a2 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cell) AS rn
+             FROM d2_) t WHERE rn = 1),
+    m2 AS (SELECT a2.cell AS cell, vd.dim AS dim,
+                  CAST(SUM(val) AS BIGINT) // COUNT(*) AS c
+           FROM vd JOIN a2 USING (vec_id) GROUP BY a2.cell, vd.dim),
+    n2 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM a2 GROUP BY cell)
+    SELECT m2.cell AS cell, CAST(m2.dim AS BIGINT) AS dim,
+           m2.c AS centroid_fp, n2.n_members
+    FROM m2 JOIN n2 USING (cell)
+    """,
+    survey_ops=(),
+    doc="k-means codebook training (2 Lloyd iterations, k=8, seeded from "
+    "the first k vectors — deterministic, no RNG): assignment is a "
+    "crossJoin against the BROADCAST codebook scored by a JVM zip_with/ "
+    "aggregate HOF (k·N pairs, map-side, no shuffle); re-estimation "
+    "shuffles once on vec_id (membership join) and once on (cell, dim) "
+    "(posexplode mean). Integer-exact throughout: fixed-point grid, int64 "
+    "squared-L2, truncating-div means — both engines emit bit-identical "
+    "codebooks, the property that lets a 1000-executor retrain reproduce "
+    "yesterday's index. Empty cells inherit the previous centroid.",
+)
+def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            ).alias("vf"),
+        )
+        .localCheckpoint()  # consumed by seeding + every iteration
+    )
+    cent = emb.filter(col("vec_id") < _KM_K).select(
+        col("vec_id").alias("cell"), col("vf").alias("cvec")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        assign = _km_assign(emb, cent)
+        members = emb.join(assign, ["vec_id"])
+        means = (
+            members.select("cell", F.posexplode("vf").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("c"))
+        )
+        new_cvec = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        # empty cells keep their previous centroid (k-row joins: broadcast)
+        cent = (
+            cent.alias("o")
+            .join(broadcast(new_cvec.alias("n")), ["cell"], "left")
+            .select("cell", F.coalesce("n.cvec", "o.cvec").alias("cvec"))
+        )
+    final_means = (
+        emb.join(assign, ["vec_id"])
+        .select("cell", F.posexplode("vf").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.expr("sum(val) div count(*)").alias("centroid_fp"))
+    )
+    n_members = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return final_means.join(broadcast(n_members), ["cell"]).select(
+        "cell",
+        col("dim").cast("long").alias("dim"),
+        "centroid_fp",
+        "n_members",
+    )

@@ -631,3 +631,61 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM surprisal scoring — the deterministic stand-in for perplexity
+# filtering in a training-data pipeline: score每 document by how surprising
+# its tokens are under the corpus's own unigram distribution. Surprisal is
+# measured in WHOLE BITS via integer bit-length (length(bin(x)) on both
+# engines): bits(token) = bitlen(N_total) - bitlen(count) ≈ log2(N/count),
+# which keeps the whole pipeline in exact integer arithmetic — no
+# cross-engine log() ulp drift, same filtering power (rare tokens score
+# high, stopwords score ~0).
+# --------------------------------------------------------------------------
+@register(
+    "doc_unigram_surprisal",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL.format(c='text')}) AS w
+      FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(length(bin(n)) - length(bin(cnt))) AS BIGINT) AS bits_sum,
+           CAST(SUM(length(bin(n)) - length(bin(cnt))) AS DOUBLE) / COUNT(*)
+             AS mean_bits
+    FROM tok JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    survey_ops=(),
+    doc="Unigram-LM surprisal score per document (the perplexity-filter "
+    "shape, integer-exact): corpus unigram counts (one shuffle on token), "
+    "total from the vocab aggregate (never a second corpus scan), token→ "
+    "count join (shuffle on token; at 100 TB the vocab is Zipf-small after "
+    "pruning and broadcast-able), per-doc bit sum (shuffle on doc_id). "
+    "bitlen via length(bin(x)) is identical integer math on both engines.",
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # three consumers of the token rows (vocab, join); materialize once
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS.format(c="text"))).alias("w")
+    ).localCheckpoint()
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # total token count derived from the (small) vocab — not a second
+    # pass over the corpus — and broadcast into the scoring projection
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    bits = F.length(F.bin("n")) - F.length(F.bin("cnt"))
+    return (
+        tok.join(vocab, ["w"])
+        .crossJoin(broadcast(tot))
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("long").alias("bits_sum"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
+        )
+    )

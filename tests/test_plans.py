@@ -277,3 +277,31 @@ def test_unpivot_adds_no_shuffle_after_pivot(plan):
     p = plan("user_event_type_unpivot")
     assert n_exchanges(p) == 1, p
     assert "Generate" in p, p
+
+
+def test_user_outliers_single_shuffle_no_join(plan):
+    # the z-test runs inside the window stage: one exchange on user_id,
+    # no join-back of the aggregates.
+    p = plan("events_user_outliers")
+    assert n_exchanges(p) == 1, p
+    assert "Join" not in p, p
+
+
+def test_kmeans_assignment_broadcasts_codebook(plan):
+    # k·N scoring must broadcast the k-row codebook (never a shuffled
+    # CartesianProduct); the only sort-merge joins allowed are the N-row
+    # membership joins on vec_id — the by-design reassignment shuffle.
+    p = plan("ivf_kmeans_codebook")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    for args in re.findall(r"SortMergeJoin \[([^\]]*)\]", p):
+        assert args.split("#")[0] == "vec_id", (args, p)
+
+
+def test_unigram_surprisal_broadcasts_total(plan):
+    # the 1-row corpus total rides a broadcast, never a shuffle; the
+    # vocab join shuffles on the token key only.
+    p = plan("doc_unigram_surprisal")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    keys = _hash_partition_keys(p)
+    assert all(k.split("#")[0] in ("w", "doc_id") for k in keys), keys
