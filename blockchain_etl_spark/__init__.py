@@ -44,6 +44,10 @@ def oracle_sql():
 
 
 _LAZY = {
+    "BlockFilesDataSource": (
+        "blockchain_etl_spark.sources.blockfiles",
+        "BlockFilesDataSource",
+    ),
     "BlockIngest": ("blockchain_etl_spark.streaming.ingest", "BlockIngest"),
     "DocIngest": ("blockchain_etl_spark.streaming.docs", "DocIngest"),
     "MinHashIndex": ("blockchain_etl_spark.operators.lsh_index", "MinHashIndex"),

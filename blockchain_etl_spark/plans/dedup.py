@@ -204,18 +204,25 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
     arrays = arrays.localCheckpoint()  # 3 consumers: explode + both verify sides
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare_shingles = (
-        s.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(col("df") <= _JACCARD_DF_CAP)
-        .select("shingle")
-    )
-    rare = s.join(rare_shingles, ["shingle"])
+    # ONE shuffle on shingle: posting lists capped at df<=cap, pairs
+    # expanded map-side by an HOF (fan-out bounded at C(cap,2) per
+    # shingle) — replaces the df-aggregate + two shingle-keyed self-join
+    # shuffles of the naive form; at 100 TB that is 3 corpus-sized
+    # exchanges collapsed into 1.
     cand = (
-        rare.select(col("doc_id").alias("doc_a"), "shingle")
-        .join(rare.select(col("doc_id").alias("doc_b"), "shingle"), ["shingle"])
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+        s.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= _JACCARD_DF_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, a -> transform(ids,"
+                    " b -> struct(a AS doc_a, b AS doc_b)))),"
+                    " p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
+        )
+        .select(col("p.doc_a").alias("doc_a"), col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     verified = (

@@ -1,0 +1,137 @@
+"""blockfiles Python DataSource: file pruning, ordered streaming, gap stall.
+
+The pruning and ordering logic is pure Python (testable without a JVM);
+the end-to-end reads go through spark.read / readStream to prove the
+DataSource registration and wire format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from blockchain_etl_spark.sources.blockfiles import (
+    BlockFilesBatchReader,
+    BlockFilesDataSource,
+    BlockFilesStreamReader,
+    list_block_files,
+)
+
+
+def _write_blockfile(dirpath: str, lo: int, hi: int) -> str:
+    path = os.path.join(dirpath, f"blocks_{lo}_{hi}.jsonl")
+    with open(path, "w") as f:
+        for h in range(lo, hi + 1):
+            f.write(
+                json.dumps(
+                    {
+                        "height": h,
+                        "block_hash": f"hash{h}",
+                        "time": 1600000000 + h,
+                        "txns": [{"type": "payment_v2", "fee": h}],
+                    }
+                )
+                + "\n"
+            )
+    return path
+
+
+@pytest.fixture()
+def blockdir(tmp_path):
+    d = str(tmp_path / "blocks")
+    os.makedirs(d)
+    _write_blockfile(d, 1, 10)
+    _write_blockfile(d, 11, 25)
+    _write_blockfile(d, 26, 40)
+    (tmp_path / "blocks" / "sidecar.tmp").write_text("ignore me")
+    return d
+
+
+def test_list_ignores_non_matching_and_sorts(blockdir):
+    files = list_block_files(blockdir)
+    assert [(f.lo, f.hi) for f in files] == [(1, 10), (11, 25), (26, 40)]
+
+
+def test_height_pushdown_prunes_files(blockdir):
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    r = BlockFilesBatchReader(blockdir)
+    residual = list(r.pushFilters([GreaterThanOrEqual(("height",), 12)]))
+    assert residual == []  # fully handled at file level
+    assert [(f.lo, f.hi) for f in r.pruned_files()] == [(11, 25), (26, 40)]
+
+    r2 = BlockFilesBatchReader(blockdir)
+    list(r2.pushFilters([GreaterThanOrEqual(("height",), 12), LessThan(("height",), 26)]))
+    assert [(f.lo, f.hi) for f in r2.pruned_files()] == [(11, 25)]
+
+
+def test_non_height_filters_are_residual(blockdir):
+    from pyspark.sql.datasource import EqualTo
+
+    r = BlockFilesBatchReader(blockdir)
+    residual = list(r.pushFilters([EqualTo(("block_hash",), "hash3")]))
+    assert len(residual) == 1  # returned for Spark to re-apply
+
+
+def test_stream_reader_consumes_contiguous_prefix_only(blockdir, tmp_path):
+    r = BlockFilesStreamReader(blockdir, start_height=1)
+    assert r.initialOffset() == {"next_height": 1}
+    rows, off = r.read({"next_height": 1})
+    assert off == {"next_height": 41}
+    assert [x[0] for x in rows] == list(range(1, 41))
+
+    # a gap file (45-50 with 41-44 missing) must NOT be consumed
+    _write_blockfile(blockdir, 45, 50)
+    rows, off = r.read(off)
+    assert list(rows) == [] and off == {"next_height": 41}
+
+    # once the missing range lands, both are consumed in order
+    _write_blockfile(blockdir, 41, 44)
+    rows, off = r.read(off)
+    assert [x[0] for x in rows] == list(range(41, 51))
+    assert off == {"next_height": 51}
+
+
+def test_stream_replay_between_offsets_is_deterministic(blockdir):
+    r = BlockFilesStreamReader(blockdir, start_height=1)
+    rows = list(r.readBetweenOffsets({"next_height": 5}, {"next_height": 13}))
+    assert [x[0] for x in rows] == list(range(5, 13))
+
+
+def test_batch_read_end_to_end(spark, blockdir):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(BlockFilesDataSource)
+    df = spark.read.format("blockfiles").option("path", blockdir).load()
+    assert df.count() == 40
+    got = df.filter("height >= 30").selectExpr("count(*) AS n", "min(height) AS mn").first()
+    assert (got["n"], got["mn"]) == (11, 30)
+    row = df.filter("height = 7").first()
+    assert row["block_hash"] == "hash7"
+    assert json.loads(row["txns"])[0]["fee"] == 7
+
+
+def test_stream_read_end_to_end(spark, blockdir, tmp_path):
+    spark.dataSource.register(BlockFilesDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("blockfiles")
+        .option("path", blockdir)
+        .option("startHeight", 1)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    df = spark.read.parquet(out)
+    assert df.count() == 40
+    assert df.agg({"height": "max"}).first()[0] == 40
