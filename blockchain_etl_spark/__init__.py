@@ -49,6 +49,7 @@ _LAZY = {
         "BlockFilesDataSource",
     ),
     "BlockIngest": ("blockchain_etl_spark.streaming.ingest", "BlockIngest"),
+    "CodebookState": ("blockchain_etl_spark.operators.kmeans", "CodebookState"),
     "DocIngest": ("blockchain_etl_spark.streaming.docs", "DocIngest"),
     "MinHashIndex": ("blockchain_etl_spark.operators.lsh_index", "MinHashIndex"),
     "IVFIndex": ("blockchain_etl_spark.operators.ann_index", "IVFIndex"),

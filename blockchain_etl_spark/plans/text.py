@@ -689,3 +689,91 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining — phrase/vocab induction for a training-data
+# pipeline: rank adjacent bigrams by pointwise mutual information,
+# PMI ∝ c_ab·N² / (B·c_a·c_b). The MAGNITUDE is computed through a fixed
+# sequence of int64 multiply/truncating-div steps — mathematically a
+# truncated PMI ratio, cross-engine BIT-IDENTICAL because both engines
+# execute the same integer expression (exactness of the contract matters,
+# not decimal precision; log() would differ in ulps).
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 100
+
+
+@register(
+    "doc_bigram_pmi",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(toks) AS w FROM tok) t GROUP BY w),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM (
+        SELECT unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 1
+                        THEN struct_pack(w1 := toks[i], w2 := toks[i + 1]) END),
+                 p -> p IS NOT NULL)) AS p
+        FROM tok) t
+      CROSS JOIN LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+      GROUP BY w1, w2),
+    tots AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n,
+             (SELECT CAST(SUM(c_ab) AS BIGINT) FROM big) AS b)
+    SELECT w1, w2, c_ab,
+           ((((c_ab * 1000000) // ua.c) * n) // ub.c) * n // b AS pmi_scaled
+    FROM big
+    JOIN uni ua ON ua.w = w1
+    JOIN uni ub ON ub.w = w2
+    CROSS JOIN tots
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_scaled DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+    survey_ops=("W3",),
+    doc="Adjacent-bigram PMI collocations: unigram + bigram counts (one "
+    "shuffle each on the word key), totals derived from those aggregates "
+    "(never a second corpus scan) and broadcast, two count joins (vocab is "
+    "Zipf-small — broadcast-able at 100 TB), min-count floor, top-100 via "
+    "TakeOrderedAndProject with (w1, w2) tie-break. The phrase-mining / "
+    "tokenizer-vocab-induction primitive.",
+)
+def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.expr(_TOKENS.format(c="text")).alias("toks"))
+    tok = tok.localCheckpoint()  # unigram + bigram consumers
+    uni = (
+        tok.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = tok.select(
+        F.explode(
+            F.expr(
+                "filter(transform(toks, (w, i) -> CASE WHEN i < size(toks) - 1"
+                " THEN struct(toks[i] AS w1, toks[i + 1] AS w2) END),"
+                " p -> p IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select(col("p.w1").alias("w1"), col("p.w2").alias("w2"))
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    b_tot = big.agg(F.sum("c_ab").cast("long").alias("b"))
+    ua = uni.select(col("w").alias("w1"), col("c").alias("ca"))
+    ub = uni.select(col("w").alias("w2"), col("c").alias("cb"))
+    pmi = F.expr("((((c_ab * 1000000) div ca) * n) div cb) * n div b")
+    return (
+        big.filter(col("c_ab") >= _PMI_MIN_COUNT)
+        .join(ua, ["w1"])
+        .join(ub, ["w2"])
+        .crossJoin(broadcast(n_tot))
+        .crossJoin(broadcast(b_tot))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi_scaled"))
+        .orderBy(col("pmi_scaled").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

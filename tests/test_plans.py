@@ -48,7 +48,7 @@ def test_pricing_summary_is_two_exchange_scan_agg(plan):
 def test_top_k_uses_take_ordered_not_global_sort(plan):
     # W3/W6 top-k: per-partition top-k merged on the driver — a global
     # Sort operator would be the 100 TB anti-pattern.
-    for name in ("event_queue_drain", "top_revenue_orders", "nearest_suppliers_geo"):
+    for name in ("event_queue_drain", "top_revenue_orders", "nearest_suppliers_geo", "doc_bigram_pmi"):
         p = plan(name)
         assert "TakeOrderedAndProject" in p, (name, p)
 
