@@ -23,6 +23,12 @@ QUERIES = [
     "embedding_random_projection",
     "incident_window_events",
     "events_distinct_sketch_rollup",
+    # round 3: iterative codebook training, integer-ratio PMI top-k,
+    # window z-test, bit-length surprisal
+    "ivf_kmeans_codebook",
+    "doc_bigram_pmi",
+    "events_user_outliers",
+    "doc_unigram_surprisal",
 ]
 
 
