@@ -1,0 +1,57 @@
+"""Connected components via min-label propagation — the scalable
+alternative to driver-side union-find (which dies at the first graph that
+doesn't fit one machine).
+
+Used by dedup_components (shingle/hash candidate edges) and
+embedding_semantic_clusters (embedding near-dup edges); any (src, dst)
+edge frame works. Per round: one shuffle join edges⋈labels + one
+min-aggregate; converges in O(component diameter) rounds — tiny for dedup
+graphs (chains of near-dups). localCheckpoint truncates lineage every
+round so the plan stays flat instead of doubling.
+
+Convergence detection: labels only ever DECREASE, so sum(label) is
+strictly monotone while anything changes — an O(1)-output aggregate per
+round instead of joining old vs new labels (a second shuffle plus a full
+comparison pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def propagate_min_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """``nodes``: one row per vertex with column ``id_col``;
+    ``edges``: (src, dst) directed pairs (symmetrized internally).
+    Returns (``id_col``, label) where label = min vertex id reachable;
+    singletons label themselves."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(col("dst").alias("src"), col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(col(id_col), col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = sym.join(labels, sym.src == labels[id_col]).select(
+            col("dst").alias(id_col), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy(id_col)
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        label_sum = labels.agg(F.sum("label")).first()[0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return labels

@@ -287,39 +287,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, label) for EVERY document — label = min doc_id reachable
     over the candidate-edge graph (singletons label themselves). Shared by
-    dedup_components and dedup_cluster_representatives."""
-    e = _dedup_edges(spark, sf_dir)
-    edges = (
-        e.unionByName(e.select(col("dst").alias("src"), col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    dedup_components and dedup_cluster_representatives; the propagation
+    loop itself lives in operators/components.py (also drives
+    embedding_semantic_clusters)."""
+    from ..operators.components import propagate_min_labels
+
     docs = load_table(spark, sf_dir, "documents")
-    labels = docs.select("doc_id", col("doc_id").alias("label"))
-    # min-label propagation to fixpoint: labels flow along edges; converged
-    # when a round changes nothing. Component diameters in dedup graphs are
-    # tiny (chains of near-dups), so this terminates in a few rounds.
-    # Convergence test: labels only ever DECREASE, so sum(label) is strictly
-    # monotone while anything changes — an O(1)-output aggregate per round
-    # instead of a join of old vs new labels (which cost a second shuffle
-    # and a full comparison pass per round).
-    prev_sum = None
-    for _ in range(30):
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(col("dst").alias("doc_id"), "label")
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        label_sum = labels.agg(F.sum("label")).first()[0]
-        if label_sum == prev_sum:
-            break
-        prev_sum = label_sum
-    return labels
+    return propagate_min_labels(
+        docs.select("doc_id"), _dedup_edges(spark, sf_dir), id_col="doc_id"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -807,3 +807,71 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_fp",
         "n_members",
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup clustering: connected components over the embedding
+# near-dup pair graph — the embedding-space twin of dedup_components
+# (which clusters lexical candidates). Same scalable min-label propagation
+# operator (operators/components.py), same recursive-CTE oracle shape;
+# the edge set is this module's own registered near-dup query verbatim.
+# --------------------------------------------------------------------------
+def _nd_pairs_sql() -> str:
+    from .registry import QUERIES
+
+    return QUERIES["embedding_cosine_neardup"].sql
+
+
+@register(
+    "embedding_semantic_clusters",
+    sql=None,  # bound right after registration (needs the neardup SQL)
+    survey_ops=("X2",),
+    doc="Semantic near-duplicate clusters: sign-LSH banded candidates → "
+    "exact fixed-point cosine pairs (embedding_cosine_neardup) become the "
+    "edge set; min-label propagation (one edges⋈labels shuffle + one "
+    "min-agg per round, O(diameter) rounds, localCheckpoint lineage "
+    "truncation) finds components; clusters of >1 emit (cluster_id, "
+    "n_vecs, keep_vec_id). The semantic-dedup decision input for an "
+    "embedding-indexed corpus.",
+)
+def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import propagate_min_labels
+
+    pairs = embedding_cosine_neardup(spark, sf_dir).select(
+        col("vec_a").alias("src"), col("vec_b").alias("dst")
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = propagate_min_labels(nodes, pairs, id_col="vec_id")
+    return (
+        labels.groupBy(col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("keep_vec_id"))
+        .filter(col("n_vecs") > 1)
+    )
+
+
+# bind the recursive oracle now that embedding_cosine_neardup's SQL is
+# registered (composed verbatim so the two queries can never drift)
+def _bind_semantic_clusters_sql() -> None:
+    from .registry import QUERIES
+
+    QUERIES["embedding_semantic_clusters"].sql = f"""
+    WITH RECURSIVE nd AS ({_nd_pairs_sql()}),
+    edges AS (SELECT vec_a AS src, vec_b AS dst FROM nd
+              UNION SELECT vec_b, vec_a FROM nd),
+    reach(vec_id, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT edges.dst, reach.label
+      FROM reach JOIN edges ON edges.src = reach.vec_id
+      WHERE reach.label < edges.dst),
+    comp AS (SELECT vec_id, MIN(label) AS cluster_id FROM reach GROUP BY vec_id)
+    SELECT cluster_id,
+           COUNT(*) AS n_vecs,
+           MIN(vec_id) AS keep_vec_id
+    FROM comp
+    GROUP BY cluster_id
+    HAVING COUNT(*) > 1
+    """
+
+
+_bind_semantic_clusters_sql()
