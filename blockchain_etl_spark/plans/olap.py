@@ -709,3 +709,152 @@ def events_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev * dev).alias("dev2_scaled"),
         var4.alias("var4_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought together, ranked by lift.
+# The association-rules primitive (support / confidence / lift), all three
+# as integer ppm ratios — a fixed multiply/truncating-div sequence both
+# engines execute identically (same contract as doc_bigram_pmi).
+# Pair expansion is the df-capped HOF pattern: baskets are small (~7
+# items), so C(k,2) fan-out happens map-side after ONE shuffle on the
+# order key — never a lineitem self-join.
+# --------------------------------------------------------------------------
+_BASKET_MIN_PAIR = 3
+_BASKET_TOP = 100
+
+
+@register(
+    "basket_part_pairs",
+    sql=f"""
+    WITH baskets AS (
+      SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT p.a AS part_a, p.b AS part_b, COUNT(*) AS c_ab
+      FROM (SELECT unnest(list_filter(
+               flatten(list_transform(items, a ->
+                 list_transform(items, b -> struct_pack(a := a, b := b)))),
+               p -> p.a < p.b)) AS p
+            FROM baskets) t
+      GROUP BY p.a, p.b),
+    freq AS (
+      SELECT part, COUNT(*) AS c FROM (
+        SELECT l_orderkey, unnest(list_distinct(list(l_partkey))) AS part
+        FROM lineitem GROUP BY l_orderkey) t
+      GROUP BY part),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem)
+    SELECT part_a, part_b, c_ab,
+           (c_ab * 1000000) // n AS support_ppm,
+           (c_ab * 1000000) // fa.c AS confidence_ppm,
+           ((c_ab * 1000) * n) // (fa.c * fb.c) AS lift_milli
+    FROM pairs
+    JOIN freq fa ON fa.part = part_a
+    JOIN freq fb ON fb.part = part_b
+    CROSS JOIN tot
+    WHERE c_ab >= {_BASKET_MIN_PAIR}
+    ORDER BY lift_milli DESC, part_a, part_b
+    LIMIT {_BASKET_TOP}
+    """,
+    survey_ops=("W3",),
+    doc="Association rules over order baskets: ONE shuffle on the order "
+    "key builds distinct item lists, C(k,2) pair fan-out runs map-side in "
+    "a HOF (baskets are small — the lineitem⋈lineitem self-join this "
+    "replaces would shuffle the fact table twice), then pair counts, "
+    "per-part frequencies, and integer-ppm support/confidence/lift with a "
+    "TakeOrderedAndProject top-100. Part frequencies are dimension-sized "
+    "— broadcast-able at 100 TB.",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_distinct(F.collect_list("l_partkey")).alias("items"))
+        .localCheckpoint()  # pairs + per-part frequency + order total
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(items, a -> transform(items,"
+                    " b -> struct(a AS a, b AS b)))), p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .groupBy(col("p.a").alias("part_a"), col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    freq = (
+        baskets.select(F.explode("items").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n"))
+    fa = freq.select(col("part").alias("part_a"), col("c").alias("ca"))
+    fb = freq.select(col("part").alias("part_b"), col("c").alias("cb"))
+    return (
+        pairs.filter(col("c_ab") >= _BASKET_MIN_PAIR)
+        .join(fa, ["part_a"])
+        .join(fb, ["part_b"])
+        .crossJoin(broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.expr("(c_ab * 1000000) div n").alias("support_ppm"),
+            F.expr("(c_ab * 1000000) div ca").alias("confidence_ppm"),
+            F.expr("((c_ab * 1000) * n) div (ca * cb)").alias("lift_milli"),
+        )
+        .orderBy(col("lift_milli").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: the behavioral
+# sequence model behind funnels — P(next | prev) as integer ppm.
+# --------------------------------------------------------------------------
+@register(
+    "events_markov_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events),
+    c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type),
+    t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
+          FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           (c.n * 1000000) // t.total AS p_ppm
+    FROM c JOIN t USING (prev_type)
+    """,
+    survey_ops=("A4",),
+    doc="Per-user event-type transition matrix: one shuffle on user_id "
+    "orders sequences (lag window), one hash aggregate on the (prev, next) "
+    "pair; row totals derive from the 25-cell count table itself "
+    "(broadcast join, never a second event scan). P(next|prev) in integer "
+    "ppm keeps the matrix engine-exact.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("total"))
+    return (
+        c.join(broadcast(t), ["prev_type"])
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(n * 1000000) div total").alias("p_ppm"),
+        )
+    )

@@ -458,3 +458,45 @@ class BlockIngest:
             .start()
         )
         q.awaitTermination()
+
+    def run_blockfiles_stream(
+        self, spark: SparkSession, input_dir: str, start_height: int = 1
+    ) -> None:
+        """S1 through the `blockfiles` source plugin (sources/blockfiles.py):
+        the follower archive feed arrives as height-ordered JSONL block
+        files; the source enforces contiguity (gap = stall) and height
+        offsets, this wrapper fans each block's txn array out to the same
+        ordered foreachBatch pipeline as run_stream. Each txn entry carries
+        its polymorphic payload as an opaque JSON string ('fields') — the
+        from_json explode stays fully JVM-side."""
+        from ..sources.blockfiles import BlockFilesDataSource
+
+        spark.dataSource.register(BlockFilesDataSource)
+        blocks = (
+            spark.readStream.format("blockfiles")
+            .option("path", input_dir)
+            .option("startHeight", start_height)
+            .load()
+        )
+        txns = blocks.select(
+            col("height").alias("block"),
+            "time",
+            F.explode(
+                F.from_json(
+                    "txns", "array<struct<hash:string,type:string,fields:string>>"
+                )
+            ).alias("t"),
+        ).select(
+            "block",
+            col("t.hash").alias("hash"),
+            "time",
+            col("t.type").alias("type"),
+            col("t.fields").alias("fields"),
+        )
+        q = (
+            txns.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -135,3 +135,64 @@ def test_stream_read_end_to_end(spark, blockdir, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 40
     assert df.agg({"height": "max"}).first()[0] == 40
+
+
+def test_blockfiles_stream_feeds_ingest(spark, tmp_path):
+    """The full follower path through the source plugin: JSONL block
+    archives -> blockfiles stream -> txn explode -> ordered foreachBatch
+    ingest == the batch pipeline over the same transactions."""
+    from pyspark.sql import Row
+
+    from blockchain_etl_spark.sources.blockchain import SCHEMAS
+    from blockchain_etl_spark.streaming.ingest import TABLES, BlockIngest, derive_tables
+    from tests.fixtures_blockchain import gen_transactions
+
+    blocks, txns = gen_transactions()
+    by_height: dict[int, list] = {}
+    for t in txns:
+        by_height.setdefault(t["block"], []).append(t)
+    block_time = {b["height"]: b["time"] for b in blocks}
+
+    d = str(tmp_path / "archive")
+    os.makedirs(d)
+    # three archives covering 1..120 contiguously
+    for lo, hi in ((1, 40), (41, 90), (91, 120)):
+        with open(os.path.join(d, f"blocks_{lo}_{hi}.jsonl"), "w") as f:
+            for h in range(lo, hi + 1):
+                f.write(
+                    json.dumps(
+                        {
+                            "height": h,
+                            "block_hash": f"bh{h:05d}",
+                            "time": block_time[h],
+                            "txns": [
+                                {
+                                    "hash": t["hash"],
+                                    "type": t["type"],
+                                    "fields": t["fields"],
+                                }
+                                for t in by_height.get(h, [])
+                            ],
+                        }
+                    )
+                    + "\n"
+                )
+
+    out_dir = str(tmp_path / "out")
+    ing = BlockIngest(out_dir)
+    ing.run_blockfiles_stream(spark, d)
+
+    txn_df = spark.createDataFrame([Row(**t) for t in txns], schema=SCHEMAS["transactions"])
+    batch_tables = derive_tables(txn_df)
+    assert ing.sync_height() == 120
+
+    def _set(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        }
+
+    for name in TABLES:
+        got = _set(ing.read_table(spark, name))
+        want = _set(batch_tables[name])
+        assert got == want, f"{name}: {len(got)} vs {len(want)}"

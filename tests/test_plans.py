@@ -305,3 +305,20 @@ def test_unigram_surprisal_broadcasts_total(plan):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     keys = _hash_partition_keys(p)
     assert all(k.split("#")[0] in ("w", "doc_id") for k in keys), keys
+
+
+def test_basket_pairs_no_fact_self_join(plan):
+    # pair fan-out must be the map-side HOF over baskets — a lineitem
+    # self-join would shuffle the fact table twice.
+    p = plan("basket_part_pairs")
+    assert "TakeOrderedAndProject" in p, p
+    keys = _hash_partition_keys(p)
+    assert not any("l_partkey" in k for k in keys), keys
+
+
+def test_markov_totals_broadcast_not_second_scan(plan):
+    # row totals come from the 25-cell count table via broadcast — the
+    # events table is scanned exactly once.
+    p = plan("events_markov_transitions")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "BroadcastHashJoin" in p, p
