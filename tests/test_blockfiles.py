@@ -196,3 +196,52 @@ def test_blockfiles_stream_feeds_ingest(spark, tmp_path):
         got = _set(ing.read_table(spark, name))
         want = _set(batch_tables[name])
         assert got == want, f"{name}: {len(got)} vs {len(want)}"
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, blockdir, tmp_path):
+    """Kill the stream, land more archives, restart with the SAME
+    checkpoint: the committed height offset resumes — no duplicates, no
+    gaps (exactly-once at the sink for an idempotent file sink)."""
+    spark.dataSource.register(BlockFilesDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("blockfiles")
+            .option("path", blockdir)
+            .option("startHeight", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    df = spark.read.parquet(out)
+    assert df.count() == 40
+
+    _write_blockfile(blockdir, 41, 55)
+    run_once()
+    df = spark.read.parquet(out)
+    heights = sorted(r["height"] for r in df.select("height").collect())
+    assert heights == list(range(1, 56))  # each height exactly once
+
+
+def test_corrupt_line_raises_not_skips(spark, blockdir):
+    """A ledger feed must fail loudly on a corrupt archive line — silently
+    skipping blocks would corrupt every downstream running aggregate."""
+    spark.dataSource.register(BlockFilesDataSource)
+    with open(os.path.join(blockdir, "blocks_41_42.jsonl"), "w") as f:
+        f.write('{"height": 41, "block_hash": "h41", "time": 1, "txns": []}\n')
+        f.write("THIS IS NOT JSON\n")
+    with pytest.raises(Exception):
+        (
+            spark.read.format("blockfiles")
+            .option("path", blockdir)
+            .load()
+            .count()
+        )
