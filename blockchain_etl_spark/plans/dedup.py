@@ -649,3 +649,91 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash sketch recall — the same sketch-trust harness as
+# dedup_minhash_recall, for the OTHER sketch family: does banded SimHash
+# (Hamming ≤ 6) recover the exact Jaccard >= 0.5 near-dup pairs?
+# Running both gates side by side is how a pipeline picks its sketch.
+# --------------------------------------------------------------------------
+def _simhash_pairs_sql() -> str:
+    from .registry import QUERIES
+
+    return QUERIES["dedup_simhash"].sql
+
+
+@register(
+    "dedup_simhash_recall",
+    sql=None,  # bound below from the registered simhash SQL
+    survey_ops=(),
+    doc="SimHash candidate recall/precision against exact Jaccard ground "
+    "truth at j>=0.5 — composes the registered simhash pipeline verbatim "
+    "(band-key joins only) with the exact shingle self-join truth side; "
+    "one metrics row. Paired with dedup_minhash_recall, this is the "
+    "measured basis for choosing a sketch family before a 100 TB run.",
+)
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_rows(spark, sf_dir).localCheckpoint()
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    exact = (
+        pairs.join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
+        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
+        .filter(jac >= _RECALL_J)
+        .select("doc_a", "doc_b")
+    )
+    cand = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = exact.join(cand, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_hit.crossJoin(broadcast(n_true))
+        .crossJoin(broadcast(n_cand))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            (col("n_hit").cast("double") / F.nullif(col("n_true"), F.lit(0))).alias("recall"),
+            (col("n_hit").cast("double") / F.nullif(col("n_cand"), F.lit(0))).alias("precision"),
+        )
+    )
+
+
+def _bind_simhash_recall_sql() -> None:
+    from .registry import QUERIES
+
+    QUERIES["dedup_simhash_recall"].sql = f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    exact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) p
+      JOIN sz za ON za.doc_id = doc_a
+      JOIN sz zb ON zb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= {_RECALL_J}),
+    cand AS (SELECT doc_a, doc_b FROM ({_simhash_pairs_sql()}) sh),
+    hit AS (SELECT COUNT(*) AS n_hit
+            FROM exact JOIN cand USING (doc_a, doc_b))
+    SELECT (SELECT COUNT(*) FROM exact) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           n_hit,
+           CAST(n_hit AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM exact), 0) AS recall,
+           CAST(n_hit AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM cand), 0) AS precision
+    FROM hit
+    """
+
+
+_bind_simhash_recall_sql()

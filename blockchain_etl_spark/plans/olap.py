@@ -858,3 +858,91 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * 1000000) div total").alias("p_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quintiles per customer —
+# the standard behavioral segmentation rollup. All three metrics are
+# integers (days, counts, cents), quintiles are ntile(5) over totally
+# ordered keys (metric + custkey tie-break) so bucket assignment is
+# engine-exact; the reference anchor date derives from the orders aggregate
+# itself (no wall clock — deterministic forever).
+# --------------------------------------------------------------------------
+@register(
+    "customer_rfm_segments",
+    sql="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    anchor AS (SELECT MAX(last_order) AS t0 FROM base),
+    m AS (
+      SELECT custkey,
+             date_diff('day', CAST(last_order AS DATE), CAST(t0 AS DATE))
+               AS recency_days,
+             frequency, monetary_cents
+      FROM base CROSS JOIN anchor),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary_cents,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT)
+               AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, custkey) AS BIGINT)
+               AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, custkey) AS BIGINT)
+               AS m_score
+      FROM m)
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           concat('R', r_score, 'F', f_score, 'M', m_score) AS segment
+    FROM scored
+    """,
+    survey_ops=("A2",),
+    doc="RFM behavioral segmentation: one hash aggregate over orders builds "
+    "(recency, frequency, monetary) per customer; the anchor date comes "
+    "from that aggregate (broadcast — no second scan, no wall clock); "
+    "three ntile(5) windows assign quintile scores. Scale note: the "
+    "windows order the CUSTOMER-grain frame (dimension-sized, not the "
+    "fact table); at extreme customer counts swap ntile for fixed "
+    "percentile cutpoints from approx_percentile and a map-side CASE — "
+    "same output contract.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    anchor = base.agg(F.max("last_order").alias("t0"))
+    m = base.crossJoin(broadcast(anchor)).select(
+        "custkey",
+        F.datediff(col("t0").cast("date"), col("last_order").cast("date")).cast(
+            "long"
+        ).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    wr = Window.orderBy(col("recency_days").desc(), "custkey")
+    wf = Window.orderBy(col("frequency").asc(), "custkey")
+    wm = Window.orderBy(col("monetary_cents").asc(), "custkey")
+    scored = m.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.lit("R"), col("r_score"), F.lit("F"), col("f_score"),
+            F.lit("M"), col("m_score"),
+        ),
+    )
