@@ -276,7 +276,19 @@ def _dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first corpus that doesn't fit in one machine's memory.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labels = _component_labels(spark, sf_dir)
+    # only components of SIZE > 1 are emitted, and every member of such a
+    # component touches an edge — so the propagation runs over the edge
+    # endpoints only (|endpoints| << |corpus|: per-round shuffles move the
+    # near-dup subgraph, not 100 TB of singleton labels)
+    from ..operators.components import propagate_min_labels
+
+    edges = _dedup_edges(spark, sf_dir).localCheckpoint()  # endpoints + rounds
+    nodes = (
+        edges.select(col("src").alias("doc_id"))
+        .unionByName(edges.select(col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = propagate_min_labels(nodes, edges, id_col="doc_id")
     return (
         labels.groupBy(col("label").alias("component_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))

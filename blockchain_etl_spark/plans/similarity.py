@@ -840,7 +840,14 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_cosine_neardup(spark, sf_dir).select(
         col("vec_a").alias("src"), col("vec_b").alias("dst")
     )
-    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    # clusters of >1 only contain edge endpoints — propagate over the
+    # near-dup subgraph, not the whole corpus (see dedup_components)
+    pairs = pairs.localCheckpoint()  # endpoints + propagation both consume
+    nodes = (
+        pairs.select(col("src").alias("vec_id"))
+        .unionByName(pairs.select(col("dst").alias("vec_id")))
+        .distinct()
+    )
     labels = propagate_min_labels(nodes, pairs, id_col="vec_id")
     return (
         labels.groupBy(col("label").alias("cluster_id"))
