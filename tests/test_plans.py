@@ -322,3 +322,23 @@ def test_markov_totals_broadcast_not_second_scan(plan):
     p = plan("events_markov_transitions")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_column_pruning_reaches_the_scan(plan):
+    # a scan that reads all columns for a narrow projection re-reads the
+    # whole table at 100 TB; ReadSchema must carry only what the query
+    # consumes (lineitem has 16 columns; these read 7, 2, and 2).
+    expected = {
+        "pricing_summary": {
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        },
+        "dedup_exact": {"doc_id", "text"},
+        "sync_resume_point": {"event_id", "ts"},
+    }
+    for name, want in expected.items():
+        p = plan(name)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        assert schemas, (name, p)
+        got = {f.split(":")[0] for s in schemas for f in s.split(",")}
+        assert got == want, (name, got)
