@@ -188,3 +188,86 @@ def purchase_attribution_stream(
         "click_ts",
         "amount",
     )
+
+
+# ---- streaming outlier detection (T4 + the events_user_outliers twin) ----
+
+_OUTLIER_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("q", LongType()),
+    ]
+)
+
+OUTLIER_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("v_fp", LongType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+_OUTLIER_MIN_N = 30
+
+
+def _to_fp(values) -> "pd.Series":
+    """round(value*10000) half-away-from-zero in int64 — the same rounding
+    as the batch query's F.round (np.round is half-even; don't use it)."""
+    import numpy as np
+
+    p = values.to_numpy(dtype="float64") * 10000.0
+    absp = np.abs(p)
+    fl = np.floor(absp)
+    r = (fl + (absp - fl >= 0.5)).astype("int64")
+    return pd.Series(np.where(p < 0, -r, r))
+
+
+def _outlier_flags(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    import numpy as np
+
+    (user_id,) = key
+    n, s, q = state.get if state.exists else (0, 0, 0)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    vfp = _to_fp(batch["value"])
+    n += len(vfp)
+    s += int(vfp.sum())
+    q += int((vfp.astype(object) * vfp.astype(object)).sum())  # no int64 overflow
+    state.update((n, s, q))
+    if n < _OUTLIER_MIN_N:
+        return
+    x = vfp.to_numpy(dtype="int64")
+    dev = n * x - s
+    flagged = (dev.astype(object) * dev.astype(object)) > 4 * (n * q - s * s)
+    hits = batch.loc[np.asarray(flagged, dtype=bool)]
+    if len(hits):
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(hits), user_id, dtype="int64"),
+                "event_id": hits["event_id"].to_numpy(dtype="int64"),
+                "v_fp": vfp[np.asarray(flagged, dtype=bool)].to_numpy(dtype="int64"),
+                "n_obs": np.full(len(hits), n, dtype="int64"),
+            }
+        )
+
+
+def running_user_outliers(events: DataFrame) -> DataFrame:
+    """Online 2-sigma outlier detection — the streaming twin of the batch
+    query ``events_user_outliers``: per-user (n, Σx, Σx²) carried in
+    explicit group state (3 integers per key, O(keys) not O(rows)), each
+    microbatch's rows tested against the cumulative statistics with the
+    same cross-multiplied int64 identity (no float variance, no sqrt).
+
+    Semantics are ONLINE: a row is judged against the statistics observed
+    up to and including its own batch — with everything in one batch this
+    equals the batch query; across batches early data is judged with less
+    context (that is what streaming anomaly detection means, and why the
+    batch recompute remains the reconciliation path per SURVEY §7.1)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _outlier_flags,
+        outputStructType=OUTLIER_SCHEMA,
+        stateStructType=_OUTLIER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

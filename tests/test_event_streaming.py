@@ -253,3 +253,64 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     assert got == {(2, 1), (6, 4), (6, 5)}
     amounts = {r.purchase_id: r.amount for r in out.collect()}
     assert amounts[2] == 9.5 and amounts[6] == 3.25
+
+
+def test_streaming_outliers_single_batch_equals_batch_math(spark, tmp_path):
+    """T4: one microbatch holding all data == the batch z-test. User 1 has
+    30 ordinary values and one wild one; user 2 never reaches min-n."""
+    from blockchain_etl_spark.streaming.windows import running_user_outliers
+
+    in_dir = str(tmp_path / "in_out1")
+    os.makedirs(in_dir)
+    rows = [
+        _ev(i, f"2024-01-01 10:{i:02d}:00", 1, "click", 10.0 + (i % 3))
+        for i in range(30)
+    ]
+    rows.append(_ev(99, "2024-01-01 11:00:00", 1, "click", 500.0))
+    rows += [_ev(200 + i, "2024-01-01 10:00:00", 2, "view", 1.0) for i in range(5)]
+    _write_chunk(spark, rows, os.path.join(in_dir, "c=0"))
+
+    out = _run_stream(
+        spark,
+        in_dir + "/c=*",
+        running_user_outliers,
+        "outliers1",
+        str(tmp_path / "ckpt_out1"),
+        mode="append",
+    ).collect()
+    flagged = {(r.user_id, r.event_id) for r in out}
+    assert flagged == {(1, 99)}
+    (row,) = [r for r in out if r.event_id == 99]
+    assert row.v_fp == 5_000_000 and row.n_obs == 31
+
+
+def test_streaming_outliers_state_accumulates_across_batches(spark, tmp_path):
+    """Early batches below min-n emit nothing; once cumulative n crosses
+    the floor, later rows are judged against ALL observed history."""
+    from blockchain_etl_spark.streaming.windows import running_user_outliers
+
+    in_dir = str(tmp_path / "in_out2")
+    os.makedirs(in_dir)
+    chunk1 = [
+        _ev(i, f"2024-01-01 10:{i:02d}:00", 1, "click", 10.0 + (i % 3))
+        for i in range(20)
+    ]
+    chunk2 = [
+        _ev(100 + i, f"2024-01-01 11:{i:02d}:00", 1, "click", 10.0 + (i % 3))
+        for i in range(15)
+    ] + [_ev(999, "2024-01-01 12:00:00", 1, "click", 400.0)]
+    _write_chunk(spark, chunk1, os.path.join(in_dir, "c=0"))
+    _write_chunk(spark, chunk2, os.path.join(in_dir, "c=1"))
+
+    out = _run_stream(
+        spark,
+        in_dir + "/c=*",
+        running_user_outliers,
+        "outliers2",
+        str(tmp_path / "ckpt_out2"),
+        mode="append",
+    ).collect()
+    flagged = {(r.user_id, r.event_id) for r in out}
+    assert flagged == {(1, 999)}
+    (row,) = [r for r in out if r.event_id == 999]
+    assert row.n_obs == 36  # judged against the full cumulative history
