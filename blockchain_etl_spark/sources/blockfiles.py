@@ -39,6 +39,8 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -46,6 +48,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -219,3 +222,112 @@ class BlockFilesDataSource(DataSource):
         return BlockFilesStreamReader(
             self.options["path"], int(self.options.get("startHeight", 1))
         )
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return BlockFilesWriter(self.options["path"])
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return BlockFilesStreamWriter(self.options["path"])
+
+
+# ---- write side: the archive SINK (S2/S4 through the source plugin) ----
+
+@dataclass
+class _ArchivePartCommit(WriterCommitMessage):
+    """Per-task commit: the staged temp file and the height range it holds."""
+
+    tmp_path: str
+    lo: int
+    hi: int
+    count: int
+
+
+class BlockFilesWriter(DataSourceWriter):
+    """Batch writer: tasks stage temp JSONL parts; the driver-side commit
+    concatenates them in height order into one ``blocks_<lo>_<hi>.jsonl``
+    archive — write-audit-publish, so readers never see a partial archive.
+    abort() removes every staged part."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.staging = os.path.join(path, "_staging")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        tmp = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.jsonl")
+        lo, hi, count = None, None, 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                h = int(row["height"])
+                lo = h if lo is None else min(lo, h)
+                hi = h if hi is None else max(hi, h)
+                count += 1
+                f.write(
+                    json.dumps(
+                        {
+                            "height": h,
+                            "block_hash": row["block_hash"],
+                            "time": row["time"],
+                            "txns": json.loads(row["txns"])
+                            if row["txns"] is not None
+                            else None,
+                        }
+                    )
+                    + "\n"
+                )
+        if count == 0:
+            os.remove(tmp)
+            return _ArchivePartCommit(tmp_path="", lo=0, hi=0, count=0)
+        return _ArchivePartCommit(tmp_path=tmp, lo=lo, hi=hi, count=count)
+
+    def _publish(self, messages) -> None:
+        parts = [m for m in messages if m is not None and m.count > 0]
+        if not parts:
+            return
+        lo = min(p.lo for p in parts)
+        hi = max(p.hi for p in parts)
+        final = os.path.join(self.path, f"blocks_{lo}_{hi}.jsonl")
+        tmp_final = final + ".tmp"
+        # merge parts in height order so the archive is height-sorted —
+        # rows were staged per-partition; a block archive's contract is
+        # ordered contiguous heights
+        rows = []
+        for p in sorted(parts, key=lambda m: m.lo):
+            with open(p.tmp_path) as f:
+                rows.extend(json.loads(line) for line in f if line.strip())
+        rows.sort(key=lambda d: d["height"])
+        with open(tmp_final, "w") as f:
+            for d in rows:
+                f.write(json.dumps(d) + "\n")
+        os.replace(tmp_final, final)  # publish: atomic rename
+        for p in parts:
+            try:
+                os.remove(p.tmp_path)
+            except OSError:
+                pass
+
+    def commit(self, messages) -> None:
+        self._publish(messages)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
+
+
+class BlockFilesStreamWriter(BlockFilesWriter, DataSourceStreamWriter):
+    """Streaming sink: one archive per microbatch, published atomically in
+    commit(batchId). A replayed batch rewrites the SAME blocks_<lo>_<hi>
+    file (idempotent by construction — same range, same content), which is
+    exactly the reader side's replay contract."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        self._publish(messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        BlockFilesWriter.abort(self, messages)

@@ -245,3 +245,57 @@ def test_corrupt_line_raises_not_skips(spark, blockdir):
             .load()
             .count()
         )
+
+
+def test_batch_writer_roundtrip(spark, blockdir, tmp_path):
+    """read archives -> write through the blockfiles SINK -> read back:
+    identical rows, and the published archive is height-sorted contiguous."""
+    spark.dataSource.register(BlockFilesDataSource)
+    out = str(tmp_path / "written")
+    os.makedirs(out)
+    src = spark.read.format("blockfiles").option("path", blockdir).load()
+    src.write.format("blockfiles").option("path", out).mode("append").save()
+
+    files = list_block_files(out)
+    assert [(f.lo, f.hi) for f in files] == [(1, 40)]
+    back = spark.read.format("blockfiles").option("path", out).load()
+    assert sorted(r["height"] for r in back.collect()) == list(range(1, 41))
+    # height-sorted inside the archive
+    with open(files[0].path) as f:
+        heights = [json.loads(line)["height"] for line in f]
+    assert heights == sorted(heights)
+    # no staging leftovers
+    assert os.listdir(os.path.join(out, "_staging")) == []
+
+
+def test_stream_writer_one_archive_per_batch(spark, blockdir, tmp_path):
+    """Streaming sink publishes one contiguous archive per microbatch;
+    a second availableNow run with new data appends the next archive."""
+    spark.dataSource.register(BlockFilesDataSource)
+    out = str(tmp_path / "written")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+
+    def run_once():
+        q = (
+            spark.readStream.format("blockfiles")
+            .option("path", blockdir)
+            .option("startHeight", 1)
+            .load()
+            .writeStream.format("blockfiles")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert [(f.lo, f.hi) for f in list_block_files(out)] == [(1, 40)]
+
+    _write_blockfile(blockdir, 41, 50)
+    run_once()
+    got = sorted((f.lo, f.hi) for f in list_block_files(out))
+    assert got == [(1, 40), (41, 50)]
+    back = spark.read.format("blockfiles").option("path", out).load()
+    assert back.count() == 50
