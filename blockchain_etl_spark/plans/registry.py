@@ -68,24 +68,26 @@ def register(
 # (tests/test_oracle.py) keeps checking all of them every run.
 DRIVER_VERIFIED_GREEN: frozenset[str] = frozenset({
     "above_avg_balance", "account_activity_flagship", "churned_customers",
-    "customer_geo_grid_density", "customer_inventory", "customers_without_orders",
-    "dedup_exact", "dedup_jaccard_dfcapped", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "discounted_lines_exploded",
-    "doc_clean_corpus", "doc_fingerprint", "doc_lang_score", "doc_quality_score",
-    "doc_token_stats", "embedding_cosine_neardup", "embedding_lsh_buckets",
-    "embedding_random_projection", "event_burn_valuation", "event_props_extract",
-    "event_queue_drain", "events_asof_price", "first_event_per_user",
-    "first_order_payer_derivation", "knn_cosine_bruteforce", "knn_cosine_ivf",
-    "knn_recall_eval", "label_centroids", "last_event_value_per_user",
+    "customer_geo_grid_density", "customer_inventory",
+    "customers_without_orders", "dedup_exact", "dedup_jaccard_dfcapped",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "discounted_lines_exploded", "doc_clean_corpus", "doc_fingerprint",
+    "doc_lang_score", "doc_quality_score", "doc_token_stats",
+    "embedding_cosine_neardup", "embedding_lsh_buckets",
+    "embedding_random_projection", "event_burn_valuation",
+    "event_props_extract", "event_queue_drain", "events_asof_price",
+    "first_event_per_user", "first_order_payer_derivation",
+    "knn_cosine_bruteforce", "knn_cosine_ivf", "knn_recall_eval",
+    "label_centroids", "last_event_value_per_user",
     "latest_order_per_customer", "latest_shipment_per_supplier",
     "media_feature_extract", "nation_city_id", "nearest_suppliers_geo",
-    "order_discount_activity", "order_json_projection", "order_lines_projection",
-    "order_priority_counts", "part_name_search", "part_search_words",
-    "pricing_summary", "region_rollup", "revenue_by_customer_flag",
-    "running_user_stats", "stalest_customers", "supplier_brand_witnesses",
-    "supplier_rollup", "sync_resume_point", "top_orders_per_customer",
-    "top_revenue_orders", "transaction_actors", "typed_var_encode",
-    "user_props_merged", "video_frame_sample",
+    "order_discount_activity", "order_json_projection",
+    "order_lines_projection", "order_priority_counts", "part_name_search",
+    "part_search_words", "pricing_summary", "region_rollup",
+    "revenue_by_customer_flag", "running_user_stats", "stalest_customers",
+    "supplier_brand_witnesses", "supplier_rollup", "sync_resume_point",
+    "top_orders_per_customer", "top_revenue_orders", "transaction_actors",
+    "typed_var_encode", "user_props_merged", "video_frame_sample",
 })
 
 
