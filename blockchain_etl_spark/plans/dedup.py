@@ -204,15 +204,26 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
     arrays = arrays.localCheckpoint()  # 3 consumers: explode + both verify sides
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
-    # ONE shuffle on shingle: posting lists capped at df<=cap, pairs
-    # expanded map-side by an HOF (fan-out bounded at C(cap,2) per
-    # shingle) — replaces the df-aggregate + two shingle-keyed self-join
-    # shuffles of the naive form; at 100 TB that is 3 corpus-sized
-    # exchanges collapsed into 1.
-    cand = (
+    # df-count FIRST, collect_list ONLY for rare shingles: a stop-shingle
+    # appearing in millions of docs must never reach a collect_list
+    # aggregation buffer (filtering size(ids) AFTER collecting would
+    # materialize the full posting list inside one buffer before dropping
+    # it — the exact skew/OOM blowup the cap exists to prevent). The count
+    # aggregate is map-side-combinable (one row per shingle per partition
+    # crosses the wire); joining s against the surviving rare-shingle set
+    # leaves every collect_list group bounded at <= cap rows by
+    # construction. Plan-gated in tests/test_plans.py: no size(ids)
+    # post-filter may reappear downstream of the collect.
+    rare = (
         s.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(col("df") <= _JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    cand = (
+        s.join(rare, ["shingle"])
+        .groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") <= _JACCARD_DF_CAP)
         .select(
             F.explode(
                 F.expr(
@@ -415,7 +426,13 @@ _SIMHASH_BAND_W = _SIMHASH_BITS // _SIMHASH_BANDS
     "shuffles only on (band_id, band_val) buckets — never all-pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs over a caller-supplied (doc_id, text) frame —
+    the registered query runs it on the full table; the recall gate runs it
+    on the deterministic md5-bucket document sample."""
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("tok"),
@@ -551,14 +568,80 @@ def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact Jaccard ground truth — the "measure, don't guess" loop for the
 # dedup sketch, mirroring what knn_recall_eval does for the ANN index.
 # Both sides are this module's own registered pipelines composed verbatim.
+#
+# The exact-truth side requires the UNBOUNDED shingle self-join (that is
+# what "exact" means), so the whole gate runs on a deterministic md5-bucket
+# DOCUMENT sample (same keep rule as doc_sample_stratified): a pair enters
+# the evaluation iff BOTH endpoints sample in, on the truth side AND the
+# sketch side, so recall/precision measured on the sampled universe are
+# unbiased estimates of the full-corpus pair-level rates. This keeps the
+# gate itself runnable at any corpus size — the exact side's quadratic
+# hazard is bounded by the sample, not by hoping stop-shingles are rare.
 # --------------------------------------------------------------------------
 _RECALL_J = 0.5  # ground-truth near-dup threshold the sketch must recover
+_RECALL_SAMPLE_PCT = 40  # md5-bucket doc sample feeding BOTH gate sides
+
+_RECALL_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+)
+_RECALL_DOCS_SQL = f"""(
+      SELECT * FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 100 < {_RECALL_SAMPLE_PCT}) documents"""
+
+
+def _recall_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's document universe: deterministic ~40% md5-bucket sample —
+    a map-side filter (no shuffle, no RNG), identical on any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.expr(_RECALL_BUCKET_SPARK) < _RECALL_SAMPLE_PCT)
+
+
+def _exact_neardup_pairs(s: DataFrame) -> DataFrame:
+    """Exact Jaccard >= _RECALL_J ground-truth pairs over (doc_id, shingle)
+    rows. Shingle self-join — the gate feeds it SAMPLED shingle rows only
+    (plan-gated in tests/test_plans.py); dedup_ngram_jaccard is the one
+    registered query allowed to run this shape unsampled."""
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    return (
+        pairs.join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
+        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
+        .filter(jac >= _RECALL_J)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _recall_metrics(exact: DataFrame, cand: DataFrame) -> DataFrame:
+    """(truth pairs, candidate pairs) → one recall/precision metrics row."""
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = exact.join(cand, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_hit.crossJoin(broadcast(n_true))
+        .crossJoin(broadcast(n_cand))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            (col("n_hit").cast("double") / F.nullif(col("n_true"), F.lit(0))).alias("recall"),
+            (col("n_hit").cast("double") / F.nullif(col("n_cand"), F.lit(0))).alias("precision"),
+        )
+    )
 
 
 @register(
     "dedup_minhash_recall",
     sql=f"""
-    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    WITH s AS ({_SHINGLE_ROWS_SQL.replace("FROM documents", f"FROM {_RECALL_DOCS_SQL}")}),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
     exact AS (
       SELECT doc_a, doc_b FROM (
@@ -601,54 +684,19 @@ _RECALL_J = 0.5  # ground-truth near-dup threshold the sketch must recover
     doc="MinHash/LSH sketch recall/precision against exact Jaccard ground "
     "truth at j>=0.5: composes the exact shingle self-join (truth) and the "
     "banded candidate join (sketch) and counts the overlap — one row of "
-    "metrics. This is the evaluation harness a production dedup deploys "
-    "BEFORE trusting the sketch at 100 TB, where only the sketch is "
-    "affordable; the exact side runs on a sampled slice there.",
+    "metrics. Both sides run on the deterministic ~40% md5-bucket document "
+    "sample (pair inclusion prob ~16%), so the gate's own cost is bounded "
+    "at any corpus size — the unbounded exact self-join never touches the "
+    "full corpus. Unbiased for pair-level recall/precision.",
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _shingle_rows(spark, sf_dir).localCheckpoint()
-    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = s.select(col("doc_id").alias("doc_a"), "shingle")
-    b = s.select(col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, ["shingle"])
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
-    exact = (
-        pairs.join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
-        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
-        .filter(jac >= _RECALL_J)
-        .select("doc_a", "doc_b")
-    )
+    s = shingle_rows_from_text(_recall_sample_docs(spark, sf_dir)).localCheckpoint()
+    exact = _exact_neardup_pairs(s)
     cand = (
         lsh_candidate_pairs(band_rows(minhash_signatures(s)))
         .select("doc_a", "doc_b")
     )
-    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = exact.join(cand, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return (
-        n_hit.crossJoin(broadcast(n_true))
-        .crossJoin(broadcast(n_cand))
-        .select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            (
-                col("n_hit").cast("double")
-                / F.nullif(col("n_true"), F.lit(0))
-            ).alias("recall"),
-            (
-                col("n_hit").cast("double")
-                / F.nullif(col("n_cand"), F.lit(0))
-            ).alias("precision"),
-        )
-    )
+    return _recall_metrics(exact, cand)
 
 
 # --------------------------------------------------------------------------
@@ -671,48 +719,25 @@ def _simhash_pairs_sql() -> str:
     "truth at j>=0.5 — composes the registered simhash pipeline verbatim "
     "(band-key joins only) with the exact shingle self-join truth side; "
     "one metrics row. Paired with dedup_minhash_recall, this is the "
-    "measured basis for choosing a sketch family before a 100 TB run.",
+    "measured basis for choosing a sketch family before a 100 TB run. "
+    "Both sides run on the deterministic ~40% md5-bucket document sample, "
+    "bounding the exact side's cost at any corpus size.",
 )
 def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _shingle_rows(spark, sf_dir).localCheckpoint()
-    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = s.select(col("doc_id").alias("doc_a"), "shingle")
-    b = s.select(col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, ["shingle"])
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
-    exact = (
-        pairs.join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
-        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
-        .filter(jac >= _RECALL_J)
-        .select("doc_a", "doc_b")
-    )
-    cand = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = exact.join(cand, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        n_hit.crossJoin(broadcast(n_true))
-        .crossJoin(broadcast(n_cand))
-        .select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            (col("n_hit").cast("double") / F.nullif(col("n_true"), F.lit(0))).alias("recall"),
-            (col("n_hit").cast("double") / F.nullif(col("n_cand"), F.lit(0))).alias("precision"),
-        )
-    )
+    sampled = _recall_sample_docs(spark, sf_dir).localCheckpoint()
+    exact = _exact_neardup_pairs(shingle_rows_from_text(sampled))
+    cand = simhash_candidate_pairs(sampled).select("doc_a", "doc_b")
+    return _recall_metrics(exact, cand)
 
 
 def _bind_simhash_recall_sql() -> None:
     from .registry import QUERIES
 
+    # both sides run on the same md5-bucket doc sample as the Spark plan:
+    # the shingle CTE and the composed simhash pipeline each swap the raw
+    # `documents` scan for the sampled subquery.
     QUERIES["dedup_simhash_recall"].sql = f"""
-    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    WITH s AS ({_SHINGLE_ROWS_SQL.replace("FROM documents", f"FROM {_RECALL_DOCS_SQL}")}),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
     exact AS (
       SELECT doc_a, doc_b FROM (
@@ -722,7 +747,8 @@ def _bind_simhash_recall_sql() -> None:
       JOIN sz za ON za.doc_id = doc_a
       JOIN sz zb ON zb.doc_id = doc_b
       WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= {_RECALL_J}),
-    cand AS (SELECT doc_a, doc_b FROM ({_simhash_pairs_sql()}) sh),
+    cand AS (SELECT doc_a, doc_b FROM (
+      {_simhash_pairs_sql().replace("FROM documents", f"FROM {_RECALL_DOCS_SQL}")}) sh),
     hit AS (SELECT COUNT(*) AS n_hit
             FROM exact JOIN cand USING (doc_a, doc_b))
     SELECT (SELECT COUNT(*) FROM exact) AS n_true,

@@ -563,14 +563,25 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "constant-memory sketches that replace the exact count-distinct "
     "shuffle and the ntile total sort at 100 TB. No oracle by design "
     "(sketches are engine-specific); error is bounded against the exact "
-    "queries in pytest.",
+    "queries in pytest. Quantiles are emitted as three scalar DOUBLE "
+    "columns (q50/q90/q99) — same single t-digest sketch, unpacked with "
+    "element_at — so downstream consumers (and the driver's rows-only "
+    "canonicalizer) see flat columns, not an array.",
 )
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("_vq"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "approx_users",
+        F.element_at("_vq", 1).alias("q50"),
+        F.element_at("_vq", 2).alias("q90"),
+        F.element_at("_vq", 3).alias("q99"),
     )
 
 
@@ -602,6 +613,36 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
                 "approx_total_users"
             ),
+        )
+    )
+
+
+@register(
+    "events_distinct_rollup_exact",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_total_users
+    FROM events GROUP BY event_type
+    """,
+    survey_ops=("A3",),
+    doc="Exactness escape hatch for events_distinct_sketch_rollup: the same "
+    "per-event-type (n_days, distinct users) rollup computed EXACTLY with "
+    "count_distinct, oracle-anchored in DuckDB. Anchors the sketch query's "
+    "structure (grouping, day truncation, output shape) to an exact "
+    "contract even though the sketch's estimates are engine-specific; "
+    "tests/test_olap.py asserts |sketch - exact| within the HLL rsd bound. "
+    "At 100 TB you run the sketch form (map-side-combinable partials); "
+    "this exact form is the audit query you run on a slice.",
+)
+def events_distinct_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_trunc("day", col("ts")))
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("day").alias("n_days"),
+            F.countDistinct("user_id").alias("exact_total_users"),
         )
     )
 

@@ -50,7 +50,7 @@ def test_approx_stats_error_bounds(spark):
         # the GK sketch guarantees RANK error <= n/accuracy, not value
         # error: assert the fraction of values at or below each estimate
         # is within 1% (plus small-group slack) of the target quantile
-        for approx_q, p in zip(g.value_quantiles, (0.5, 0.9, 0.99)):
+        for approx_q, p in zip((g.q50, g.q90, g.q99), (0.5, 0.9, 0.99)):
             frac = (
                 events.filter(
                     (F.col("event_type") == et) & (F.col("value") <= approx_q)
@@ -82,3 +82,20 @@ def test_distinct_sketch_rollup_error_bound(spark):
     assert set(got) == set(exact)
     for et, u in exact.items():
         assert abs(got[et] - u) <= max(2, 0.05 * u), (et, got[et], u)
+
+
+def test_distinct_rollup_exact_anchors_sketch(spark):
+    """The oracle-anchored exact rollup and the sketch rollup must agree on
+    shape (same event types, same n_days) and the sketch's estimate must
+    land within the HLL lgK=14 bound of the exact count."""
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = get_queries()
+    sketch = {r.event_type: r for r in qs["events_distinct_sketch_rollup"](spark, sf).collect()}
+    exact = {r.event_type: r for r in qs["events_distinct_rollup_exact"](spark, sf).collect()}
+    assert set(sketch) == set(exact)
+    for et in exact:
+        assert sketch[et].n_days == exact[et].n_days, et
+        u = exact[et].exact_total_users
+        assert abs(sketch[et].approx_total_users - u) <= max(2, 0.05 * u), et

@@ -248,6 +248,52 @@ def test_dfcapped_jaccard_verify_joins_on_pair_keys(plan):
     assert doc_keyed, joins
 
 
+def test_dfcapped_jaccard_never_materializes_full_posting_lists(plan):
+    # the df cap must act BEFORE collect_list (count-agg + rare-shingle
+    # join), so no aggregation buffer ever holds a stop-shingle's full
+    # posting list. The regressed shape — collect first, then filter
+    # size(ids) <= cap — shows up in the plan as a Filter over the
+    # collected array's size; assert it cannot reappear.
+    p = plan("dedup_jaccard_dfcapped")
+    assert "partial_collect_list" in p, p
+    assert not re.search(r"Condition : .*size\(ids", p), p
+    # and the df-cap count aggregate feeds a filter on the count
+    assert re.search(r"Condition : \(df#\d+L <= 8\)", p), p
+
+
+def test_recall_gates_sample_both_sides(spark):
+    # the recall gates' exact-truth side is the unbounded shingle
+    # self-join; it may only ever run over the deterministic md5-bucket
+    # document sample. Assert the sampling filter sits under BOTH sides of
+    # the pair self-join (and under the sketch side) in the analyzed plans,
+    # built here without localCheckpoint so lineage is visible.
+    from blockchain_etl_spark.plans.dedup import (
+        _exact_neardup_pairs,
+        _recall_sample_docs,
+        shingle_rows_from_text,
+        simhash_candidate_pairs,
+    )
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sampled = _recall_sample_docs(spark, SF)
+        exact = _exact_neardup_pairs(shingle_rows_from_text(sampled))
+        p = exact._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        n_sample_filters = len(re.findall(r"conv\(substring\(md5\(\S*doc_id", p))
+        assert n_sample_filters >= 2, p  # both self-join sides + size side
+        # the sketch side's sampling is not plan-visible (its signature
+        # frame localCheckpoints, truncating lineage) — it is covered by
+        # the DuckDB oracle differential instead: n_cand hash-matches the
+        # oracle's candidate count over the SAMPLED subquery, which could
+        # not happen if the Spark side ran on the full corpus.
+        assert simhash_candidate_pairs is not None
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 def test_range_join_is_bucketed_equi_join_not_nested_loop(plan):
     # the keyless interval join must go through the bucket equi-join —
     # BroadcastNestedLoopJoin/CartesianProduct here means the bucketing
