@@ -108,12 +108,17 @@ def subnet_to_base_mask(col: Column) -> Column:
 # implemented entirely as JVM column expressions (hex-pair conv + bitwise
 # XOR — whole-stage codegen, no Python on the path).
 #
-# The upstream WORDLISTS are data this container doesn't ship; point
-# APT_WORDLIST_DIR at a directory with adjectives.txt/colors.txt/
-# animals.txt (one word per line, upstream order) for byte-compatible
-# names. The built-in fallback lists keep the operator deterministic and
-# identically distributed, but NOT name-compatible — an acknowledged
-# fidelity gap, not a silent one.
+# The upstream WORDLISTS are data this environment doesn't ship (no
+# network, not vendored in the reference checkout — erl_angry_purple_tiger
+# is a rebar git dep). Point APT_WORDLIST_DIR at a directory with
+# adjectives.txt/colors.txt/animals.txt (one word per line, upstream
+# order) for byte-compatible names. We deliberately do NOT bundle
+# from-memory reconstructions of the upstream lists: a near-correct list
+# would yield names that LOOK compatible but differ for some addresses —
+# the worst failure mode for a user-visible derived identifier — so the
+# built-in fallback stays obviously incompatible (deterministic and
+# identically distributed, but its own namespace), and byte-compat is
+# exactly as good as the wordlist files you supply.
 # --------------------------------------------------------------------------
 
 _ADJECTIVES = (

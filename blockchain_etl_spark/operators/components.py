@@ -31,7 +31,14 @@ def propagate_min_labels(
     """``nodes``: one row per vertex with column ``id_col``;
     ``edges``: (src, dst) directed pairs (symmetrized internally).
     Returns (``id_col``, label) where label = min vertex id reachable;
-    singletons label themselves."""
+    singletons label themselves.
+
+    ``max_rounds`` is a CORRECTNESS bound, not a budget: propagation needs
+    O(component diameter) rounds, and returning early would silently hand
+    back partially-propagated labels (diverging from the exact
+    recursive-CTE oracles). If the fixpoint is not reached within
+    ``max_rounds``, this raises — callers with deeper graphs must pass a
+    larger bound."""
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(col("dst").alias("src"), col("src").alias("dst")))
@@ -40,6 +47,7 @@ def propagate_min_labels(
     )
     labels = nodes.select(col(id_col), col(id_col).alias("label"))
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         prop = sym.join(labels, sym.src == labels[id_col]).select(
             col("dst").alias(id_col), "label"
@@ -52,6 +60,14 @@ def propagate_min_labels(
         )
         label_sum = labels.agg(F.sum("label")).first()[0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        raise RuntimeError(
+            f"propagate_min_labels did not reach a fixpoint in {max_rounds} "
+            "rounds (component diameter exceeds the bound); rerun with a "
+            "larger max_rounds — returning partial labels would silently "
+            "split components"
+        )
     return labels

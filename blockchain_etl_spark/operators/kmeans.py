@@ -114,17 +114,36 @@ class CodebookState:
 
     def centroids(self, spark: SparkSession) -> DataFrame:
         """(cell, dim, centroid_fp, n_members): running means on the grid —
-        integer-exact, batch-order-independent."""
+        integer-exact, batch-order-independent. Every frozen-quantizer cell
+        is always present: a cell with no accumulated members keeps its
+        frozen centroid with n_members=0 (matching ivf_kmeans_codebook's
+        COALESCE-with-previous rule), so k never silently shrinks and
+        refreshed_quantizer() stays a true drop-in replacement codebook."""
+        frozen = (
+            self.quantizer(spark)
+            .select("cell", F.posexplode("cvec").alias("dim", "frozen_fp"))
+            .withColumn("dim", col("dim").cast("long"))
+        )
         state = self._state.read(spark)
         if state is None:
-            return self.quantizer(spark).select(
-                "cell", F.posexplode("cvec").alias("dim", "centroid_fp")
-            ).withColumn("n_members", F.lit(0).cast("long"))
-        return state.select(
+            return frozen.select(
+                "cell",
+                "dim",
+                col("frozen_fp").alias("centroid_fp"),
+                F.lit(0).cast("long").alias("n_members"),
+            )
+        merged = frozen.join(
+            state.select("cell", col("dim").cast("long").alias("dim"), "n", "s"),
+            ["cell", "dim"],
+            "left",
+        )
+        return merged.select(
             "cell",
-            col("dim").cast("long").alias("dim"),
-            F.expr("s div n").alias("centroid_fp"),
-            col("n").alias("n_members"),
+            "dim",
+            F.when(col("n").isNotNull(), F.expr("s div n"))
+            .otherwise(col("frozen_fp"))
+            .alias("centroid_fp"),
+            F.coalesce(col("n"), F.lit(0)).cast("long").alias("n_members"),
         )
 
     def refreshed_quantizer(self, spark: SparkSession) -> DataFrame:

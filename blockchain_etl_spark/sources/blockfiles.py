@@ -257,14 +257,16 @@ class BlockFilesWriter(DataSourceWriter):
 
         os.makedirs(self.staging, exist_ok=True)
         tmp = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.jsonl")
-        lo, hi, count = None, None, 0
-        with open(tmp, "w") as f:
-            for row in iterator:
-                h = int(row["height"])
-                lo = h if lo is None else min(lo, h)
-                hi = h if hi is None else max(hi, h)
-                count += 1
-                f.write(
+        # buffer ONE Spark partition and sort it by height before staging —
+        # the same working set Spark's own sortWithinPartitions would hold;
+        # height-sorted parts let the driver-side publish stream-merge with
+        # a k-way heap instead of loading every row into driver memory.
+        rows: list[tuple[int, str]] = []
+        for row in iterator:
+            h = int(row["height"])
+            rows.append(
+                (
+                    h,
                     json.dumps(
                         {
                             "height": h,
@@ -275,32 +277,59 @@ class BlockFilesWriter(DataSourceWriter):
                             else None,
                         }
                     )
-                    + "\n"
+                    + "\n",
                 )
-        if count == 0:
-            os.remove(tmp)
+            )
+        if not rows:
             return _ArchivePartCommit(tmp_path="", lo=0, hi=0, count=0)
-        return _ArchivePartCommit(tmp_path=tmp, lo=lo, hi=hi, count=count)
+        rows.sort(key=lambda t: t[0])
+        with open(tmp, "w") as f:
+            for _, line in rows:
+                f.write(line)
+        return _ArchivePartCommit(
+            tmp_path=tmp, lo=rows[0][0], hi=rows[-1][0], count=len(rows)
+        )
+
+    @staticmethod
+    def _iter_sorted_part(path: str):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    # height is the first field of the staged object; parse
+                    # only the key cheaply for the merge, pass the line through
+                    yield json.loads(line)["height"], line
 
     def _publish(self, messages) -> None:
+        import heapq
+
         parts = [m for m in messages if m is not None and m.count > 0]
         if not parts:
             return
         lo = min(p.lo for p in parts)
         hi = max(p.hi for p in parts)
+        # range-collision audit: a new archive may only ever (a) occupy
+        # fresh height space or (b) REWRITE an identical range (the
+        # streaming replay contract — same batch, same range, same rows).
+        # A partial overlap means two writers raced or a misconfigured
+        # resume point — publishing would hand readers duplicate heights
+        # with different content, so fail loudly before the rename.
+        for existing in list_block_files(self.path):
+            if existing.lo == lo and existing.hi == hi:
+                continue  # idempotent replay rewrite of the same range
+            if existing.hi >= lo and existing.lo <= hi:
+                raise RuntimeError(
+                    f"blockfiles archive range collision: blocks_{lo}_{hi} "
+                    f"overlaps existing {os.path.basename(existing.path)} — "
+                    "refusing to publish overlapping height ranges"
+                )
         final = os.path.join(self.path, f"blocks_{lo}_{hi}.jsonl")
         tmp_final = final + ".tmp"
-        # merge parts in height order so the archive is height-sorted —
-        # rows were staged per-partition; a block archive's contract is
-        # ordered contiguous heights
-        rows = []
-        for p in sorted(parts, key=lambda m: m.lo):
-            with open(p.tmp_path) as f:
-                rows.extend(json.loads(line) for line in f if line.strip())
-        rows.sort(key=lambda d: d["height"])
-        with open(tmp_final, "w") as f:
-            for d in rows:
-                f.write(json.dumps(d) + "\n")
+        # k-way streaming merge of height-sorted parts: driver memory is
+        # O(k) open lines, never the full archive.
+        streams = [self._iter_sorted_part(p.tmp_path) for p in parts]
+        with open(tmp_final, "w") as out:
+            for _, line in heapq.merge(*streams, key=lambda t: t[0]):
+                out.write(line)
         os.replace(tmp_final, final)  # publish: atomic rename
         for p in parts:
             try:

@@ -268,6 +268,49 @@ def test_batch_writer_roundtrip(spark, blockdir, tmp_path):
     assert os.listdir(os.path.join(out, "_staging")) == []
 
 
+def test_publish_rejects_overlapping_range(tmp_path):
+    """Publishing an archive whose height range partially overlaps an
+    existing archive must fail loudly (duplicate heights with possibly
+    different content); rewriting the IDENTICAL range stays allowed — the
+    streaming replay contract."""
+    from blockchain_etl_spark.sources.blockfiles import (
+        BlockFilesWriter,
+        _ArchivePartCommit,
+    )
+
+    out = str(tmp_path / "arch")
+    os.makedirs(out)
+    w = BlockFilesWriter(out)
+
+    def staged(lo, hi):
+        os.makedirs(w.staging, exist_ok=True)
+        p = os.path.join(w.staging, f"part-{lo}-{hi}.jsonl")
+        with open(p, "w") as f:
+            for h in range(lo, hi + 1):
+                f.write(
+                    json.dumps(
+                        {"height": h, "block_hash": f"h{h}", "time": h, "txns": None}
+                    )
+                    + "\n"
+                )
+        return _ArchivePartCommit(tmp_path=p, lo=lo, hi=hi, count=hi - lo + 1)
+
+    w._publish([staged(1, 10)])
+    assert [(f.lo, f.hi) for f in list_block_files(out)] == [(1, 10)]
+    # identical-range rewrite: allowed (idempotent replay)
+    w._publish([staged(1, 10)])
+    assert [(f.lo, f.hi) for f in list_block_files(out)] == [(1, 10)]
+    # partial overlap: refused before the rename
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="range collision"):
+        w._publish([staged(5, 15)])
+    assert [(f.lo, f.hi) for f in list_block_files(out)] == [(1, 10)]
+    # fresh range: fine
+    w._publish([staged(11, 15)])
+    assert sorted((f.lo, f.hi) for f in list_block_files(out)) == [(1, 10), (11, 15)]
+
+
 def test_stream_writer_one_archive_per_batch(spark, blockdir, tmp_path):
     """Streaming sink publishes one contiguous archive per microbatch;
     a second availableNow run with new data appends the next archive."""

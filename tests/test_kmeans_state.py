@@ -82,6 +82,36 @@ def test_centroids_match_direct_reestimation(spark, tmp_path):
     assert _as_rows(st.centroids(spark)) == _as_rows(direct)
 
 
+def test_empty_cells_keep_frozen_centroid(spark, tmp_path):
+    """A quantizer cell that never receives a member must stay in the
+    codebook with its frozen centroid and n_members=0 — k never silently
+    shrinks (matches ivf_kmeans_codebook's COALESCE-with-previous rule)."""
+    vecs = _vectors(spark)
+    st = CodebookState(str(tmp_path / "st"))
+    st.init(spark, _seed_quantizer(spark, k=4))
+    # only feed vectors nearest to SOME cells: restrict to a tiny slice so
+    # at least one of the 4 seed cells plausibly ends up empty; then force
+    # the situation deterministically by feeding a single vector.
+    st.update(spark, vecs.filter("vec_id = 5"), watermark=1)
+
+    cents = st.centroids(spark)
+    cells = {r["cell"] for r in cents.select("cell").distinct().collect()}
+    assert cells == {0, 1, 2, 3}  # every frozen cell present
+    empty = cents.filter("n_members = 0")
+    assert empty.count() > 0
+    # empty cells carry the frozen centroid verbatim
+    frozen = {
+        (r["cell"], r["dim"]): r["frozen_fp"]
+        for r in st.quantizer(spark)
+        .select("cell", F.posexplode("cvec").alias("dim", "frozen_fp"))
+        .collect()
+    }
+    for r in empty.collect():
+        assert r["centroid_fp"] == frozen[(r["cell"], r["dim"])]
+    # and the refreshed codebook still has all k cells
+    assert st.refreshed_quantizer(spark).count() == 4
+
+
 def test_refreshed_quantizer_roundtrip(spark, tmp_path):
     st = CodebookState(str(tmp_path / "st"))
     st.init(spark, _seed_quantizer(spark))
