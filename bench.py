@@ -86,6 +86,10 @@ def main() -> None:
         result["failed"] = failed
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
         result["oracle_duckdb"] = _bench_oracle(reps)
+    try:
+        result["blocks_per_sec"] = _bench_ingest(spark)
+    except Exception as exc:  # ingest bench must not lose the query run
+        print(f"# ingest bench FAILED: {exc}", file=sys.stderr)
     # Full detail always lands on disk next to this script.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -113,6 +117,77 @@ def main() -> None:
             line = json.dumps(slim, separators=(",", ":"))
     print(line)
     spark.stop()
+
+
+def _bench_ingest(spark) -> float:
+    """Ingest-throughput bench: the reference's only implicit performance
+    contract is block-ingest latency (be_db_follower.erl:103-107 — keep up
+    with mainnet, ~1 block/min). Time the FULL follower path — JSONL block
+    archives -> blockfiles stream source (ordered offsets) -> txn explode
+    -> foreachBatch derive of all 10 tables + incremental inventory MERGE —
+    and report blocks/sec. The corpus is generated once (deterministic
+    fixture txns across all 20 reference txn types); each timed run starts
+    from a fresh checkpoint/output dir so nothing is warm-started.
+
+    SPARK_GRAFT_BENCH_BLOCKS sets corpus size (default 240, ~12 archives);
+    SPARK_GRAFT_BENCH_BLOCKS=0 disables the ingest bench."""
+    import shutil
+    import tempfile
+
+    from blockchain_etl_spark.streaming.ingest import BlockIngest
+    from tests.fixtures_blockchain import gen_transactions
+
+    n_blocks = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCKS", "240"))
+    if n_blocks <= 0:
+        return 0.0
+    blocks, txns = gen_transactions(seed=7, n_blocks=n_blocks)
+    by_height: dict[int, list] = {}
+    for t in txns:
+        by_height.setdefault(t["block"], []).append(t)
+    block_time = {b["height"]: b["time"] for b in blocks}
+
+    root = tempfile.mkdtemp(prefix="bench-ingest-")
+    try:
+        arch = os.path.join(root, "archive")
+        os.makedirs(arch)
+        per_archive = 20  # each archive becomes one ordered microbatch
+        for lo in range(1, n_blocks + 1, per_archive):
+            hi = min(lo + per_archive - 1, n_blocks)
+            with open(os.path.join(arch, f"blocks_{lo}_{hi}.jsonl"), "w") as f:
+                for h in range(lo, hi + 1):
+                    f.write(
+                        json.dumps(
+                            {
+                                "height": h,
+                                "block_hash": f"bh{h:05d}",
+                                "time": block_time[h],
+                                "txns": [
+                                    {
+                                        "hash": t["hash"],
+                                        "type": t["type"],
+                                        "fields": t["fields"],
+                                    }
+                                    for t in by_height.get(h, [])
+                                ],
+                            }
+                        )
+                        + "\n"
+                    )
+        out = os.path.join(root, "out")
+        ing = BlockIngest(out, maintain_inventories=True)
+        t0 = time.perf_counter()
+        ing.run_blockfiles_stream(spark, arch)
+        dt = time.perf_counter() - t0
+        assert ing.sync_height() == n_blocks, "ingest did not reach the tip"
+        bps = round(n_blocks / dt, 2)
+        print(
+            f"# ingest: {n_blocks} blocks ({len(txns)} txns, all tables + "
+            f"inventories) in {dt:.2f}s = {bps} blocks/sec",
+            file=sys.stderr,
+        )
+        return bps
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _bench_oracle(reps: int) -> dict:

@@ -45,12 +45,14 @@ def _addr(rng: random.Random, prefix: str, n: int) -> str:
     return f"{prefix}{rng.randrange(n):04d}"
 
 
-def gen_transactions(seed: int = 42):
-    """Returns (blocks, transactions) as lists of dicts."""
+def gen_transactions(seed: int = 42, n_blocks: int | None = None):
+    """Returns (blocks, transactions) as lists of dicts. ``n_blocks``
+    overrides the module default (used by bench.py's ingest-throughput
+    mode to build a larger corpus than the unit tests need)."""
     rng = random.Random(seed)
     blocks, txns = [], []
     t0 = 1600000000
-    for h in range(1, N_BLOCKS + 1):
+    for h in range(1, (n_blocks or N_BLOCKS) + 1):
         btime = t0 + h * 60
         n_txn = rng.randrange(1, 6)
         blocks.append(
