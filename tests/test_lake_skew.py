@@ -65,6 +65,54 @@ def test_salted_join_equals_plain_join(spark):
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
 
 
+def test_salted_join_bounds_per_task_input_under_heavy_skew(spark):
+    """100x+ hot-key skew: the salted join must keep every reduce task's
+    input bounded (max partition <= 2x median of non-empty partitions),
+    where the plain join necessarily funnels the whole hot key through ONE
+    task. Partition row counts are observed with AQE off so the static
+    hash partitioning is what's measured — at cluster scale these
+    partitions are the reduce tasks."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # 50k rows on key 0, 50k spread over 3200 cold keys (~15 rows each):
+        # the hot key is ~3000x a cold key and half the fact table.
+        fact = spark.range(0, 100_000).select(
+            F.when(col("id") < 50_000, F.lit(0))
+            .otherwise(col("id") % 3200)
+            .alias("k"),
+            col("id").alias("payload"),
+        )
+        dim = spark.range(0, 3200).select(
+            col("id").alias("k"), (col("id") * 10).alias("attr")
+        )
+
+        def partition_counts(df):
+            return [
+                r["n"]
+                for r in df.select(F.spark_partition_id().alias("pid"))
+                .groupBy("pid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+
+        plain = partition_counts(fact.join(dim, "k"))
+        salted = partition_counts(salted_join(fact, dim, "k", salt_buckets=64))
+        assert sum(plain) == sum(salted) == 100_000
+        # the plain join funnels the hot key into one task
+        assert max(plain) >= 50_000, plain
+        nonempty = sorted(n for n in salted if n > 0)
+        median = nonempty[len(nonempty) // 2]
+        assert max(nonempty) <= 2 * median, (max(nonempty), median, nonempty)
+        # and the worst salted task holds a small fraction of the hot key
+        assert max(nonempty) < max(plain) / 5, (max(nonempty), max(plain))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_morton_key_interleaves_bits(spark):
     from pyspark.sql import functions as F
 
