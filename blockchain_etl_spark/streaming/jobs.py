@@ -90,11 +90,24 @@ def _fake_geocode(h3_index: str) -> tuple[str, str, str, str]:
 
 
 def geocode_missing_locations(
-    gateways: DataFrame, locations: DataFrame, limit: int = 100
+    gateways: DataFrame,
+    locations: DataFrame,
+    limit: int = 100,
+    provider: "callable | None" = None,
 ) -> DataFrame:
     """S5/J6: pick distinct gateway locations with no `locations` row
     (NOT EXISTS, src/be_db_geocoder.erl:33) and enrich them in one
-    mapInPandas pass (≤``limit`` per tick, mirroring the poll batch)."""
+    mapInPandas pass (≤``limit`` per tick, mirroring the poll batch).
+
+    PROVIDER INTERFACE: ``provider(h3_index: str) -> (long_city,
+    short_city, long_country, short_country)`` — called once per missing
+    location inside the Arrow batch, so a real deployment plugs in an HTTP
+    reverse-geocoder (the reference polls OpenStreetMap Nominatim,
+    src/be_db_geocoder.erl:227-313) and gets batching, retry isolation,
+    and the ≤limit/tick rate cap from this dataflow for free. The default
+    is a deterministic stub (this sandbox has no network); the anti-join +
+    mapInPandas + MERGE pipeline around it is the production path."""
+    provider = provider or _fake_geocode
     missing = (
         gateways.select("location")
         .filter(col("location").isNotNull())
@@ -106,7 +119,7 @@ def geocode_missing_locations(
 
     def geocode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            geo = [_fake_geocode(loc) for loc in pdf["location"]]
+            geo = [provider(loc) for loc in pdf["location"]]
             yield pd.DataFrame(
                 {
                     "location": pdf["location"],

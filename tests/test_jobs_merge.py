@@ -126,6 +126,21 @@ def test_geocode_missing_locations(spark):
     assert r.long_city and r.short_city == r.long_city[:4] and r.short_country
 
 
+def test_geocode_custom_provider_is_used(spark):
+    """The provider interface: a caller-supplied geocoder runs inside the
+    Arrow batch and its values land in the output columns."""
+    gw = spark.createDataFrame([("8cdeadbe",)], "location string")
+    locs = spark.createDataFrame([], "location string")
+
+    def provider(h3_index):
+        return ("Testville", "Test", "testland", "TL")
+
+    r = geocode_missing_locations(gw, locs, provider=provider).collect()[0]
+    assert (r.long_city, r.short_city, r.long_country, r.short_country) == (
+        "Testville", "Test", "testland", "TL",
+    )
+
+
 def test_changed_keys_union(spark):
     actors = spark.createDataFrame(
         [(5, "acc1"), (5, "acc2"), (6, "acc1")], "block long, actor string"
