@@ -882,3 +882,279 @@ def _bind_semantic_clusters_sql() -> None:
 
 
 _bind_semantic_clusters_sql()
+
+
+# --------------------------------------------------------------------------
+# Product quantization — the vector-compression half of IVF-PQ, the
+# standard layout for billion-scale ANN (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011). A 64-dim vector
+# splits into 8 subvectors of 8 dims; each subvector is replaced by the id
+# of its nearest codeword in a per-subspace 16-entry codebook, so the
+# stored vector is 8 code bytes instead of 256 float bytes (32x). Queries
+# never decompress the corpus: ADC (asymmetric distance computation)
+# precomputes a query->codeword lookup table per subspace and sums 8 table
+# entries per candidate. Everything here is on the 1e6 fixed-point integer
+# grid (like ivf_kmeans_codebook) so Spark and the DuckDB oracle agree
+# bit-for-bit; the codebook is deterministically seeded from the first
+# _PQ_K vectors' subvectors (no RNG — the repo determinism contract).
+# --------------------------------------------------------------------------
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace (M * D = 64 = corpus dim)
+_PQ_K = 16  # codewords per subspace
+
+# shared oracle CTEs: fixed-point vectors -> per-subspace rows -> codebook
+# -> nearest-code assignment (the PQ encoding).
+_PQ_SETUP_SQL = f"""
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vf
+      FROM embeddings),
+    sv AS (
+      SELECT vec_id, CAST(s.sub AS BIGINT) AS sub,
+             list_slice(vf, 1 + {_PQ_D} * s.sub, {_PQ_D} * (s.sub + 1)) AS subvec
+      FROM v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS sub) s),
+    svd AS (
+      SELECT vec_id, sub, unnest(subvec) AS val,
+             generate_subscripts(subvec, 1) AS j
+      FROM sv),
+    cb AS (
+      SELECT vec_id AS code, sub, j, val AS c
+      FROM svd WHERE vec_id < {_PQ_K}),
+    pqd AS (
+      SELECT svd.vec_id AS vec_id, svd.sub AS sub, cb.code AS code,
+             CAST(SUM((val - c) * (val - c)) AS BIGINT) AS d2_fp
+      FROM svd JOIN cb USING (sub, j)
+      GROUP BY svd.vec_id, svd.sub, cb.code),
+    codes AS (
+      SELECT vec_id, sub, code, d2_fp FROM (
+        SELECT vec_id, sub, code, d2_fp,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2_fp, code) AS rn
+        FROM pqd) t
+      WHERE rn = 1)
+"""
+
+_PQ_SUB_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, p) -> acc + p)"
+)
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, subvec) fixed-point subvector rows — a map-side
+    explode of the scan, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("vf"),
+    )
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> struct(CAST(s AS BIGINT) AS sub,"
+                f" slice(vf, 1 + {_PQ_D} * s, {_PQ_D}) AS subvec))"
+            )
+        ).alias("p"),
+    ).select("vec_id", col("p.sub").alias("sub"), col("p.subvec").alias("subvec"))
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """(sub, code, cvec) — the first _PQ_K vectors' subvectors, one
+    16-entry codebook per subspace (M*K rows; always broadcast)."""
+    return subs.filter(col("vec_id") < _PQ_K).select(
+        "sub", col("vec_id").alias("code"), col("subvec").alias("cvec")
+    )
+
+
+def _pq_encode(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, sub, code, d2_fp) nearest-codeword assignment. The
+    codebook join is broadcast and the min-struct aggregate collapses the
+    K candidate rows map-side before the (vec_id, sub) shuffle — one
+    bounded shuffle over |corpus| * M rows."""
+    scored = subs.join(F.broadcast(codebook), ["sub"]).select(
+        "vec_id",
+        "sub",
+        "code",
+        F.expr(_PQ_SUB_D2.format(a="subvec", b="cvec")).alias("d2_fp"),
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2_fp", "code")).alias("w"))
+        .select("vec_id", "sub", col("w.code").alias("code"), col("w.d2_fp").alias("d2_fp"))
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    sql=f"""
+    WITH {_PQ_SETUP_SQL}
+    SELECT vec_id, sub, code, d2_fp FROM codes
+    """,
+    survey_ops=(),
+    doc=f"Product-quantization encoding: {_PQ_M} subspaces x {_PQ_D} dims, "
+    f"{_PQ_K}-entry deterministic codebook per subspace (seeded from the "
+    "first 16 vectors), nearest codeword by integer squared-L2 with "
+    "(d2, code) tie-break. Output is the full code table plus per-"
+    "subspace residual error — the 32x memory-compression pass that lets "
+    "a 100 TB embedding corpus fit an ANN index in executor memory. "
+    "Scale shape: map-side subvector explode, broadcast codebook join, "
+    "ONE shuffle on (vec_id, sub) with map-side min-struct partials.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subs = _pq_subvectors(spark, sf_dir)
+    return _pq_encode(subs, _pq_codebook(subs))
+
+
+@register(
+    "knn_pq_adc",
+    sql=f"""
+    WITH {_PQ_SETUP_SQL},
+    lut AS (
+      SELECT q.vec_id AS qid, q.sub AS sub, c.code AS code,
+             CAST(SUM((q.val - c.c) * (q.val - c.c)) AS BIGINT) AS lut_d2
+      FROM svd q JOIN cb c USING (sub, j)
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY q.vec_id, q.sub, c.code),
+    dist AS (
+      SELECT l.qid AS qid, x.vec_id AS vec_id,
+             CAST(SUM(l.lut_d2) AS BIGINT) AS adc_d2_fp
+      FROM codes x
+      JOIN lut l ON l.sub = x.sub AND l.code = x.code
+      WHERE x.vec_id <> l.qid
+      GROUP BY l.qid, x.vec_id)
+    SELECT qid, vec_id AS neighbor_id, adc_d2_fp, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, vec_id, adc_d2_fp,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc_d2_fp, vec_id) AS rank
+          FROM dist) r
+    WHERE rank <= {_TOP_K}
+    """,
+    survey_ops=(),
+    doc="ADC (asymmetric distance) top-k over PQ codes: each query builds "
+    f"a {_PQ_M}x{_PQ_K} lookup table of exact query-to-codeword distances "
+    "(queries stay uncompressed — only the corpus is quantized), then a "
+    "candidate's approximate distance is the sum of 8 table entries "
+    "selected by its stored codes. The corpus side never touches floats "
+    "or original vectors. Scale shape: the LUT is |queries|*M*K rows — "
+    "broadcast; the corpus code table streams through ONE (qid, vec_id) "
+    "aggregate with map-side partials; top-k is a bounded window per "
+    "query. Integer-exact, so both engines rank identically.",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    subs = _pq_subvectors(spark, sf_dir).localCheckpoint()  # corpus + queries + codebook
+    codebook = _pq_codebook(subs)
+    codes = _pq_encode(subs, codebook)
+    lut = (
+        subs.filter(col("vec_id") < _N_QUERIES)
+        .select(col("vec_id").alias("qid"), "sub", col("subvec").alias("qsub"))
+        .join(F.broadcast(codebook), ["sub"])
+        .select(
+            "qid",
+            "sub",
+            "code",
+            F.expr(_PQ_SUB_D2.format(a="qsub", b="cvec")).alias("lut_d2"),
+        )
+    )
+    dist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(col("vec_id") != col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("lut_d2").alias("adc_d2_fp"))
+    )
+    wk = Window.partitionBy("qid").orderBy(col("adc_d2_fp"), col("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(col("rank") <= _TOP_K)
+        .select("qid", col("vec_id").alias("neighbor_id"), "adc_d2_fp", "rank")
+    )
+
+
+@register(
+    "pq_recall_eval",
+    sql=f"""
+    WITH {_PQ_SETUP_SQL},
+    lut AS (
+      SELECT q.vec_id AS qid, q.sub AS sub, c.code AS code,
+             CAST(SUM((q.val - c.c) * (q.val - c.c)) AS BIGINT) AS lut_d2
+      FROM svd q JOIN cb c USING (sub, j)
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY q.vec_id, q.sub, c.code),
+    adc AS (
+      SELECT qid, vec_id FROM (
+        SELECT l.qid AS qid, x.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY l.qid
+                                  ORDER BY SUM(l.lut_d2), x.vec_id) AS rank
+        FROM codes x
+        JOIN lut l ON l.sub = x.sub AND l.code = x.code
+        WHERE x.vec_id <> l.qid
+        GROUP BY l.qid, x.vec_id) t
+      WHERE rank <= {_TOP_K}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, x.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY SUM((q.val - x.val) * (q.val - x.val)),
+                                           x.vec_id) AS rank
+        FROM svd q
+        JOIN svd x ON x.sub = q.sub AND x.j = q.j
+        WHERE q.vec_id < {_N_QUERIES} AND x.vec_id <> q.vec_id
+        GROUP BY q.vec_id, x.vec_id) t
+      WHERE rank <= {_TOP_K})
+    SELECT a.qid,
+           COUNT(*) AS n_approx,
+           COUNT(e.vec_id) AS n_hit,
+           CAST(COUNT(e.vec_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM adc a
+    LEFT JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY a.qid
+    """,
+    survey_ops=(),
+    doc="PQ quality gate: recall@k of ADC ranking against the exact "
+    "fixed-point squared-L2 top-k (both sides deterministic integer "
+    "math). The exact side scores |queries| x |corpus| pairs against the "
+    "10 BROADCAST queries — the same bounded yardstick shape as "
+    "knn_cosine_bruteforce, run on a sampled query set in production. A "
+    "recall drop below threshold blocks an index swap; the measured "
+    "number is the accuracy price of the 32x compression.",
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    approx = knn_pq_adc(spark, sf_dir).select("qid", "neighbor_id")
+    subs = _pq_subvectors(spark, sf_dir).localCheckpoint()
+    q = subs.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("qid"), "sub", col("subvec").alias("qsub")
+    )
+    pair_d2 = (
+        subs.join(F.broadcast(q), ["sub"])
+        .filter(col("vec_id") != col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_PQ_SUB_D2.format(a="subvec", b="qsub")).alias("sub_d2"),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("sub_d2").alias("d2"))
+    )
+    wk = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    exact = (
+        pair_d2.withColumn("rank", F.row_number().over(wk))
+        .filter(col("rank") <= _TOP_K)
+        .select("qid", col("vec_id").alias("neighbor_id"), F.lit(1).alias("__hit"))
+    )
+    return (
+        approx.join(exact, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_approx"),
+            F.count("__hit").alias("n_hit"),
+            (F.count("__hit").cast("double") / F.lit(_TOP_K)).alias("recall_at_k"),
+        )
+    )

@@ -777,3 +777,96 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("pmi_scaled").desc(), "w1", "w2")
         .limit(_PMI_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate pruning — the rewrite companion to doc_chunk_dedup: where
+# that query only MEASURES the shared-chunk fraction, this one removes the
+# boilerplate chunks and emits the cleaned text (the C4/CCNet move:
+# repeated spans — nav bars, license headers, templated footers — are
+# deleted at span granularity, not document granularity, so a document
+# survives with its unique content intact).
+# --------------------------------------------------------------------------
+_BP_DF = 2  # a chunk seen in >= this many docs is boilerplate
+
+
+@register(
+    "doc_boilerplate_prune",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             array_to_string(
+               list_slice(toks, 1 + {_CHUNK_TOKENS} * i,
+                          {_CHUNK_TOKENS} * (i + 1)), ' ') AS chunk_text
+      FROM (SELECT doc_id, toks,
+                   unnest(range(CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0)
+                                     AS BIGINT))) AS i
+            FROM t) z),
+    df AS (
+      SELECT md5(chunk_text) AS chunk_hash, COUNT(DISTINCT doc_id) AS doc_df
+      FROM ch GROUP BY 1)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.doc_df >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           COALESCE(string_agg(CASE WHEN d.doc_df < {_BP_DF} THEN c.chunk_text END,
+                               ' ' ORDER BY c.i), '') AS clean_text
+    FROM ch c JOIN df d ON d.chunk_hash = md5(c.chunk_text)
+    GROUP BY c.doc_id
+    """,
+    survey_ops=(),
+    doc=f"Span-level boilerplate removal: {_CHUNK_TOKENS}-token chunks "
+    f"hashed and counted across documents; chunks appearing in >= {_BP_DF} "
+    "docs are deleted and the surviving chunks are re-joined in order into "
+    "clean_text. Scale shape: chunk rows shuffle ONCE on chunk_hash (df "
+    "aggregate + join co-partition), then ONCE on doc_id for the ordered "
+    "rebuild — never on raw text bytes until the final collect_list, and "
+    "that list is bounded by the document's own length. The rebuild "
+    "ships (position, chunk) structs so reassembly is deterministic "
+    "under any partitioning.",
+)
+def doc_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", F.expr(_TOKENS.format(c="text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""IF(size(toks) = 0, array(),
+                       transform(
+                         sequence(0, int(ceil(size(toks) / {_CHUNK_TOKENS}.0)) - 1),
+                         i -> struct(CAST(i AS BIGINT) AS i,
+                                     concat_ws(' ',
+                                       slice(toks, 1 + {_CHUNK_TOKENS} * i,
+                                             {_CHUNK_TOKENS})) AS chunk_text)))"""
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", col("c.i").alias("i"), col("c.chunk_text").alias("chunk_text"))
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+    df_counts = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("doc_df")
+    )
+    pruned = (col("doc_df") >= _BP_DF).cast("long")
+    kept_text = F.when(col("doc_df") < _BP_DF, col("chunk_text"))
+    return (
+        chunks.join(df_counts, ["chunk_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(pruned).alias("n_pruned"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(col("i"), kept_text.alias("kept")))
+                    ),
+                    lambda s: s["kept"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

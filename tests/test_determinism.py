@@ -29,6 +29,10 @@ QUERIES = [
     "doc_bigram_pmi",
     "events_user_outliers",
     "doc_unigram_surprisal",
+    # round 4: PQ encode ties (d2, code), ADC rank ties, span rebuild order
+    "embedding_pq_codes",
+    "knn_pq_adc",
+    "doc_boilerplate_prune",
 ]
 
 

@@ -388,3 +388,36 @@ def test_column_pruning_reaches_the_scan(plan):
         assert schemas, (name, p)
         got = {f.split(":")[0] for s in schemas for f in s.split(",")}
         assert got == want, (name, got)
+
+
+def test_pq_encode_broadcasts_codebook_single_shuffle(plan):
+    # PQ encoding: the M*K-row codebook rides a broadcast; the only
+    # shuffle is the (vec_id, sub) min-struct aggregate. A shuffled join
+    # or cartesian against the corpus would be the 100 TB anti-pattern.
+    p = plan("embedding_pq_codes")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("vec_id", "sub"), (keys, p)
+
+
+def test_pq_adc_broadcasts_lut(plan):
+    # ADC search: codes stream through a broadcast join against the
+    # |queries|*M*K lookup table; shuffles only on (vec_id, sub) encode
+    # keys, the (qid, vec_id) distance aggregate, and the per-qid top-k
+    # window — never on subvector payloads.
+    p = plan("knn_pq_adc")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("vec_id", "sub", "qid"), (keys, p)
+
+
+def test_boilerplate_prune_shuffles_on_hash_then_doc(plan):
+    # Span-level boilerplate removal: one shuffle on chunk_hash (df count
+    # + join co-partition), one on doc_id (ordered rebuild) — raw token
+    # arrays never cross the wire.
+    p = plan("doc_boilerplate_prune")
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("chunk_hash", "doc_id"), (keys, p)
+    assert "toks#" not in " ".join(_hash_partition_keys(p)), p
