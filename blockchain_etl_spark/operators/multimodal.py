@@ -158,3 +158,68 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def _fit_box(w: int, h: int, box_w: int, box_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) into (box_w, box_h), never
+    upscaling — exact integer arithmetic (cross-engine reproducible)."""
+    if w <= box_w and h <= box_h:
+        return w, h
+    if w * box_h >= h * box_w:  # width-bound
+        return box_w, max(1, (h * box_w) // w)
+    return max(1, (w * box_h) // h), box_h
+
+
+def resize_images(media: DataFrame, box_w: int = 64, box_h: int = 64) -> DataFrame:
+    """image rows → aspect-fit thumbnails via ONE Arrow-batched
+    ``mapInPandas`` pass (zero shuffle; content bytes stay on executors).
+
+    Real path: decode_image + PIL thumbnail when PIL is importable.
+    Fallback (this container): target dims via the same exact integer
+    aspect math, and a deterministic 16-byte md5 'thumbnail' standing in
+    for the pixel payload — swapping in the real decoder changes no
+    Spark-side plumbing, schema, or partitioning.
+    """
+    flat = media.filter(F.col("media_type") == "image").select(
+        "media_id",
+        "content",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [
+                _fit_box(int(w), int(h), box_w, box_h)
+                for w, h in zip(pdf["w"], pdf["h"])
+            ]
+            if HAS_PIL:  # pragma: no cover - real decoder path
+                thumbs = []
+                for c, (tw, th) in zip(pdf["content"], dims):
+                    img = decode_image(bytes(c))
+                    img.thumbnail((tw, th))
+                    thumbs.append(img.tobytes())
+            else:
+                thumbs = [
+                    hashlib.md5(bytes(c)).digest() for c in pdf["content"]
+                ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "thumb": thumbs,
+                }
+            )
+
+    return flat.mapInPandas(batches, schema=RESIZE_SCHEMA)

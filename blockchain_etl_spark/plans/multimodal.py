@@ -72,3 +72,45 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), col("meta.n_frames") - 1, F.lit(10).cast("long"))
         ).alias("frame_idx"),
     )
+
+
+@register(
+    "media_resize_thumbs",
+    sql=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 640 + 64 AS BIGINT) AS w,
+             CAST(doc_id % 480 + 48 AS BIGINT) AS h,
+             upper(md5(text)) AS thumb_sig
+      FROM documents WHERE {_MEDIA_TYPE_SQL} = 'image')
+    SELECT media_id,
+           CASE WHEN w <= 64 AND h <= 64 THEN w
+                WHEN w * 64 >= h * 64 THEN 64
+                ELSE GREATEST(1, (w * 64) // h) END AS width,
+           CASE WHEN w <= 64 AND h <= 64 THEN h
+                WHEN w * 64 >= h * 64 THEN GREATEST(1, (h * 64) // w)
+                ELSE 64 END AS height,
+           CAST(16 AS BIGINT) AS thumb_len,
+           thumb_sig
+    FROM img
+    """,
+    survey_ops=(),
+    doc="Image resize plumbing: aspect-fit thumbnails into a 64x64 box "
+    "via one Arrow-batched mapInPandas pass (operators/multimodal.py "
+    "resize_images) — exact integer aspect math, content bytes never "
+    "leave the executor, zero shuffle. The pixel resize slot is PIL when "
+    "available and a deterministic 16-byte md5 thumbnail otherwise; the "
+    "oracle checks the dims math and the thumbnail signature.",
+)
+def media_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    thumbs = resize_images(media_from_documents(docs))
+    return thumbs.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("thumb").cast("long").alias("thumb_len"),
+        F.hex("thumb").alias("thumb_sig"),
+    )

@@ -889,8 +889,9 @@ _bind_semantic_clusters_sql()
 # standard layout for billion-scale ANN (Jégou et al., "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011). A 64-dim vector
 # splits into 8 subvectors of 8 dims; each subvector is replaced by the id
-# of its nearest codeword in a per-subspace 16-entry codebook, so the
-# stored vector is 8 code bytes instead of 256 float bytes (32x). Queries
+# of its nearest codeword in a per-subspace 64-entry codebook, so the
+# stored vector is 8 six-bit codes (6 bytes) instead of 256 float bytes
+# (~42x). Queries
 # never decompress the corpus: ADC (asymmetric distance computation)
 # precomputes a query->codeword lookup table per subspace and sums 8 table
 # entries per candidate. Everything here is on the 1e6 fixed-point integer
@@ -900,7 +901,7 @@ _bind_semantic_clusters_sql()
 # --------------------------------------------------------------------------
 _PQ_M = 8  # subspaces
 _PQ_D = 8  # dims per subspace (M * D = 64 = corpus dim)
-_PQ_K = 16  # codewords per subspace
+_PQ_K = 64  # codewords per subspace
 
 # shared oracle CTEs: fixed-point vectors -> per-subspace rows -> codebook
 # -> nearest-code assignment (the PQ encoding).
@@ -940,17 +941,48 @@ _PQ_SUB_D2 = (
     " 0L, (acc, p) -> acc + p)"
 )
 
+# ADC shortlist size for the exact-rerank stage (production IVFADC shape:
+# ADC prunes the corpus to a fixed-size shortlist, exact distances re-rank
+# only those rows).
+_PQ_RERANK = 50
 
-def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, sub, subvec) fixed-point subvector rows — a map-side
-    explode of the scan, no shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+# shared ADC CTEs layered on _PQ_SETUP_SQL: per-query lookup table and the
+# ADC-ranked candidate list.
+_PQ_ADC_SQL = f"""
+    lut AS (
+      SELECT q.vec_id AS qid, q.sub AS sub, c.code AS code,
+             CAST(SUM((q.val - c.c) * (q.val - c.c)) AS BIGINT) AS lut_d2
+      FROM svd q JOIN cb c USING (sub, j)
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY q.vec_id, q.sub, c.code),
+    adcr AS (
+      SELECT l.qid AS qid, x.vec_id AS vec_id,
+             CAST(SUM(l.lut_d2) AS BIGINT) AS adc_d2_fp,
+             ROW_NUMBER() OVER (PARTITION BY l.qid
+                                ORDER BY CAST(SUM(l.lut_d2) AS BIGINT),
+                                         x.vec_id) AS rank
+      FROM codes x
+      JOIN lut l ON l.sub = x.sub AND l.code = x.code
+      WHERE x.vec_id <> l.qid
+      GROUP BY l.qid, x.vec_id)
+"""
+
+
+def _pq_fixed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vf) full fixed-point vectors — map-side projection."""
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
             "transform(embedding,"
             " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
         ).alias("vf"),
     )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, subvec) fixed-point subvector rows — a map-side
+    explode of the scan, no shuffle."""
+    emb = _pq_fixed_vectors(spark, sf_dir)
     return emb.select(
         "vec_id",
         F.explode(
@@ -965,7 +997,7 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_codebook(subs: DataFrame) -> DataFrame:
     """(sub, code, cvec) — the first _PQ_K vectors' subvectors, one
-    16-entry codebook per subspace (M*K rows; always broadcast)."""
+    64-entry codebook per subspace (M*K rows; always broadcast)."""
     return subs.filter(col("vec_id") < _PQ_K).select(
         "sub", col("vec_id").alias("code"), col("subvec").alias("cvec")
     )
@@ -1000,7 +1032,7 @@ def _pq_encode(subs: DataFrame, codebook: DataFrame) -> DataFrame:
     f"{_PQ_K}-entry deterministic codebook per subspace (seeded from the "
     "first 16 vectors), nearest codeword by integer squared-L2 with "
     "(d2, code) tie-break. Output is the full code table plus per-"
-    "subspace residual error — the 32x memory-compression pass that lets "
+    "subspace residual error — the ~42x memory-compression pass that lets "
     "a 100 TB embedding corpus fit an ANN index in executor memory. "
     "Scale shape: map-side subvector explode, broadcast codebook join, "
     "ONE shuffle on (vec_id, sub) with map-side min-struct partials.",
@@ -1014,24 +1046,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_pq_adc",
     sql=f"""
     WITH {_PQ_SETUP_SQL},
-    lut AS (
-      SELECT q.vec_id AS qid, q.sub AS sub, c.code AS code,
-             CAST(SUM((q.val - c.c) * (q.val - c.c)) AS BIGINT) AS lut_d2
-      FROM svd q JOIN cb c USING (sub, j)
-      WHERE q.vec_id < {_N_QUERIES}
-      GROUP BY q.vec_id, q.sub, c.code),
-    dist AS (
-      SELECT l.qid AS qid, x.vec_id AS vec_id,
-             CAST(SUM(l.lut_d2) AS BIGINT) AS adc_d2_fp
-      FROM codes x
-      JOIN lut l ON l.sub = x.sub AND l.code = x.code
-      WHERE x.vec_id <> l.qid
-      GROUP BY l.qid, x.vec_id)
+    {_PQ_ADC_SQL}
     SELECT qid, vec_id AS neighbor_id, adc_d2_fp, CAST(rank AS BIGINT) AS rank
-    FROM (SELECT qid, vec_id, adc_d2_fp,
-                 ROW_NUMBER() OVER (PARTITION BY qid
-                                    ORDER BY adc_d2_fp, vec_id) AS rank
-          FROM dist) r
+    FROM adcr
     WHERE rank <= {_TOP_K}
     """,
     survey_ops=(),
@@ -1043,9 +1060,21 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "or original vectors. Scale shape: the LUT is |queries|*M*K rows — "
     "broadcast; the corpus code table streams through ONE (qid, vec_id) "
     "aggregate with map-side partials; top-k is a bounded window per "
-    "query. Integer-exact, so both engines rank identically.",
+    "query. Integer-exact, so both engines rank identically. Pure ADC "
+    "ranking is the compression probe; production serving adds the exact "
+    "rerank stage (knn_pq_rerank).",
 )
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pq_adc_ranked(spark, sf_dir)
+        .filter(col("rank") <= _TOP_K)
+        .select("qid", col("vec_id").alias("neighbor_id"), "adc_d2_fp", "rank")
+    )
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, vec_id, adc_d2_fp, rank) — the full ADC-ranked candidate list
+    (broadcast LUT join + one (qid, vec_id) aggregate + per-qid window)."""
     from pyspark.sql import Window
 
     subs = _pq_subvectors(spark, sf_dir).localCheckpoint()  # corpus + queries + codebook
@@ -1069,10 +1098,66 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("lut_d2").alias("adc_d2_fp"))
     )
     wk = Window.partitionBy("qid").orderBy(col("adc_d2_fp"), col("vec_id"))
+    return dist.withColumn("rank", F.row_number().over(wk).cast("long"))
+
+
+@register(
+    "knn_pq_rerank",
+    sql=f"""
+    WITH {_PQ_SETUP_SQL},
+    {_PQ_ADC_SQL},
+    short AS (SELECT qid, vec_id FROM adcr WHERE rank <= {_PQ_RERANK}),
+    ex AS (
+      SELECT s.qid AS qid, s.vec_id AS vec_id,
+             CAST(SUM((q.val - x.val) * (q.val - x.val)) AS BIGINT) AS d2_fp
+      FROM short s
+      JOIN svd q ON q.vec_id = s.qid
+      JOIN svd x ON x.vec_id = s.vec_id AND x.sub = q.sub AND x.j = q.j
+      GROUP BY s.qid, s.vec_id)
+    SELECT qid, vec_id AS neighbor_id, d2_fp, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, vec_id, d2_fp,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY d2_fp, vec_id) AS rank
+          FROM ex) r
+    WHERE rank <= {_TOP_K}
+    """,
+    survey_ops=(),
+    doc=f"Production PQ serving path: ADC prunes the corpus to a "
+    f"{_PQ_RERANK}-row shortlist per query, then EXACT fixed-point "
+    "squared-L2 re-ranks only those rows for the final top-k — the "
+    "standard IVFADC+rerank pipeline that recovers most of the recall "
+    "the ~42x compression costs (measured by pq_recall_eval: rerank vs "
+    "pure-ADC recall side by side). Scale shape: the shortlist (and the "
+    "query set) ride broadcasts; the corpus streams ONCE through the "
+    "broadcast id filter — exact distances are computed for "
+    "|queries| x shortlist rows only, never the full corpus.",
+)
+def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    short = (
+        _pq_adc_ranked(spark, sf_dir)
+        .filter(col("rank") <= _PQ_RERANK)
+        .select("qid", "vec_id")
+    )
+    vf = _pq_fixed_vectors(spark, sf_dir).localCheckpoint()  # corpus + query sides
+    qv = vf.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("qid"), col("vf").alias("qvf")
+    )
+    exact = (
+        vf.join(F.broadcast(short), ["vec_id"])
+        .join(F.broadcast(qv), ["qid"])
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_PQ_SUB_D2.format(a="vf", b="qvf")).alias("d2_fp"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(col("d2_fp"), col("vec_id"))
     return (
-        dist.withColumn("rank", F.row_number().over(wk).cast("long"))
+        exact.withColumn("rank", F.row_number().over(wk).cast("long"))
         .filter(col("rank") <= _TOP_K)
-        .select("qid", col("vec_id").alias("neighbor_id"), "adc_d2_fp", "rank")
+        .select("qid", col("vec_id").alias("neighbor_id"), "d2_fp", "rank")
     )
 
 
@@ -1080,21 +1165,22 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_recall_eval",
     sql=f"""
     WITH {_PQ_SETUP_SQL},
-    lut AS (
-      SELECT q.vec_id AS qid, q.sub AS sub, c.code AS code,
-             CAST(SUM((q.val - c.c) * (q.val - c.c)) AS BIGINT) AS lut_d2
-      FROM svd q JOIN cb c USING (sub, j)
-      WHERE q.vec_id < {_N_QUERIES}
-      GROUP BY q.vec_id, q.sub, c.code),
-    adc AS (
+    {_PQ_ADC_SQL},
+    adc AS (SELECT qid, vec_id FROM adcr WHERE rank <= {_TOP_K}),
+    short AS (SELECT qid, vec_id FROM adcr WHERE rank <= {_PQ_RERANK}),
+    exd AS (
+      SELECT s.qid AS qid, s.vec_id AS vec_id,
+             CAST(SUM((q.val - x.val) * (q.val - x.val)) AS BIGINT) AS d2_fp
+      FROM short s
+      JOIN svd q ON q.vec_id = s.qid
+      JOIN svd x ON x.vec_id = s.vec_id AND x.sub = q.sub AND x.j = q.j
+      GROUP BY s.qid, s.vec_id),
+    rr AS (
       SELECT qid, vec_id FROM (
-        SELECT l.qid AS qid, x.vec_id AS vec_id,
-               ROW_NUMBER() OVER (PARTITION BY l.qid
-                                  ORDER BY SUM(l.lut_d2), x.vec_id) AS rank
-        FROM codes x
-        JOIN lut l ON l.sub = x.sub AND l.code = x.code
-        WHERE x.vec_id <> l.qid
-        GROUP BY l.qid, x.vec_id) t
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d2_fp, vec_id) AS rank
+        FROM exd) r
       WHERE rank <= {_TOP_K}),
     exact AS (
       SELECT qid, vec_id FROM (
@@ -1106,55 +1192,86 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN svd x ON x.sub = q.sub AND x.j = q.j
         WHERE q.vec_id < {_N_QUERIES} AND x.vec_id <> q.vec_id
         GROUP BY q.vec_id, x.vec_id) t
-      WHERE rank <= {_TOP_K})
-    SELECT a.qid,
-           COUNT(*) AS n_approx,
-           COUNT(e.vec_id) AS n_hit,
-           CAST(COUNT(e.vec_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
-    FROM adc a
-    LEFT JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
-    GROUP BY a.qid
+      WHERE rank <= {_TOP_K}),
+    a_hits AS (
+      SELECT a.qid, CAST(COUNT(e.vec_id) AS BIGINT) AS adc_hits
+      FROM adc a LEFT JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+      GROUP BY a.qid),
+    r_hits AS (
+      SELECT r.qid, CAST(COUNT(e.vec_id) AS BIGINT) AS rerank_hits
+      FROM rr r LEFT JOIN exact e ON e.qid = r.qid AND e.vec_id = r.vec_id
+      GROUP BY r.qid)
+    SELECT a_hits.qid AS qid, adc_hits, rerank_hits,
+           CAST(adc_hits AS DOUBLE) / {_TOP_K} AS adc_recall_at_k,
+           CAST(rerank_hits AS DOUBLE) / {_TOP_K} AS rerank_recall_at_k
+    FROM a_hits JOIN r_hits ON r_hits.qid = a_hits.qid
     """,
     survey_ops=(),
-    doc="PQ quality gate: recall@k of ADC ranking against the exact "
-    "fixed-point squared-L2 top-k (both sides deterministic integer "
-    "math). The exact side scores |queries| x |corpus| pairs against the "
-    "10 BROADCAST queries — the same bounded yardstick shape as "
-    "knn_cosine_bruteforce, run on a sampled query set in production. A "
-    "recall drop below threshold blocks an index swap; the measured "
-    "number is the accuracy price of the 32x compression.",
+    doc="PQ quality gate: recall@k of BOTH the pure-ADC ranking and the "
+    "ADC+exact-rerank pipeline against the exact fixed-point squared-L2 "
+    "top-k, side by side per query — the number that justifies (or "
+    "blocks) an index swap, and the measured gap the rerank stage "
+    "recovers. The exact side scores |queries| x |corpus| pairs against "
+    "the 10 BROADCAST queries — the bounded yardstick shape, run on a "
+    "sampled query set in production. All sides deterministic integer "
+    "math, so both engines agree bit-for-bit.",
 )
 def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    approx = knn_pq_adc(spark, sf_dir).select("qid", "neighbor_id")
-    subs = _pq_subvectors(spark, sf_dir).localCheckpoint()
-    q = subs.filter(col("vec_id") < _N_QUERIES).select(
-        col("vec_id").alias("qid"), "sub", col("subvec").alias("qsub")
+    ranked = _pq_adc_ranked(spark, sf_dir).localCheckpoint()  # adc + shortlist
+    adc = ranked.filter(col("rank") <= _TOP_K).select("qid", "vec_id")
+    short = ranked.filter(col("rank") <= _PQ_RERANK).select("qid", "vec_id")
+    vf = _pq_fixed_vectors(spark, sf_dir).localCheckpoint()
+    qv = vf.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("qid"), col("vf").alias("qvf")
     )
+    exd = (
+        vf.join(F.broadcast(short), ["vec_id"])
+        .join(F.broadcast(qv), ["qid"])
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_PQ_SUB_D2.format(a="vf", b="qvf")).alias("d2_fp"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(col("d2_fp"), col("vec_id"))
+    rr = (
+        exd.withColumn("rank", F.row_number().over(wk))
+        .filter(col("rank") <= _TOP_K)
+        .select("qid", "vec_id")
+    )
+    # exact ground truth: all-pairs vs the broadcast query set
     pair_d2 = (
-        subs.join(F.broadcast(q), ["sub"])
+        vf.join(F.broadcast(qv))
         .filter(col("vec_id") != col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.expr(_PQ_SUB_D2.format(a="subvec", b="qsub")).alias("sub_d2"),
+            F.expr(_PQ_SUB_D2.format(a="vf", b="qvf")).alias("d2"),
         )
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("sub_d2").alias("d2"))
     )
-    wk = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    wx = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
     exact = (
-        pair_d2.withColumn("rank", F.row_number().over(wk))
+        pair_d2.withColumn("rank", F.row_number().over(wx))
         .filter(col("rank") <= _TOP_K)
-        .select("qid", col("vec_id").alias("neighbor_id"), F.lit(1).alias("__hit"))
+        .select("qid", "vec_id", F.lit(1).alias("__hit"))
+        .localCheckpoint()  # consumed by both hit joins
     )
-    return (
-        approx.join(exact, ["qid", "neighbor_id"], "left")
+    a_hits = (
+        adc.join(exact, ["qid", "vec_id"], "left")
         .groupBy("qid")
-        .agg(
-            F.count(F.lit(1)).alias("n_approx"),
-            F.count("__hit").alias("n_hit"),
-            (F.count("__hit").cast("double") / F.lit(_TOP_K)).alias("recall_at_k"),
-        )
+        .agg(F.count("__hit").alias("adc_hits"))
+    )
+    r_hits = (
+        rr.join(exact, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.count("__hit").alias("rerank_hits"))
+    )
+    return a_hits.join(r_hits, ["qid"]).select(
+        "qid",
+        "adc_hits",
+        "rerank_hits",
+        (col("adc_hits").cast("double") / F.lit(_TOP_K)).alias("adc_recall_at_k"),
+        (col("rerank_hits").cast("double") / F.lit(_TOP_K)).alias("rerank_recall_at_k"),
     )

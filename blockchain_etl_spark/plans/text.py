@@ -870,3 +870,74 @@ def doc_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate mining — the inner loop of byte-pair-encoding
+# tokenizer training (Sennrich et al. 2016): count adjacent symbol pairs
+# across the corpus, weighted by word frequency; the argmax pair becomes
+# the next merge rule. One training round is exactly this query; a full
+# tokenizer run repeats it ~32k times on an ever-shrinking vocab table.
+# --------------------------------------------------------------------------
+_BPE_TOP = 50
+
+
+@register(
+    "bpe_merge_candidates",
+    sql=f"""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKENS_SQL.format(c='text')}) AS word
+            FROM documents) t
+      GROUP BY word),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+             CAST(SUM(freq) AS BIGINT) AS pair_count,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+      FROM (SELECT word, freq, unnest(range(1, length(word))) AS i FROM w) z
+      GROUP BY 1)
+    SELECT pair, pair_count, n_words
+    FROM pairs
+    ORDER BY pair_count DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+    survey_ops=(),
+    doc="BPE tokenizer-training inner loop: adjacent character-pair "
+    f"frequencies weighted by word frequency, top-{_BPE_TOP} merge "
+    "candidates. Scale shape: the ONLY corpus-sized work is the word-"
+    "frequency aggregate (map-side combine, one shuffle on word); the "
+    "pair explode and everything after runs on the distinct-word VOCAB "
+    "table — thousands of rows regardless of corpus size — so 32k merge "
+    "rounds cost 32k vocab-sized jobs, not 32k corpus scans. Top-k is "
+    "TakeOrderedAndProject (no global sort).",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(_TOKENS.format(c="text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        "word",
+        # sequence(1, 0) runs DESCENDING in Spark, so 1-char words would
+        # emit bogus pairs — guard them to an empty array like the oracle's
+        # range(1, 1).
+        F.explode(
+            F.expr(
+                "IF(length(word) < 2, array(),"
+                " transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.count_distinct("word").alias("n_words"),
+        )
+        .orderBy(col("pair_count").desc(), "pair")
+        .limit(_BPE_TOP)
+    )

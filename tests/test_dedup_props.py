@@ -50,3 +50,47 @@ def test_chunk_dedup_full_duplicate_is_fully_shared(spark):
     assert got[2].shared_fraction == 1.0
     assert got[3].shared_fraction == 0.0
     assert got[1].n_chunks == 4
+
+
+def test_boilerplate_prune_agrees_with_chunk_dedup(spark):
+    """doc_boilerplate_prune and doc_chunk_dedup share the chunking and the
+    df>=2 threshold, so per-doc n_chunks must match and n_pruned must equal
+    n_shared_chunks; the rebuilt clean_text token count must equal the
+    original minus the pruned chunks' tokens."""
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    qs = get_queries()
+    prune = {r.doc_id: r for r in qs["doc_boilerplate_prune"](spark, SF).collect()}
+    stats = {r.doc_id: r for r in qs["doc_chunk_dedup"](spark, SF).collect()}
+    assert set(prune) == set(stats)
+    assert any(r.n_pruned > 0 for r in prune.values()), "no boilerplate at test SF"
+    for doc_id, p in prune.items():
+        s = stats[doc_id]
+        assert p.n_chunks == s.n_chunks, doc_id
+        assert p.n_pruned == s.n_shared_chunks, doc_id
+        if p.n_pruned == 0:
+            assert len(p.clean_text) > 0 or p.n_chunks == 0
+
+
+def test_boilerplate_prune_rewrites_only_shared_spans(spark):
+    """A doc duplicated verbatim loses everything; a unique doc keeps its
+    text byte-identical."""
+    from blockchain_etl_spark.plans.text import doc_boilerplate_prune
+
+    base = " ".join(f"w{i % 23}" for i in range(64))
+    uniq = " ".join(f"u{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], ["doc_id", "text"]
+    )
+
+    import blockchain_etl_spark.plans.text as text_mod
+
+    orig = text_mod.load_table
+    try:
+        text_mod.load_table = lambda spark, sf_dir, name: docs
+        got = {r.doc_id: r for r in doc_boilerplate_prune(spark, "ignored").collect()}
+    finally:
+        text_mod.load_table = orig
+    assert got[1].clean_text == "" and got[1].n_pruned == got[1].n_chunks
+    assert got[2].clean_text == ""
+    assert got[3].clean_text == uniq and got[3].n_pruned == 0

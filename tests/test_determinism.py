@@ -32,6 +32,7 @@ QUERIES = [
     # round 4: PQ encode ties (d2, code), ADC rank ties, span rebuild order
     "embedding_pq_codes",
     "knn_pq_adc",
+    "knn_pq_rerank",
     "doc_boilerplate_prune",
 ]
 

@@ -67,3 +67,34 @@ def test_decode_stubs_raise_without_libs():
     if not HAS_PIL:
         with pytest.raises(NotImplementedError):
             decode_image(b"abc")
+
+
+def test_fit_box_exact_integer_aspect_math():
+    from blockchain_etl_spark.operators.multimodal import _fit_box
+
+    assert _fit_box(32, 20, 64, 64) == (32, 20)  # no upscale
+    assert _fit_box(640, 480, 64, 64) == (64, 48)  # width-bound
+    assert _fit_box(480, 640, 64, 64) == (48, 64)  # height-bound
+    assert _fit_box(10000, 3, 64, 64) == (64, 1)  # floor clamps to >= 1
+    assert _fit_box(64, 64, 64, 64) == (64, 64)  # exact fit
+
+
+def test_resize_images_schema_and_determinism(spark):
+    from blockchain_etl_spark.operators.multimodal import (
+        HAS_PIL,
+        RESIZE_SCHEMA,
+        media_from_documents,
+        resize_images,
+    )
+    from blockchain_etl_spark.sources.testdata import load_table
+
+    media = media_from_documents(load_table(spark, SF_DIR, "documents"))
+    out = resize_images(media)
+    assert out.schema == RESIZE_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    imgs = {r.media_id: r for r in media.collect() if r.media_type == "image"}
+    assert set(rows) == set(imgs)
+    for mid, r in rows.items():
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        if not HAS_PIL:
+            assert bytes(r.thumb) == hashlib.md5(bytes(imgs[mid].content)).digest()

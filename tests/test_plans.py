@@ -421,3 +421,23 @@ def test_boilerplate_prune_shuffles_on_hash_then_doc(plan):
     for keys in _hash_partition_keys(p):
         assert keys.split("#")[0] in ("chunk_hash", "doc_id"), (keys, p)
     assert "toks#" not in " ".join(_hash_partition_keys(p)), p
+
+
+def test_bpe_candidates_corpus_work_is_word_count_only(plan):
+    # BPE mining: the corpus-sized aggregate shuffles on word; the pair
+    # explode and ranking run on the vocab table. Top-k must be
+    # TakeOrderedAndProject, never a global sort.
+    p = plan("bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("word", "pair"), (keys, p)
+
+
+def test_pq_rerank_exact_stage_is_broadcast_filtered(plan):
+    # The exact rerank must stream the corpus ONCE through broadcast
+    # shortlist/query joins — no corpus-wide pair shuffle, no cartesian.
+    p = plan("knn_pq_rerank")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("vec_id", "sub", "qid"), (keys, p)
