@@ -790,6 +790,32 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BP_DF = 2  # a chunk seen in >= this many docs is boilerplate
 
 
+def chunk_rows_from_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, chunk_text, chunk_hash) 16-token chunk rows from a
+    (doc_id, text) frame — a map-side explode, no shuffle. Shared by the
+    batch boilerplate pruner and the incremental chunk-df index
+    (operators/chunk_index.py)."""
+    return (
+        docs.select("doc_id", F.expr(_TOKENS.format(c="text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""IF(size(toks) = 0, array(),
+                       transform(
+                         sequence(0, int(ceil(size(toks) / {_CHUNK_TOKENS}.0)) - 1),
+                         i -> struct(CAST(i AS BIGINT) AS i,
+                                     concat_ws(' ',
+                                       slice(toks, 1 + {_CHUNK_TOKENS} * i,
+                                             {_CHUNK_TOKENS})) AS chunk_text)))"""
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", col("c.i").alias("i"), col("c.chunk_text").alias("chunk_text"))
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+
+
 @register(
     "doc_boilerplate_prune",
     sql=f"""
@@ -829,46 +855,32 @@ _BP_DF = 2  # a chunk seen in >= this many docs is boilerplate
 )
 def doc_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chunks = (
-        docs.select("doc_id", F.expr(_TOKENS.format(c="text")).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"""IF(size(toks) = 0, array(),
-                       transform(
-                         sequence(0, int(ceil(size(toks) / {_CHUNK_TOKENS}.0)) - 1),
-                         i -> struct(CAST(i AS BIGINT) AS i,
-                                     concat_ws(' ',
-                                       slice(toks, 1 + {_CHUNK_TOKENS} * i,
-                                             {_CHUNK_TOKENS})) AS chunk_text)))"""
-                )
-            ).alias("c"),
-        )
-        .select("doc_id", col("c.i").alias("i"), col("c.chunk_text").alias("chunk_text"))
-        .withColumn("chunk_hash", F.md5("chunk_text"))
-    )
+    chunks = chunk_rows_from_text(docs)
     df_counts = chunks.groupBy("chunk_hash").agg(
         F.count_distinct("doc_id").alias("doc_df")
     )
-    pruned = (col("doc_df") >= _BP_DF).cast("long")
-    kept_text = F.when(col("doc_df") < _BP_DF, col("chunk_text"))
-    return (
-        chunks.join(df_counts, ["chunk_hash"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(pruned).alias("n_pruned"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(col("i"), kept_text.alias("kept")))
-                    ),
-                    lambda s: s["kept"],
+    return prune_chunks_with_df(chunks.join(df_counts, ["chunk_hash"]))
+
+
+def prune_chunks_with_df(chunks_with_df: DataFrame, min_df: int = _BP_DF) -> DataFrame:
+    """(doc_id, i, chunk_text, doc_df) rows → (doc_id, n_chunks, n_pruned,
+    clean_text): chunks with doc_df >= min_df are deleted, survivors
+    re-joined in position order. One shuffle on doc_id; the collect_list is
+    bounded by the document's own length."""
+    pruned = (col("doc_df") >= min_df).cast("long")
+    kept_text = F.when(col("doc_df") < min_df, col("chunk_text"))
+    return chunks_with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(pruned).alias("n_pruned"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(col("i"), kept_text.alias("kept")))
                 ),
-                " ",
-            ).alias("clean_text"),
-        )
+                lambda s: s["kept"],
+            ),
+            " ",
+        ).alias("clean_text"),
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -270,4 +270,51 @@ def running_user_outliers(events: DataFrame) -> DataFrame:
         stateStructType=_OUTLIER_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def windowed_trending_terms(
+    docs: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming trending-terms counts: tokenize each document map-side
+    (JVM HOF explode — no Python), then a watermarked tumbling-window count
+    per (window, word). Append mode emits a window's counts exactly once
+    when the watermark closes it; late documents past the watermark are
+    dropped like any other windowed aggregate.
+
+    Scale shape: the explode multiplies rows map-side before ONE shuffle on
+    (window, word); state is one count per (open window, word) — bounded by
+    the watermark horizon, not the stream length."""
+    words = docs.select(
+        "ts",
+        F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("word"),
+    )
+    return (
+        words.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "word", "n")
+    )
+
+
+def top_terms_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window top-k over FINALIZED trending-term counts (the append-mode
+    sink): rank-within-window is not incrementally maintainable under late
+    data, so the ranking pass runs on closed windows only — a bounded
+    window function per (window_start), k·|windows| output rows."""
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )

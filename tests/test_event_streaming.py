@@ -314,3 +314,66 @@ def test_streaming_outliers_state_accumulates_across_batches(spark, tmp_path):
     assert flagged == {(1, 999)}
     (row,) = [r for r in out if r.event_id == 999]
     assert row.n_obs == 36  # judged against the full cumulative history
+
+
+def test_windowed_trending_terms_stream_equals_batch(spark, tmp_path):
+    """Trending terms: append-mode finalized windows equal the batch
+    tokenize+count over on-time rows; a document later than the watermark
+    (arriving after its window's state was evicted) contributes nothing;
+    the top-k pass ranks closed windows with a deterministic
+    (count desc, word) tie-break."""
+    import time
+
+    from blockchain_etl_spark.streaming.windows import (
+        DOC_STREAM_SCHEMA,
+        top_terms_per_window,
+        windowed_trending_terms,
+    )
+
+    def _doc(did, ts, text):
+        return (did, datetime.fromisoformat(ts), text)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    chunks = [
+        [
+            _doc(1, "2024-01-01 10:01:00", "spark spark rows"),
+            _doc(2, "2024-01-01 10:05:00", "spark rows batch"),
+            _doc(3, "2024-01-01 13:00:00", "advance"),  # watermark -> 12:50
+        ],
+        [_doc(4, "2024-01-01 13:10:00", "advance")],  # 10:00 window evicted
+        [
+            _doc(5, "2024-01-01 10:07:00", "spark late late"),  # LATE: dropped
+            _doc(6, "2024-01-01 14:00:00", "tail"),
+        ],
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c, DOC_STREAM_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"c={i}")
+        )
+        time.sleep(1.1)  # distinct mod times -> stable batch order
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir + "/c=*")
+    q = (
+        windowed_trending_terms(stream)
+        .writeStream.format("memory")
+        .queryName("trending")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = spark.sql("SELECT * FROM trending")
+    got = {(r.window_start.isoformat(), r.word): r.n for r in counts.collect()}
+    w10 = "2024-01-01T10:00:00"
+    assert got[(w10, "spark")] == 3
+    assert got[(w10, "rows")] == 2
+    assert got[(w10, "batch")] == 1
+    assert "late" not in {k[1] for k in got if k[0] == w10}
+    top = top_terms_per_window(counts.filter(f"window_start = '{w10}'"), k=2).collect()
+    assert [(r.word, r.n, r.rank) for r in sorted(top, key=lambda r: r.rank)] == [
+        ("spark", 3, 1),
+        ("rows", 2, 2),
+    ]
