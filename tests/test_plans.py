@@ -390,15 +390,14 @@ def test_column_pruning_reaches_the_scan(plan):
         assert got == want, (name, got)
 
 
-def test_pq_encode_broadcasts_codebook_single_shuffle(plan):
-    # PQ encoding: the M*K-row codebook rides a broadcast; the only
-    # shuffle is the (vec_id, sub) min-struct aggregate. A shuffled join
-    # or cartesian against the corpus would be the 100 TB anti-pattern.
+def test_pq_encode_is_zero_shuffle_arrow_projection(plan):
+    # PQ encoding: the driver-resident codebook closes over an Arrow
+    # pandas-UDF kernel, so the corpus never joins or shuffles at all —
+    # scan → subvector explode → vectorized nearest-codeword projection.
     p = plan("embedding_pq_codes")
-    assert "BroadcastHashJoin" in p, p
+    assert "ArrowEvalPython" in p, p
+    assert n_exchanges(p) == 0, p
     assert "CartesianProduct" not in p, p
-    for keys in _hash_partition_keys(p):
-        assert keys.split("#")[0] in ("vec_id", "sub"), (keys, p)
 
 
 def test_pq_adc_broadcasts_lut(plan):
