@@ -987,3 +987,83 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), col("m_score"),
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the third sketch family, and the one
+# that is ORACLE-EXACT: unlike HLL/t-digest (engine-specific estimators,
+# rows-only by design), a CMS built from md5 bucket hashes is pure
+# deterministic integer arithmetic, so Spark and DuckDB compute identical
+# estimates and the driver hash-gate applies. CMS cells are associative
+# mergeable partials (sum per cell) — the property that lets 1000
+# executors build the sketch map-side and union it in one tiny reduce.
+# --------------------------------------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_TOP = 20
+
+
+@register(
+    "events_user_cms_topk",
+    sql=f"""
+    WITH k AS (
+      SELECT user_id, CAST(r.r AS BIGINT) AS r,
+             CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                                      CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {_CMS_W} AS bucket
+      FROM events CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) r),
+    cms AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cell_n
+      FROM k GROUP BY r, bucket),
+    uk AS (SELECT DISTINCT user_id, r, bucket FROM k),
+    est AS (
+      SELECT user_id, MIN(cell_n) AS est_n
+      FROM uk JOIN cms USING (r, bucket)
+      GROUP BY user_id),
+    ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id)
+    SELECT user_id, est_n, exact_n
+    FROM est JOIN ex USING (user_id)
+    ORDER BY est_n DESC, user_id
+    LIMIT {_CMS_TOP}
+    """,
+    survey_ops=("A3",),
+    doc=f"Count-min-sketch heavy hitters: a {_CMS_D}x{_CMS_W} integer cell "
+    "grid (md5 bucket hashing — deterministic, so the sketch estimate "
+    "itself hash-matches the oracle, unlike HLL/t-digest), estimate = min "
+    "over rows, reported beside the exact count as a built-in "
+    "overestimate audit (est_n >= exact_n always). Scale shape: cells are "
+    "map-side-combinable partials (one shuffle over d*|events| keyed "
+    "rows, 1024 output cells, broadcast back); candidate keys probe the "
+    "broadcast sketch and TakeOrderedAndProject keeps the top-k. At "
+    "100 TB the sketch build is the only corpus-sized pass and its "
+    "output is 8 KB.",
+)
+def events_user_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    keyed = ev.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {_CMS_D - 1}),
+                    r -> struct(CAST(r AS BIGINT) AS r,
+                      CAST(conv(substring(md5(concat(CAST(r AS STRING), ':',
+                                 CAST(user_id AS STRING))), 1, 8), 16, 10)
+                           AS BIGINT) % {_CMS_W} AS bucket))"""
+            )
+        ).alias("p"),
+    ).select("user_id", col("p.r").alias("r"), col("p.bucket").alias("bucket"))
+    cms = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+    est = (
+        keyed.distinct()
+        .join(broadcast(cms), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, ["user_id"])
+        .orderBy(col("est_n").desc(), "user_id")
+        .limit(_CMS_TOP)
+    )

@@ -34,6 +34,7 @@ QUERIES = [
     "knn_pq_adc",
     "knn_pq_rerank",
     "doc_boilerplate_prune",
+    "events_user_cms_topk",
 ]
 
 

@@ -99,3 +99,15 @@ def test_distinct_rollup_exact_anchors_sketch(spark):
         assert sketch[et].n_days == exact[et].n_days, et
         u = exact[et].exact_total_users
         assert abs(sketch[et].approx_total_users - u) <= max(2, 0.05 * u), et
+
+
+def test_cms_estimate_is_a_guaranteed_overestimate(spark):
+    """Count-min property: est_n >= exact_n for every reported key, and
+    the heaviest user's estimate is exact when its cells are collision-free
+    enough (sanity: at least one reported row should be exact)."""
+    from blockchain_etl_spark.plans.registry import get_queries
+    from tests.conftest import SF_DIR
+
+    rows = get_queries()["events_user_cms_topk"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.est_n >= r.exact_n for r in rows)

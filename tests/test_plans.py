@@ -440,3 +440,14 @@ def test_pq_rerank_exact_stage_is_broadcast_filtered(plan):
     assert "CartesianProduct" not in p, p
     for keys in _hash_partition_keys(p):
         assert keys.split("#")[0] in ("vec_id", "sub", "qid"), (keys, p)
+
+
+def test_cms_topk_sketch_shapes(plan):
+    # CMS heavy hitters: sketch cells shuffle on (r, bucket) and ride a
+    # broadcast back; candidates shuffle on user_id; top-k is
+    # TakeOrderedAndProject. No corpus self-join anywhere.
+    p = plan("events_user_cms_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("r", "bucket", "user_id"), (keys, p)
