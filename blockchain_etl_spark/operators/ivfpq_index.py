@@ -1,0 +1,205 @@
+"""Persisted IVF-PQ index — the FAISS-style disk layout that makes ANN over
+a 100 TB embedding corpus tractable end to end: the coarse quantizer prunes
+WHICH partitions a probe reads (IVF, directory-level pruning like
+operators/ann_index.py), and product-quantized codes shrink WHAT those
+partitions hold by ~42x (6 bytes of codes per 64-dim vector), so the probed
+candidate set is scored without ever decompressing the corpus. A small
+cell-partitioned full-vector store serves the final exact rerank over the
+ADC shortlist only.
+
+Layout:
+  <path>/centroids/          coarse quantizer (k rows, driver-sized)
+  <path>/codebook/           per-subspace PQ codewords (M*K rows)
+  <path>/codes/cell=N/       (vec_id, codes) — the compressed corpus
+  <path>/vectors/cell=N/     (vec_id, vf) — fixed-point rerank store
+
+Build is deterministic (md5-sampled coarse centroids and codebook seeds —
+no RNG, same corpus in → byte-identical index out, the retrain contract the
+rest of the repo keeps). Query = probe cells from broadcast centroids →
+pruned read of probed ``codes`` partitions → ADC scoring against a
+broadcast |queries|*M*K lookup table → top-``shortlist`` per query → pruned
+read of probed ``vectors`` partitions filtered to shortlist ids → exact
+integer squared-L2 rerank → top-k. The coarse stage ranks cells by the
+same fixed-point cosine as the IVF index; the fine stage is L2 over the
+fixed-point grid (the PQ distance domain).
+
+tests/test_ivfpq_index.py gates: recall@k against the exact ground truth,
+partition pruning via inputFiles(), and build determinism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from ..plans.similarity import (
+    _PQ_K,
+    _PQ_SUB_D2,
+    _pq_encode,
+    _with_norm,
+    pq_subvectors_from,
+)
+from .ann_index import IVFIndex
+
+_FP = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+class IVFPQIndex:
+    """Cell-partitioned PQ-compressed ANN index with an exact-rerank store."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def build(
+        self, spark: SparkSession, vectors: DataFrame, n_cells: int = 8
+    ) -> None:
+        """``vectors``: (vec_id, embedding). Deterministic build."""
+        corpus = _with_norm(
+            vectors.select("vec_id", "embedding"), "embedding", "nrm"
+        ).withColumn("vf", F.expr(_FP))
+        # coarse quantizer: RNG-free md5 sample (same rule as IVFIndex)
+        cent = (
+            corpus.withColumn("__r", F.md5(col("vec_id").cast("string")))
+            .orderBy("__r")
+            .limit(n_cells)
+            .withColumn("cell", F.row_number().over(Window.orderBy("__r")) - 1)
+            .select("cell", col("embedding").alias("cvec"), col("nrm").alias("cnrm"))
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(self._p("centroids"))
+        cent_r = spark.read.parquet(self._p("centroids"))
+
+        # PQ codebook: subvectors of the k smallest-md5 vectors, codes
+        # 0..K-1 in md5 order (deterministic; corpus ids are arbitrary so
+        # the plans' vec_id < K rule does not apply here)
+        seeds = (
+            corpus.withColumn("__r", F.md5(col("vec_id").cast("string")))
+            .orderBy("__r")
+            .limit(_PQ_K)
+            .withColumn("code", F.row_number().over(Window.orderBy("__r")) - 1)
+            .select(col("code").cast("long").alias("code"), "vf")
+        )
+        codebook = pq_subvectors_from(
+            seeds.select(col("code").alias("vec_id"), "vf")
+        ).select("sub", col("vec_id").alias("code"), col("subvec").alias("cvec"))
+        codebook.coalesce(1).write.mode("overwrite").parquet(self._p("codebook"))
+        codebook_r = spark.read.parquet(self._p("codebook"))
+
+        # _nearest_cells projects the scoring columns only — re-derive the
+        # fixed-point vector from the surviving embedding column
+        assigned = (
+            IVFIndex._nearest_cells(corpus, cent_r, 1)
+            .withColumn("vf", F.expr(_FP))
+            .select("vec_id", "vf", "cell")
+        )
+        # encode against the stored codebook; pack one row per vector
+        codes = _pq_encode(
+            pq_subvectors_from(assigned.select("vec_id", "vf")), codebook_r
+        )
+        packed = codes.groupBy("vec_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        (
+            packed.join(assigned.select("vec_id", "cell"), ["vec_id"])
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(self._p("codes"))
+        )
+        # exact-rerank store: fixed-point vectors, same partitioning
+        assigned.select("vec_id", "vf", "cell").repartition("cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(self._p("vectors"))
+
+    def _pruned(self, spark: SparkSession, name: str, cells: "list[int]") -> DataFrame:
+        base = self._p(name)
+        return spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, f"cell={c}") for c in sorted(cells)]
+        )
+
+    def query(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        probes: int = 2,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        """(qid, embedding) → (qid, neighbor_id, d2_fp, rank ≤ k)."""
+        cent = spark.read.parquet(self._p("centroids"))
+        codebook = spark.read.parquet(self._p("codebook")).localCheckpoint()
+        q = _with_norm(
+            queries.select(col("qid").alias("vec_id"), "embedding"), "embedding", "nrm"
+        ).withColumn("vf", F.expr(_FP))
+        probe_cells = IVFIndex._nearest_cells(q, cent, probes).select(
+            col("vec_id").alias("qid"), "cell"
+        )
+        cells = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+
+        # ADC over the probed, compressed partitions only
+        qsubs = pq_subvectors_from(q.select("vec_id", "vf"))
+        lut = (
+            qsubs.select(col("vec_id").alias("qid"), "sub", col("subvec").alias("qsub"))
+            .join(broadcast(codebook), ["sub"])
+            .select(
+                "qid",
+                "sub",
+                "code",
+                F.expr(_PQ_SUB_D2.format(a="qsub", b="cvec")).alias("lut_d2"),
+            )
+            .localCheckpoint()  # tiny; avoids re-deriving under the broadcast
+        )
+        codes = self._pruned(spark, "codes", cells)
+        cand = (
+            broadcast(probe_cells)
+            .join(codes, ["cell"])
+            .select(
+                "qid",
+                "vec_id",
+                F.posexplode("codes").alias("sub", "code"),
+            )
+            .withColumn("sub", col("sub").cast("long"))
+        )
+        adc = (
+            cand.join(broadcast(lut), ["qid", "sub", "code"])
+            .filter(col("vec_id") != col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("lut_d2").alias("adc_d2_fp"))
+        )
+        ws = Window.partitionBy("qid").orderBy(col("adc_d2_fp"), col("vec_id"))
+        short = (
+            adc.withColumn("__rn", F.row_number().over(ws))
+            .filter(col("__rn") <= shortlist)
+            .select("qid", "vec_id")
+        )
+
+        # exact rerank: pruned vector read, shortlist ids ride a broadcast
+        vecs = self._pruned(spark, "vectors", cells).select("vec_id", "vf")
+        qv = q.select(col("vec_id").alias("qid"), col("vf").alias("qvf"))
+        exact = (
+            vecs.join(broadcast(short), ["vec_id"])
+            .join(broadcast(qv), ["qid"])
+            .select(
+                "qid",
+                "vec_id",
+                F.expr(_PQ_SUB_D2.format(a="vf", b="qvf")).alias("d2_fp"),
+            )
+        )
+        wk = Window.partitionBy("qid").orderBy(col("d2_fp"), col("vec_id"))
+        return (
+            exact.withColumn("rank", F.row_number().over(wk).cast("long"))
+            .filter(col("rank") <= k)
+            .select("qid", col("vec_id").alias("neighbor_id"), "d2_fp", "rank")
+        )
+
+    def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
+        """How many code files a probe of ``cells`` opens (test hook)."""
+        return len(self._pruned(spark, "codes", cells).inputFiles())

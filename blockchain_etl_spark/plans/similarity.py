@@ -979,11 +979,11 @@ def _pq_fixed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, sub, subvec) fixed-point subvector rows — a map-side
-    explode of the scan, no shuffle."""
-    emb = _pq_fixed_vectors(spark, sf_dir)
-    return emb.select(
+def pq_subvectors_from(vf_frame: DataFrame) -> DataFrame:
+    """(vec_id, vf) fixed-point vectors → (vec_id, sub, subvec) subvector
+    rows — a map-side explode, no shuffle. Shared with the persisted
+    IVF-PQ index (operators/ivfpq_index.py)."""
+    return vf_frame.select(
         "vec_id",
         F.explode(
             F.expr(
@@ -993,6 +993,12 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("vec_id", col("p.sub").alias("sub"), col("p.subvec").alias("subvec"))
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, subvec) fixed-point subvector rows — a map-side
+    explode of the scan, no shuffle."""
+    return pq_subvectors_from(_pq_fixed_vectors(spark, sf_dir))
 
 
 def _pq_codebook(subs: DataFrame) -> DataFrame:

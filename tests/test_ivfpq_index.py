@@ -1,0 +1,103 @@
+"""Persisted IVF-PQ index gates: recall against exact ground truth,
+partition pruning (a probe opens only probed cell directories), and build
+determinism (same corpus in → identical codes out)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+from pyspark.sql.functions import broadcast, col
+
+from blockchain_etl_spark.operators.ivfpq_index import _FP, IVFPQIndex
+from blockchain_etl_spark.plans.similarity import _PQ_SUB_D2
+
+SF01 = "/root/testdata/sf0.01"
+N_Q = 10
+K = 5
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF01}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _queries(spark):
+    return _emb(spark).filter(col("vec_id") < N_Q).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+
+
+def _exact_topk(spark):
+    """Ground truth: exact fixed-point squared-L2 top-k (broadcast queries,
+    corpus streams)."""
+    vf = _emb(spark).withColumn("vf", F.expr(_FP)).select("vec_id", "vf")
+    qv = vf.filter(col("vec_id") < N_Q).select(
+        col("vec_id").alias("qid"), col("vf").alias("qvf")
+    )
+    pairs = vf.join(broadcast(qv)).filter(col("vec_id") != col("qid")).select(
+        "qid", "vec_id", F.expr(_PQ_SUB_D2.format(a="vf", b="qvf")).alias("d2")
+    )
+    w = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("qid", "vec_id")
+    )
+
+
+def test_query_recall_and_pruning(spark, tmp_path):
+    idx = IVFPQIndex(str(tmp_path / "idx"))
+    idx.build(spark, _emb(spark), n_cells=8)
+
+    got = idx.query(spark, _queries(spark), k=K, probes=4, shortlist=50)
+    rows = got.collect()
+    assert {r.qid for r in rows} == set(range(N_Q))
+    for qid in range(N_Q):
+        ranks = sorted(r.rank for r in rows if r.qid == qid)
+        assert ranks == list(range(1, K + 1))
+
+    truth = {(r.qid, r.vec_id) for r in _exact_topk(spark).collect()}
+    hits = sum(1 for r in rows if (r.qid, r.neighbor_id) in truth)
+    recall = hits / (N_Q * K)
+    # probes=4/8 cells caps attainable recall at the cell-coverage rate;
+    # the shortlist rerank recovers the rest. Floor set below measured.
+    assert recall >= 0.35, recall
+
+    # full-probe (8/8 cells) must beat the pruned probe and clear the
+    # whole-corpus ADC+rerank level
+    full = idx.query(spark, _queries(spark), k=K, probes=8, shortlist=50)
+    full_hits = sum(
+        1 for r in full.collect() if (r.qid, r.neighbor_id) in truth
+    )
+    assert full_hits / (N_Q * K) >= max(recall, 0.6), (full_hits, hits)
+
+    # partition pruning: probing 2 cells opens strictly fewer files
+    assert idx.pruned_files(spark, [0, 1]) < idx.pruned_files(
+        spark, list(range(8))
+    )
+
+
+def test_build_is_deterministic(spark, tmp_path):
+    a = IVFPQIndex(str(tmp_path / "a"))
+    b = IVFPQIndex(str(tmp_path / "b"))
+    emb = _emb(spark).filter(col("vec_id") < 200)
+    a.build(spark, emb, n_cells=4)
+    b.build(spark, emb, n_cells=4)
+
+    def codes(idx):
+        df = spark.read.option("basePath", idx._p("codes")).parquet(idx._p("codes"))
+        return {(r.vec_id, r.cell, tuple(r.codes)) for r in df.collect()}
+
+    assert codes(a) == codes(b)
+
+
+def test_rerank_store_agrees_with_codes_partitioning(spark, tmp_path):
+    idx = IVFPQIndex(str(tmp_path / "idx"))
+    emb = _emb(spark).filter(col("vec_id") < 200)
+    idx.build(spark, emb, n_cells=4)
+    c = spark.read.option("basePath", idx._p("codes")).parquet(idx._p("codes"))
+    v = spark.read.option("basePath", idx._p("vectors")).parquet(idx._p("vectors"))
+    cc = {(r.vec_id, r.cell) for r in c.select("vec_id", "cell").collect()}
+    vv = {(r.vec_id, r.cell) for r in v.select("vec_id", "cell").collect()}
+    assert cc == vv and len(cc) == 200
