@@ -202,7 +202,7 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "filter(split(text, ' '), w -> length(w) > 0) AS toks",
     ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-    arrays = arrays.localCheckpoint()  # 3 consumers: explode + both verify sides
+    arrays = arrays.localCheckpoint()  # 2 consumers: shingle explode + per-doc sizes
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     # df-count FIRST, collect_list ONLY for rare shingles: a stop-shingle
     # appearing in millions of docs must never reach a collect_list
@@ -214,13 +214,17 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaves every collect_list group bounded at <= cap rows by
     # construction. Plan-gated in tests/test_plans.py: no size(ids)
     # post-filter may reappear downstream of the collect.
-    rare = (
-        s.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(col("df") <= _JACCARD_DF_CAP)
-        .select("shingle")
-    )
-    cand = (
+    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfc.filter(col("df") <= _JACCARD_DF_CAP).select("shingle")
+    # Verification via the rare/frequent split: intersection(a, b) =
+    # |shared rare shingles| + |shared FREQUENT shingles|. The rare half
+    # falls out of the pair expansion itself (one pair row per shared rare
+    # shingle — count instead of distinct); the frequent half intersects
+    # per-doc FREQUENT-shingle sets, which are tiny (few distinct
+    # stop-shingles exist by definition — that is what high df means), so
+    # the verify joins ship (n, small set) per doc instead of the full
+    # ~80-element shingle arrays. Same exact Jaccard, same oracle.
+    rare_pairs = (
         s.join(rare, ["shingle"])
         .groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -234,23 +238,53 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select(col("p.doc_a").alias("doc_a"), col("p.doc_b").alias("doc_b"))
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("rare_i"))
+    )
+    # distinct frequent shingles: dimension-sized (stop-shingle vocabulary),
+    # broadcast so the frequent-set extraction never shuffles shingle rows
+    freq = dfc.filter(col("df") > _JACCARD_DF_CAP).select("shingle")
+    freq_sets = (
+        s.join(F.broadcast(freq), ["shingle"])
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("shingle")).alias("freq_sh"))
+    )
+    doc_stats = (
+        arrays.select("doc_id", F.size("shingles").alias("n"))
+        .join(freq_sets, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce("freq_sh", F.expr("CAST(array() AS array<string>)")).alias(
+                "freq_sh"
+            ),
+        )
     )
     verified = (
-        cand.join(
-            arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sh_a")),
+        rare_pairs.join(
+            doc_stats.select(
+                col("doc_id").alias("doc_a"),
+                col("n").alias("na"),
+                col("freq_sh").alias("fa"),
+            ),
             ["doc_a"],
         )
         .join(
-            arrays.select(col("doc_id").alias("doc_b"), col("shingles").alias("sh_b")),
+            doc_stats.select(
+                col("doc_id").alias("doc_b"),
+                col("n").alias("nb"),
+                col("freq_sh").alias("fb"),
+            ),
             ["doc_b"],
         )
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("intersection"),
-            F.size("sh_a").alias("na"),
-            F.size("sh_b").alias("nb"),
+            (col("rare_i") + F.size(F.array_intersect("fa", "fb")))
+            .cast("long")
+            .alias("intersection"),
+            "na",
+            "nb",
         )
     )
     jac = col("intersection").cast("double") / (
