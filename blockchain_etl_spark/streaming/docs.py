@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
+from ..operators.chunk_index import ChunkDFIndex
 from ..operators.lsh_index import MinHashIndex
 from ..operators.merge import ParquetMergeTarget, merge_latest
 
@@ -50,12 +51,15 @@ def quality_features(docs: DataFrame) -> DataFrame:
 class DocIngest:
     """Directory layout: ``docs/chunk=<batch>/`` clean-corpus parquet,
     ``hash_inventory/`` (ParquetMergeTarget: text_hash → canonical doc),
-    ``mh_index/`` (MinHashIndex signatures)."""
+    ``mh_index/`` (MinHashIndex signatures), ``chunk_df/`` (ChunkDFIndex —
+    the boilerplate-span state doc_boilerplate_prune derives in batch,
+    maintained with delta work per crawl)."""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
         self.index = MinHashIndex(os.path.join(out_dir, "mh_index"))
+        self.chunk_df = ChunkDFIndex(os.path.join(out_dir, "chunk_df"))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -99,6 +103,7 @@ class DocIngest:
             watermark=batch_id,
         )
         self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
 
     def read_corpus(self, spark: SparkSession) -> DataFrame:
         import glob as _glob

@@ -89,3 +89,38 @@ def test_cross_chunk_duplicate_keeps_first_arrival(spark, tmp_path):
     kept = {r.doc_id for r in ing.read_corpus(spark).collect()}
     assert 3 in kept  # original
     assert 100000 not in kept and 100001 not in kept  # later exact copies
+
+
+def test_streamed_chunk_df_state_equals_batch(spark, tmp_path):
+    """The ingest-maintained chunk-df index over the streamed clean corpus
+    must equal a batch recompute over read_corpus() — boilerplate learned
+    incrementally, crawl by crawl."""
+    import pyspark.sql.functions as F
+
+    from blockchain_etl_spark.plans.text import chunk_rows_from_text
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    boiler = " ".join(f"b{i % 5}" for i in range(32))
+    docs1 = spark.createDataFrame(
+        [(1, boiler + " " + " ".join(f"a{i}" for i in range(32)))],
+        ["doc_id", "text"],
+    )
+    docs2 = spark.createDataFrame(
+        [(2, boiler + " " + " ".join(f"c{i}" for i in range(32)))],
+        ["doc_id", "text"],
+    )
+    ing = DocIngest(str(tmp_path / "out"))
+    ing.process_batch(docs1, 0)
+    ing.process_batch(docs2, 1)
+
+    want = {
+        (r.chunk_hash, r.doc_df)
+        for r in chunk_rows_from_text(ing.read_corpus(spark).select("doc_id", "text"))
+        .groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").cast("long").alias("doc_df"))
+        .collect()
+    }
+    got = {(r.chunk_hash, r.doc_df) for r in ing.chunk_df.doc_df(spark).collect()}
+    assert got == want
+    boilerset = {r.chunk_hash for r in ing.chunk_df.boilerplate_hashes(spark).collect()}
+    assert len(boilerset) == 2  # the two shared 16-token spans
