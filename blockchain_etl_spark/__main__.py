@@ -7,6 +7,7 @@ is their engine-side equivalent:
     python -m blockchain_etl_spark snapshot --out DIR --height H
     python -m blockchain_etl_spark backfill {gateway_payer,missing_actors,burn_prices} --out DIR
     python -m blockchain_etl_spark query NAME [--sf-dir DIR] [--write DIR]
+    python -m blockchain_etl_spark corpus --sf-dir DIR --out DIR
 
 Backfills run over the ingested table directories and write their repaired
 output under <out>/_backfills/<name> (history tables are never mutated in
@@ -105,6 +106,34 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """One-command corpus release — the training-data deliverable: the
+    composed prep funnel plus the document-level outputs (cleaned
+    canonical corpus, span-pruned text, near-dup representatives) and the
+    per-source dataset card, each written as parquet under --out. Every
+    stage is a registered, oracle-checked query; this command only
+    orchestrates writes."""
+    from .plans.registry import get_queries
+
+    spark = _spark()
+    queries = get_queries()
+    stages = {
+        "clean": "doc_clean_corpus",
+        "pruned": "doc_boilerplate_prune",
+        "representatives": "dedup_cluster_representatives",
+        "funnel": "corpus_prep_pipeline",
+        "card": "corpus_source_stats",
+    }
+    import os
+
+    for sub_dir, name in stages.items():
+        out = os.path.join(args.out, sub_dir)
+        df = queries[name](spark, args.sf_dir)
+        df.write.mode("overwrite").parquet(out)
+        print(f"{sub_dir}: {spark.read.parquet(out).count()} rows -> {out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blockchain_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -130,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("job", choices=["gateway_payer", "missing_actors", "burn_prices"])
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_backfill)
+
+    s = sub.add_parser("corpus", help="write a cleaned corpus release (clean/pruned/representatives/funnel/card)")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser("query", help="run a registered query")
     s.add_argument("name")

@@ -110,3 +110,46 @@ def test_clean_unseen_chunks_are_kept(spark, tmp_path):
     carrier = _docs(spark, [(100, BOILER + " " + " ".join(f"q{i}" for i in range(16)))])
     got2 = idx.clean(spark, carrier).collect()[0]
     assert got2.n_pruned == 2
+
+
+def test_crash_between_merges_converges_on_replay(spark, tmp_path):
+    """Crash-ordering contract: the df merge commits FIRST; if the process
+    dies before the docs-table merge, the replay's df merge is skipped by
+    the watermark guard while the docs merge (latest-wins) re-applies —
+    the state converges to exactly the once-applied result."""
+    corpus = _corpus(spark)
+    idx = ChunkDFIndex(str(tmp_path / "i"))
+    idx.upsert(spark, corpus.filter("doc_id <= 2"), watermark=1)
+
+    # simulate the crash: run batch 2's df merge but die before the docs
+    # merge, by replaying upsert with the docs target's merge_with broken
+    batch2 = corpus.filter("doc_id > 2")
+    real_merge = idx.docs_target.merge_with
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before docs merge")
+
+    idx.docs_target.merge_with = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            idx.upsert(spark, batch2, watermark=2)
+    finally:
+        idx.docs_target.merge_with = real_merge
+
+    # df state already holds batch 2; docs table does not
+    assert idx.df_target.watermark() == 2
+    assert idx.docs_target.watermark() == 1
+
+    # replay the batch: df merge skips (watermark), docs merge applies
+    idx.upsert(spark, batch2, watermark=2)
+    assert _df_rows(idx.doc_df(spark)) == _df_rows(_batch_df(corpus))
+    stored_docs = {r.doc_id for r in idx.docs_target.read(spark).collect()}
+    assert stored_docs == {1, 2, 3, 4}
+
+    # and a LATER re-crawl of a batch-2 doc still retracts correctly
+    new4 = _docs(spark, [(4, " ".join(f"nv{i}" for i in range(40)))])
+    idx.upsert(spark, new4, watermark=3)
+    updated = corpus.filter("doc_id != 4").unionByName(new4)
+    assert _df_rows(idx.doc_df(spark)) == _df_rows(_batch_df(updated))

@@ -40,3 +40,12 @@ def test_cli_query(capsys):
     assert main(["query", "sync_resume_point"]) == 0
     assert "sync_resume_point: 1 rows" in capsys.readouterr().out
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_corpus_release(tmp_path, capsys):
+    out = str(tmp_path / "release")
+    assert main(["corpus", "--out", out]) == 0
+    printed = capsys.readouterr().out
+    for sub in ("clean", "pruned", "representatives", "funnel", "card"):
+        assert os.path.isdir(os.path.join(out, sub)), sub
+        assert f"{sub}: " in printed
