@@ -123,6 +123,7 @@ def cmd_corpus(args) -> int:
         "representatives": "dedup_cluster_representatives",
         "funnel": "corpus_prep_pipeline",
         "card": "corpus_source_stats",
+        "lineage": "corpus_doc_lineage",
     }
     import os
 

@@ -978,3 +978,128 @@ def doc_sample_fixed_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", rk.alias("rk"))
         .filter(col("rk") <= _FIXED_SAMPLE_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document lineage audit — the governance face of the corpus release:
+# one row per INPUT document recording every gate decision (quality
+# features, exact-dup canonicality, boilerplate exposure) plus the final
+# include verdict and the first failing reason. "Why was my document
+# dropped?" answered as a table, joinable back to every stage's output.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_doc_lineage",
+    sql="""
+    WITH q AS (
+      SELECT doc_id, source, lang, md5(text) AS h,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
+             END AS distinct_fp
+      FROM (SELECT doc_id, source, lang, text,
+                   list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
+            FROM documents) t),
+    g AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS canonical_id,
+             CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS dup_count
+      FROM q),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, 1 + 16 * i, 16 * (i + 1)), ' ')
+               AS chunk_text
+      FROM (SELECT doc_id, toks,
+                   unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     w -> length(w) > 0) AS toks
+                  FROM documents) t) z),
+    cdf AS (
+      SELECT md5(chunk_text) AS chunk_hash, COUNT(DISTINCT doc_id) AS doc_df
+      FROM ch GROUP BY 1),
+    bp AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN d.doc_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_chunks
+      FROM ch c JOIN cdf d ON d.chunk_hash = md5(c.chunk_text)
+      GROUP BY c.doc_id)
+    SELECT g.doc_id, g.source, g.lang, g.n_tokens, g.distinct_fp, g.dup_count,
+           g.doc_id = g.canonical_id AS is_canonical,
+           COALESCE(bp.n_chunks, 0) AS n_chunks,
+           COALESCE(bp.n_boiler_chunks, 0) AS n_boiler_chunks,
+           (g.n_tokens >= 10 AND g.distinct_fp >= 150000) AS quality_pass,
+           ((g.n_tokens >= 10 AND g.distinct_fp >= 150000)
+             AND g.doc_id = g.canonical_id) AS include,
+           CASE WHEN NOT (g.n_tokens >= 10 AND g.distinct_fp >= 150000)
+                  THEN 'low_quality'
+                WHEN g.doc_id <> g.canonical_id THEN 'duplicate'
+           END AS drop_reason
+    FROM g LEFT JOIN bp ON bp.doc_id = g.doc_id
+    """,
+    survey_ops=(),
+    doc="Per-document lineage/audit table: quality features, exact-dup "
+    "canonicality + group size, boilerplate-span exposure, the final "
+    "include verdict (same gate as doc_clean_corpus, so kept ids match "
+    "exactly), and the first failing drop_reason. Scale shape: one "
+    "content-hash window shuffle, one chunk_hash shuffle + doc_id "
+    "rebuild (shared with the boilerplate pruner), one doc_id join — all "
+    "keys the corpus is already organized around. The table a 100 TB "
+    "release ships so every training document is explainable.",
+)
+def corpus_doc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import chunk_rows_from_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), w -> length(w) > 0)"
+    q = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN NULL"
+            f" ELSE (size(array_distinct({toks})) * 1000000) div size({toks}) END"
+        ).alias("distinct_fp"),
+    )
+    w = Window.partitionBy("h")
+    g = q.withColumn("canonical_id", F.min("doc_id").over(w)).withColumn(
+        "dup_count", F.count(F.lit(1)).over(w)
+    )
+    chunks = chunk_rows_from_text(docs)
+    cdf = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("doc_df")
+    )
+    bp = (
+        chunks.join(cdf, ["chunk_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((col("doc_df") >= 2).cast("long")).alias("n_boiler_chunks"),
+        )
+    )
+    quality_pass = (col("n_tokens") >= 10) & (col("distinct_fp") >= 150000)
+    is_canonical = col("doc_id") == col("canonical_id")
+    return (
+        g.join(bp, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "distinct_fp",
+            "dup_count",
+            is_canonical.alias("is_canonical"),
+            F.coalesce("n_chunks", F.lit(0).cast("long")).alias("n_chunks"),
+            F.coalesce("n_boiler_chunks", F.lit(0).cast("long")).alias(
+                "n_boiler_chunks"
+            ),
+            quality_pass.alias("quality_pass"),
+            (quality_pass & is_canonical).alias("include"),
+            F.when(~quality_pass, F.lit("low_quality"))
+            .when(~is_canonical, F.lit("duplicate"))
+            .alias("drop_reason"),
+        )
+    )

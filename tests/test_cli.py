@@ -46,6 +46,6 @@ def test_cli_corpus_release(tmp_path, capsys):
     out = str(tmp_path / "release")
     assert main(["corpus", "--out", out]) == 0
     printed = capsys.readouterr().out
-    for sub in ("clean", "pruned", "representatives", "funnel", "card"):
+    for sub in ("clean", "pruned", "representatives", "funnel", "card", "lineage"):
         assert os.path.isdir(os.path.join(out, sub)), sub
         assert f"{sub}: " in printed

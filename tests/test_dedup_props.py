@@ -94,3 +94,17 @@ def test_boilerplate_prune_rewrites_only_shared_spans(spark):
     assert got[1].clean_text == "" and got[1].n_pruned == got[1].n_chunks
     assert got[2].clean_text == ""
     assert got[3].clean_text == uniq and got[3].n_pruned == 0
+
+
+def test_lineage_include_set_equals_clean_corpus(spark):
+    """The lineage verdict must agree exactly with the cleaning gate it
+    audits: include=true ids == doc_clean_corpus ids, and every excluded
+    row carries a reason."""
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    qs = get_queries()
+    lineage = qs["corpus_doc_lineage"](spark, SF).collect()
+    kept = {r.doc_id for r in qs["doc_clean_corpus"](spark, SF).collect()}
+    assert {r.doc_id for r in lineage if r.include} == kept
+    for r in lineage:
+        assert r.include == (r.drop_reason is None)

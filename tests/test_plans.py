@@ -451,3 +451,11 @@ def test_cms_topk_sketch_shapes(plan):
     assert "BroadcastHashJoin" in p, p
     for keys in _hash_partition_keys(p):
         assert keys.split("#")[0] in ("r", "bucket", "user_id"), (keys, p)
+
+
+def test_lineage_shuffles_on_org_keys_only(plan):
+    # the audit table must ride the keys the corpus is already organized
+    # around: content hash (dup window), chunk_hash (df), doc_id (joins).
+    p = plan("corpus_doc_lineage")
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("h", "chunk_hash", "doc_id"), (keys, p)
