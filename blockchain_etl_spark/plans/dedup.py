@@ -797,3 +797,120 @@ def _bind_simhash_recall_sql() -> None:
 
 
 _bind_simhash_recall_sql()
+
+
+# --------------------------------------------------------------------------
+# MinHash calibration — est-vs-exact Jaccard per LSH candidate pair. The
+# recall gates measure WHICH pairs the sketch finds; this measures HOW WELL
+# the signature agreement fraction estimates the Jaccard it stands in for
+# (the number that justifies using signature agreement as a cheap ranking
+# key before exact verification). Because the minhashes are md5-derived,
+# the ESTIMATE itself is deterministic and oracle-exact — both engines
+# produce identical estimate, truth, and error columns.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_minhash_estimate",
+    sql=f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, r.k AS k,
+             MIN(substr(CASE WHEN r.k < 4 THEN h0 ELSE h1 END,
+                        1 + 8 * (r.k % 4), 8)) AS mh
+      FROM (SELECT doc_id, md5('0:' || shingle) AS h0,
+                   md5('1:' || shingle) AS h1 FROM s) z
+      CROSS JOIN range({_NUM_HASHES}) r(k)
+      GROUP BY doc_id, r.k
+    ),
+    bands AS (
+      SELECT doc_id, band_id, string_agg(mh, '|' ORDER BY k) AS band_val
+      FROM (SELECT doc_id, k, CAST(k // {_BAND_SIZE} AS BIGINT) AS band_id, mh FROM sig) z
+      GROUP BY doc_id, band_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+      GROUP BY c.doc_a, c.doc_b),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT a.doc_a, a.doc_b, a.n_agree,
+           CAST(a.n_agree AS DOUBLE) / {_NUM_HASHES} AS est_jaccard,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (za.n + zb.n - COALESCE(i.i, 0)) AS jaccard,
+           ABS(CAST(a.n_agree AS DOUBLE) / {_NUM_HASHES}
+               - CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (za.n + zb.n - COALESCE(i.i, 0))) AS abs_err
+    FROM agree a
+    LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+    JOIN sz za ON za.doc_id = a.doc_a
+    JOIN sz zb ON zb.doc_id = a.doc_b
+    """,
+    survey_ops=(),
+    doc=f"MinHash calibration per LSH candidate pair: signature agreement "
+    f"fraction (n_agree/{_NUM_HASHES}) beside the exact Jaccard and the "
+    "absolute error — the measured basis for trusting signature agreement "
+    "as a pre-verification ranking key. Scale shape: candidates come from "
+    "the band join (bounded, never all-pairs); the agreement join touches "
+    f"{_NUM_HASHES}·|cand| signature rows and the exact side only "
+    "candidate pairs' shingle rows. md5-derived minhashes make the "
+    "estimate itself engine-exact, so the whole table hash-matches.",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_rows(spark, sf_dir).localCheckpoint()
+    sig = minhash_signatures(s).localCheckpoint()  # bands + both agree sides
+    cand = lsh_candidate_pairs(band_rows(sig)).select("doc_a", "doc_b")
+    agree_expr = sum(
+        F.when(col(f"a.mh{k}") == col(f"b.mh{k}"), 1).otherwise(0)
+        for k in range(_NUM_HASHES)
+    )
+    agree = (
+        cand.join(sig.alias("a"), col("doc_a") == col("a.doc_id"))
+        .join(sig.alias("b"), col("doc_b") == col("b.doc_id"))
+        .select("doc_a", "doc_b", agree_expr.cast("long").alias("n_agree"))
+    )
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # exact intersection via the per-doc shingle sets of candidate pairs
+    arrays = s.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    verified = (
+        agree.join(
+            arrays.select(col("doc_id").alias("doc_a"), col("sh").alias("sh_a")),
+            ["doc_a"],
+        )
+        .join(
+            arrays.select(col("doc_id").alias("doc_b"), col("sh").alias("sh_b")),
+            ["doc_b"],
+        )
+        .join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
+        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+            "na",
+            "nb",
+        )
+    )
+    est = col("n_agree").cast("double") / F.lit(_NUM_HASHES)
+    jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        est.alias("est_jaccard"),
+        jac.alias("jaccard"),
+        F.abs(est - jac).alias("abs_err"),
+    )

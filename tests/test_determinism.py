@@ -35,6 +35,7 @@ QUERIES = [
     "knn_pq_rerank",
     "doc_boilerplate_prune",
     "events_user_cms_topk",
+    "dedup_minhash_estimate",
 ]
 
 

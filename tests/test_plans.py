@@ -459,3 +459,17 @@ def test_lineage_shuffles_on_org_keys_only(plan):
     p = plan("corpus_doc_lineage")
     for keys in _hash_partition_keys(p):
         assert keys.split("#")[0] in ("h", "chunk_hash", "doc_id"), (keys, p)
+
+
+def test_minhash_estimate_candidates_from_band_join_only(plan):
+    # calibration pairs must come from the band bucket join — shuffles on
+    # shingle (signatures/sizes), band keys, doc ids/pair keys only, and
+    # no all-pairs shapes.
+    p = plan("dedup_minhash_estimate")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("doc_id", "doc_a", "doc_b", "band_id"), (
+            keys,
+            p,
+        )
