@@ -953,3 +953,120 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("pair_count").desc(), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware mixture — DoReMi-lite: bucket documents by their integer
+# mean surprisal (the quality/perplexity proxy above), then set per-bucket
+# fixed-point resampling rates targeting EQUAL TOKEN contributions across
+# buckets, with md5-threshold keep decisions. The composition a training
+# run actually wants: "don't let low-surprisal boilerplate dominate the
+# token budget" expressed as one deterministic plan.
+# --------------------------------------------------------------------------
+@register(
+    "doc_surprisal_mixture",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL.format(c='text')}) AS w
+      FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(bin(n)) - length(bin(cnt))) AS BIGINT) AS bits_sum
+      FROM tok JOIN vocab USING (w) CROSS JOIN tot
+      GROUP BY doc_id),
+    d AS (
+      SELECT doc_id, n_tokens, bits_sum // n_tokens AS bucket,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 1000000 AS b
+      FROM per_doc),
+    bk AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+      FROM d GROUP BY bucket),
+    bt AS (SELECT CAST(SUM(bucket_tokens) AS BIGINT) AS total_tokens,
+                  COUNT(*) AS n_buckets FROM bk),
+    r AS (
+      SELECT bucket, n_docs, bucket_tokens,
+             LEAST(1000000,
+                   ((total_tokens // n_buckets) * 1000000) // bucket_tokens)
+               AS rate_ppm
+      FROM bk, bt)
+    SELECT r.bucket, r.n_docs, r.bucket_tokens, r.rate_ppm,
+           CAST(SUM(CASE WHEN d.b < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN d.b < r.rate_ppm THEN d.n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM d JOIN r ON r.bucket = d.bucket
+    GROUP BY r.bucket, r.n_docs, r.bucket_tokens, r.rate_ppm
+    """,
+    survey_ops=(),
+    doc="Quality-aware data mixing (DoReMi-lite): documents bucket by "
+    "integer mean surprisal (bits_sum div n_tokens — a handful of "
+    "map-side buckets, no data-dependent quantile sort), per-bucket "
+    "fixed-point ppm rates target equal TOKEN contributions, and each "
+    "document's keep decision is an md5 threshold — RNG-free and "
+    "cluster-size independent. Scale shape: the surprisal machinery's "
+    "token shuffles, then one doc-grain aggregate; the rate table is "
+    "bucket-sized and broadcast back; per-bucket report is the only "
+    "extra shuffle.",
+)
+def doc_surprisal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS.format(c="text"))).alias("w")
+    ).localCheckpoint()  # vocab + scoring join
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    bits = F.length(F.bin("n")) - F.length(F.bin("cnt"))
+    per_doc = (
+        tok.join(vocab, ["w"])
+        .crossJoin(broadcast(tot))
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("long").alias("bits_sum"),
+        )
+    )
+    b = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        " % 1000000"
+    )
+    d = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("bits_sum div n_tokens").alias("bucket"),
+        b.alias("b"),
+    )
+    bk = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    bt = bk.agg(
+        F.sum("bucket_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    r = bk.crossJoin(broadcast(bt)).select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.least(
+            F.lit(1000000),
+            F.expr("((total_tokens div n_buckets) * 1000000) div bucket_tokens"),
+        ).alias("rate_ppm"),
+    )
+    return (
+        d.join(broadcast(r), ["bucket"])
+        .groupBy("bucket", "n_docs", "bucket_tokens", "rate_ppm")
+        .agg(
+            F.sum(F.when(col("b") < col("rate_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(col("b") < col("rate_ppm"), col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

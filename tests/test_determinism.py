@@ -36,6 +36,7 @@ QUERIES = [
     "doc_boilerplate_prune",
     "events_user_cms_topk",
     "dedup_minhash_estimate",
+    "doc_surprisal_mixture",
 ]
 
 

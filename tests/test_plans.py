@@ -473,3 +473,12 @@ def test_minhash_estimate_candidates_from_band_join_only(plan):
             keys,
             p,
         )
+
+
+def test_surprisal_mixture_rate_table_broadcast(plan):
+    # the bucket-rate table is bucket-sized and must ride broadcasts back
+    # onto the doc frame; shuffles only on token/doc/bucket keys.
+    p = plan("doc_surprisal_mixture")
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("w", "doc_id", "bucket"), (keys, p)
