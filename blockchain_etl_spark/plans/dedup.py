@@ -914,3 +914,79 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard"),
         F.abs(est - jac).alias("abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash calibration — Hamming distance vs exact Jaccard per accepted
+# candidate pair. SimHash has no closed-form distance→similarity mapping
+# for vote-based token signatures (unlike MinHash agreement → Jaccard), so
+# the threshold is an EMPIRICAL choice — this table is the data that
+# choice is made from, refreshed with the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_simhash_calibration",
+    sql=None,  # bound below: composes the registered simhash SQL verbatim
+    survey_ops=(),
+    doc="SimHash threshold calibration: for every accepted candidate pair "
+    "(Hamming <= 6 after the band join), the Hamming distance beside the "
+    "exact shingle Jaccard — the empirical basis for the Hamming cutoff, "
+    "the way dedup_minhash_estimate calibrates signature agreement. "
+    "Scale shape: candidates are band-join bounded; the exact side "
+    "touches only candidate docs' shingle sets (collect_set per doc, "
+    "array_intersect per pair).",
+)
+def dedup_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = simhash_candidate_pairs(docs).select("doc_a", "doc_b", "hamming")
+    s = shingle_rows_from_text(docs).localCheckpoint()  # arrays + sizes
+    arrays = s.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    verified = (
+        cand.join(
+            arrays.select(col("doc_id").alias("doc_a"), col("sh").alias("sh_a")),
+            ["doc_a"],
+        )
+        .join(
+            arrays.select(col("doc_id").alias("doc_b"), col("sh").alias("sh_b")),
+            ["doc_b"],
+        )
+        .join(sz.select(col("doc_id").alias("doc_a"), col("n").alias("na")), ["doc_a"])
+        .join(sz.select(col("doc_id").alias("doc_b"), col("n").alias("nb")), ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+            "na",
+            "nb",
+        )
+    )
+    jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    return verified.select("doc_a", "doc_b", "hamming", jac.alias("jaccard"))
+
+
+def _bind_simhash_calibration_sql() -> None:
+    from .registry import QUERIES
+
+    QUERIES["dedup_simhash_calibration"].sql = f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    cand AS (SELECT doc_a, doc_b, hamming FROM (
+      {_simhash_pairs_sql()}) sh),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT c.doc_a, c.doc_b, c.hamming,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / (za.n + zb.n - COALESCE(i.i, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sz za ON za.doc_id = c.doc_a
+    JOIN sz zb ON zb.doc_id = c.doc_b
+    """
+
+
+_bind_simhash_calibration_sql()

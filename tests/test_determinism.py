@@ -37,6 +37,7 @@ QUERIES = [
     "events_user_cms_topk",
     "dedup_minhash_estimate",
     "doc_surprisal_mixture",
+    "dedup_simhash_calibration",
 ]
 
 

@@ -482,3 +482,15 @@ def test_surprisal_mixture_rate_table_broadcast(plan):
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, p
     for keys in _hash_partition_keys(p):
         assert keys.split("#")[0] in ("w", "doc_id", "bucket"), (keys, p)
+
+
+def test_simhash_calibration_no_allpairs(plan):
+    # calibration candidates ride the simhash band join; no cartesian or
+    # raw-content shuffles anywhere.
+    p = plan("dedup_simhash_calibration")
+    assert "CartesianProduct" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("doc_id", "doc_a", "doc_b", "band_id"), (
+            keys,
+            p,
+        )
