@@ -1,0 +1,550 @@
+"""Data-quality, governance, and entity-resolution plans (round 4).
+
+A production corpus pipeline needs preflight gates before any training run:
+expectation suites (Great-Expectations shape), referential-integrity audits,
+k-anonymity checks before release, fuzzy entity resolution for source
+canonicalization, and temporal (SCD Type 2) state tracking. The reference's
+operational analog is its data-consistency fixups and backfill repairs
+(``/root/reference/src/be_db_backfill.erl:22-43``, ``migrations/
+1586300385-rebuild_first_blocks.sql:4-11``) — checks it ran as one-off SQL;
+here they are first-class, oracle-checked operators.
+
+Determinism: all rates/ratios are integer fixed-point (ppm); fuzzy matching
+uses exact levenshtein over a deterministic md5-derived corruption; interval
+tie-breaks ride event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col
+
+from ..sources.testdata import load_table
+from .registry import register
+
+_LANG_WHITELIST = ("de", "en", "es", "fr", "zh")
+
+
+# --------------------------------------------------------------------------
+# Expectation suite: one corpus scan, N checks. The Great-Expectations /
+# dbt-test shape: each expectation folds into the SAME single hash
+# aggregate (conditional counts), then unpivots to one row per check —
+# adding a check costs a column, never another pass over 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "doc_expectations_audit",
+    sql=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v_empty,
+             SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_nchars,
+             SUM(CASE WHEN lang NOT IN {str(_LANG_WHITELIST)} THEN 1 ELSE 0 END) AS v_lang,
+             SUM(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS v_range,
+             COUNT(*) - COUNT(DISTINCT doc_id) AS v_dupid
+      FROM documents)
+    SELECT 'doc_id_unique' AS check_name, n_rows, v_dupid AS n_violations,
+           CASE WHEN v_dupid = 0 THEN 1 ELSE 0 END AS passed FROM agg
+    UNION ALL
+    SELECT 'lang_whitelisted', n_rows, v_lang,
+           CASE WHEN v_lang = 0 THEN 1 ELSE 0 END FROM agg
+    UNION ALL
+    SELECT 'n_chars_in_range', n_rows, v_range,
+           CASE WHEN v_range = 0 THEN 1 ELSE 0 END FROM agg
+    UNION ALL
+    SELECT 'n_chars_matches_text', n_rows, v_nchars,
+           CASE WHEN v_nchars = 0 THEN 1 ELSE 0 END FROM agg
+    UNION ALL
+    SELECT 'text_nonempty', n_rows, v_empty,
+           CASE WHEN v_empty = 0 THEN 1 ELSE 0 END FROM agg
+    """,
+    survey_ops=(),
+    doc="Expectation-suite preflight over the documents table: five checks "
+    "(unique key, language whitelist, value range, derived-column "
+    "consistency, non-empty text) folded into ONE hash aggregate over a "
+    "single corpus scan, then unpivoted to a row per check. The 100 TB "
+    "shape: map-side conditional counts -> 1-row reduce; adding a check "
+    "adds a column to the same pass, never a new scan. Mirrors the "
+    "reference's ad-hoc consistency fixups (be_db_backfill.erl:22-43) as "
+    "a standing gate.",
+)
+def doc_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+        ).alias("v_empty"),
+        F.sum(F.when(col("n_chars") != F.length("text"), 1).otherwise(0)).alias("v_nchars"),
+        F.sum(F.when(~col("lang").isin(*_LANG_WHITELIST), 1).otherwise(0)).alias("v_lang"),
+        F.sum(F.when((col("n_chars") < 1) | (col("n_chars") > 100000), 1).otherwise(0)).alias(
+            "v_range"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("v_dupid"),
+    )
+    # unpivot: stack() is a zero-shuffle projection over the 1-row aggregate
+    checks = [
+        ("doc_id_unique", "v_dupid"),
+        ("lang_whitelisted", "v_lang"),
+        ("n_chars_in_range", "v_range"),
+        ("n_chars_matches_text", "v_nchars"),
+        ("text_nonempty", "v_empty"),
+    ]
+    stack_expr = "stack({}, {}) AS (check_name, n_violations)".format(
+        len(checks), ", ".join(f"'{name}', {v}" for name, v in checks)
+    )
+    return agg.select(F.expr(stack_expr), "n_rows").select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.when(col("n_violations") == 0, 1).otherwise(0).cast("int").alias("passed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for each FK edge of the
+# schema. Scale shape: the fact side is pre-aggregated to (fk, n) BEFORE
+# the anti-join, so only distinct keys + counts cross the wire — never
+# fact rows.
+# --------------------------------------------------------------------------
+@register(
+    "referential_integrity_audit",
+    sql="""
+    WITH lo AS (
+      SELECT l_orderkey AS fk, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    lp AS (
+      SELECT l_partkey AS fk, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    oc AS (
+      SELECT o_custkey AS fk, COUNT(*) AS n FROM orders GROUP BY 1)
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(CASE WHEN miss THEN n END), 0) AS BIGINT) AS n_orphan_rows,
+           COUNT(*) FILTER (WHERE miss) AS n_orphan_keys
+    FROM (SELECT n, NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = lo.fk) AS miss
+          FROM lo) t
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN miss THEN n END), 0) AS BIGINT),
+           COUNT(*) FILTER (WHERE miss)
+    FROM (SELECT n, NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = lp.fk) AS miss
+          FROM lp) t
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN miss THEN n END), 0) AS BIGINT),
+           COUNT(*) FILTER (WHERE miss)
+    FROM (SELECT n, NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = oc.fk) AS miss
+          FROM oc) t
+    """,
+    survey_ops=("J6",),
+    doc="Referential-integrity preflight: orphan-row and orphan-key counts "
+    "per FK edge (lineitem->orders, lineitem->part, orders->customer). "
+    "Scale shape: each fact side first collapses to (fk, row_count) — a "
+    "map-combinable aggregate — and only that key-grain frame joins the "
+    "PK side, so the join input is |distinct keys| not |rows|. One row "
+    "per FK edge always (stable schema; zeros mean clean), with total "
+    "key counts for context.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def orphans(fact_keys: DataFrame, pk: DataFrame, edge: str) -> DataFrame:
+        marked = fact_keys.join(pk.withColumn("__pk", F.lit(1)), ["fk"], "left")
+        miss_n = F.when(col("__pk").isNull(), col("n"))
+        return marked.agg(
+            F.lit(edge).alias("fk_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.coalesce(F.sum(miss_n), F.lit(0)).cast("long").alias("n_orphan_rows"),
+            F.count(F.when(col("__pk").isNull(), 1)).alias("n_orphan_keys"),
+        )
+
+    lo = lineitem.groupBy(col("l_orderkey").alias("fk")).agg(F.count(F.lit(1)).alias("n"))
+    lp = lineitem.groupBy(col("l_partkey").alias("fk")).agg(F.count(F.lit(1)).alias("n"))
+    oc = orders.groupBy(col("o_custkey").alias("fk")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        orphans(lo, orders.select(col("o_orderkey").alias("fk")), "lineitem.l_orderkey -> orders")
+        .unionAll(orphans(lp, part.select(col("p_partkey").alias("fk")), "lineitem.l_partkey -> part"))
+        .unionAll(orphans(oc, customer.select(col("c_custkey").alias("fk")), "orders.o_custkey -> customer"))
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier group sizes before a data release.
+# --------------------------------------------------------------------------
+_K_ANON = 5
+
+
+@register(
+    "events_k_anonymity",
+    sql=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+             user_id % 100 AS user_bucket,
+             COUNT(*) AS grp_n
+      FROM events
+      GROUP BY 1, 2, 3)
+    SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size,
+           COUNT(*) FILTER (WHERE grp_n < {_K_ANON}) AS n_groups_below_k,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < {_K_ANON}), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < {_K_ANON}), 0) * 1000000
+                // SUM(grp_n) AS BIGINT) AS risk_ppm
+    FROM g
+    """,
+    survey_ops=(),
+    doc=f"k-anonymity release gate (k={_K_ANON}) over the quasi-identifier "
+    "(event_type, hour-of-day, user bucket): any QI combination observed "
+    "fewer than k times re-identifies its members, so the audit reports "
+    "group count, minimum group size, and rows-at-risk as a ppm rate. "
+    "Scale shape: one map-combinable groupBy on the QI key, then a 1-row "
+    "reduce over the group-size frame — the second aggregate's input is "
+    "|QI combinations|, not |rows|. Integer ppm keeps both engines exact.",
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        (col("user_id") % 100).alias("user_bucket"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    below = F.when(col("grp_n") < _K_ANON, col("grp_n"))
+    return g.agg(
+        F.sum("grp_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+        F.count(below).alias("n_groups_below_k"),
+        F.coalesce(F.sum(below), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN grp_n < {_K_ANON} THEN grp_n END), 0) * 1000000"
+            " div SUM(grp_n) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity resolution via SymSpell-style deletion neighborhoods.
+#
+# The scale-correct way to fuzzy-join two name sets under edit distance 1:
+# every name expands to its <= len+1 single-deletion variants (the name
+# itself plus each drop-one-char form); two strings within edit distance 1
+# ALWAYS share a variant (delete-delete covers substitution, identity-delete
+# covers insertion/deletion), so an EQUI-join on the variant finds every
+# candidate — no quadratic self-join, no giant blocks. Fan-out is bounded
+# by name length; the equi-join key (variant string) is md5-distributed.
+# Candidates are then verified with exact levenshtein.
+# --------------------------------------------------------------------------
+@register(
+    "customer_name_match",
+    sql="""
+    WITH mention AS (
+      SELECT c_custkey AS mention_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)
+                       AS BIGINT) % 2 = 0
+                  THEN substr(c_name, 1, 8 + CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6) AS BIGINT) % 10)
+                       || substr(c_name, 10 + CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6) AS BIGINT) % 10)
+                  ELSE c_name END AS mention
+      FROM customer),
+    mvar AS (
+      SELECT mention_id, mention,
+             CASE WHEN i = 0 THEN mention
+                  ELSE substr(mention, 1, i - 1) || substr(mention, i + 1) END AS variant
+      FROM (SELECT mention_id, mention,
+                   unnest(range(0, length(mention) + 1)) AS i
+            FROM mention)),
+    cvar AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN i = 0 THEN c_name
+                  ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS variant
+      FROM (SELECT c_custkey, c_name,
+                   unnest(range(0, length(c_name) + 1)) AS i
+            FROM customer))
+    SELECT mention_id, mention, c_custkey, c_name,
+           CAST(levenshtein(mention, c_name) AS BIGINT) AS dist
+    FROM (SELECT DISTINCT m.mention_id, m.mention, c.c_custkey, c.c_name
+          FROM mvar m JOIN cvar c ON m.variant = c.variant) cand
+    WHERE levenshtein(mention, c_name) <= 1
+    """,
+    survey_ops=(),
+    doc="Fuzzy entity resolution (edit distance <= 1) between a dirty "
+    "mention set (deterministic md5-derived one-char deletions of half the "
+    "customer names) and the canonical registry, via SymSpell deletion "
+    "neighborhoods: each side expands to its <= len+1 single-deletion "
+    "variants and candidates come from an EQUI-join on the variant — two "
+    "strings within distance 1 always share one. Exact levenshtein then "
+    "verifies candidates only. Scale shape: bounded map-side fan-out "
+    "(len+1 per name) + one hash-distributed equi-join; no quadratic "
+    "blocking, no cross join — the classic way a 100 TB mention table "
+    "resolves against a registry.",
+)
+def customer_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # deterministic dirty mentions: even md5 bucket -> delete one character
+    # at an md5-chosen position inside the digit suffix; odd -> verbatim
+    bucket = "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 6), 16, 10) AS BIGINT)"
+    pos = "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 7, 6), 16, 10) AS BIGINT)"
+    mention = cust.select(
+        col("c_custkey").alias("mention_id"),
+        F.expr(
+            f"""CASE WHEN {bucket} % 2 = 0
+                 THEN concat(substring(c_name, 1, 8 + {pos} % 10),
+                             substring(c_name, 10 + {pos} % 10))
+                 ELSE c_name END"""
+        ).alias("mention"),
+    )
+
+    def deletion_variants(df: DataFrame, text_col: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(F.expr(f"sequence(0, length({text_col}))")).alias("i"),
+        ).select(
+            *df.columns,
+            F.expr(
+                f"""CASE WHEN i = 0 THEN {text_col}
+                     ELSE concat(substring({text_col}, 1, i - 1),
+                                 substring({text_col}, i + 1)) END"""
+            ).alias("variant"),
+        )
+
+    mvar = deletion_variants(mention, "mention")
+    cvar = deletion_variants(cust, "c_name")
+    cand = (
+        mvar.join(cvar, ["variant"])
+        .select("mention_id", "mention", "c_custkey", "c_name")
+        .distinct()
+    )
+    return cand.select(
+        "mention_id",
+        "mention",
+        "c_custkey",
+        "c_name",
+        F.levenshtein("mention", "c_name").cast("long").alias("dist"),
+    ).filter(col("dist") <= 1)
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2: per-user state intervals from the event stream. The
+# temporal-dimension build every warehouse needs: collapse consecutive
+# identical states, emit [valid_from, valid_to) with an is_current flag.
+# --------------------------------------------------------------------------
+@register(
+    "user_state_intervals",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+             AS valid_to,
+           CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+    survey_ops=("W1", "J9"),
+    doc="SCD Type 2 dimension build from the event stream: per user, "
+    "consecutive identical event_types collapse into one validity interval "
+    "[valid_from, valid_to) via change detection (lag) + interval close "
+    "(lead), ties broken on event_id; the open interval is flagged "
+    "is_current. This is the temporal generalization of the reference's "
+    "inventory first_block/last_block bookkeeping (migrations/"
+    "1590689602-gateway_inventory.sql:32-62). Scale shape: both windows "
+    "share ONE user_id shuffle (same partition key and ordering), and the "
+    "second window runs on the change rows only.",
+)
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(col("prev_type").isNull() | (col("prev_type") != col("event_type")))
+        .select("user_id", "event_type", col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w2).isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded-round PageRank over the customer–supplier trade graph: the
+# iterative-algorithm shape (superstep = join + aggregate) with integer
+# fixed-point arithmetic so 3 rounds are bit-identical on both engines.
+# --------------------------------------------------------------------------
+_PR_ROUNDS = 3
+_PR_SCALE = 10**12
+
+
+def _pagerank_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node, n.deg,
+             base.b + COALESCE(s.contrib, 0) AS rank_fp
+      FROM deg n
+      CROSS JOIN base
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((p.rank_fp * 85) // (100 * p.deg)) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst) s ON s.node = n.node)
+    """
+
+
+_PR_CHAIN = ",\n".join(
+    _pagerank_round_sql(f"it{i}", f"it{i + 1}") for i in range(_PR_ROUNDS)
+)
+
+
+@register(
+    "supplier_pagerank",
+    sql=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(l_suppkey AS VARCHAR),
+             'c' || CAST(o_custkey AS VARCHAR) FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    base AS (SELECT ({_PR_SCALE} * 15) // (100 * n) AS b, n FROM nn),
+    it0 AS (SELECT node, deg, {_PR_SCALE} // (SELECT n FROM nn) AS rank_fp FROM deg),
+{_PR_CHAIN}
+    SELECT CAST(substr(node, 2) AS BIGINT) AS s_suppkey,
+           rank_fp AS rank_scaled
+    FROM it{_PR_ROUNDS}
+    WHERE node LIKE 's%'
+    """,
+    survey_ops=(),
+    doc=f"PageRank ({_PR_ROUNDS} rounds, damping 0.85) over the bipartite "
+    "customer-supplier trade graph (distinct order-lineitem pairs, edges "
+    "both directions): the canonical iterative-graph shape — each "
+    "superstep is one (edge join ranks) + groupBy(dst) — expressed with "
+    "integer fixed-point ranks (1e12 scale, floor division) so all three "
+    "rounds are bit-identical in Spark and the oracle's chained CTEs. "
+    "Scale shape: ranks live at node grain (|V| rows), each round shuffles "
+    "edge-contributions on dst; rounds are bounded a priori (not "
+    "convergence-polled), matching how web-scale PageRank actually runs. "
+    "Complements the connected-components operator "
+    "(operators/components.py) as the second fixed-point graph primitive.",
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(lineitem, col("l_orderkey") == col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionAll(fwd.select(col("dst").alias("src"), col("src").alias("dst")))
+    # iterate from a stable frame: degree table = node set (every node has
+    # deg >= 1 by construction, so there are no dangling nodes)
+    deg = edges.groupBy(col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint()  # cut the lineage once; reused every round
+    edges = edges.localCheckpoint()
+    n = deg.count()
+    base = (_PR_SCALE * 15) // (100 * n)
+    ranks = deg.select(
+        "node", "deg", F.lit(_PR_SCALE // n).cast("long").alias("rank_fp")
+    )
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                col("dst").alias("node"),
+                F.expr("(rank_fp * 85) div (100 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = deg.join(contrib, ["node"], "left").select(
+            "node",
+            "deg",
+            (F.lit(base) + F.coalesce(col("contrib"), F.lit(0))).alias("rank_fp"),
+        )
+    return ranks.filter(col("node").startswith("s")).select(
+        F.expr("CAST(substring(node, 2) AS BIGINT)").alias("s_suppkey"),
+        col("rank_fp").alias("rank_scaled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-ranking eval: MRR of the IVF index against exact ground truth.
+# Complements knn_recall_eval (set overlap) with a POSITION-sensitive
+# metric: where does the true nearest neighbor land in the approximate
+# ranking? Integer ppm reciprocal ranks keep both engines exact.
+# --------------------------------------------------------------------------
+@register(
+    "retrieval_mrr_eval",
+    sql=None,  # composed from the sibling knn queries' SQL post-registration
+    survey_ops=(),
+    doc="Position-sensitive ANN quality gate: for each query, the true "
+    "nearest neighbor (exact rank 1) is looked up in the IVF top-k; "
+    "rr_ppm = 1000000 div rank (0 when missed). Complements recall@k — "
+    "an index can have perfect recall while burying the true neighbor at "
+    "rank k. Composes the registered exact + IVF queries, so the oracle "
+    "is their SQL verbatim; the comparison join touches k rows per query.",
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import knn_cosine_bruteforce, knn_cosine_ivf
+
+    exact1 = (
+        knn_cosine_bruteforce(spark, sf_dir)
+        .filter(col("rank") == 1)
+        .select("qid", col("neighbor_id").alias("true_nn"))
+    )
+    approx = knn_cosine_ivf(spark, sf_dir).select(
+        "qid", col("neighbor_id").alias("true_nn"), col("rank").alias("approx_rank")
+    )
+    return exact1.join(approx, ["qid", "true_nn"], "left").select(
+        "qid",
+        "true_nn",
+        col("approx_rank").cast("long").alias("approx_rank"),
+        F.coalesce(
+            F.expr("CAST(1000000 div approx_rank AS BIGINT)"), F.lit(0)
+        ).alias("rr_ppm"),
+    )
+
+
+def _finalize_mrr_oracle() -> None:
+    from . import similarity  # noqa: F401  (ensure siblings are registered)
+    from .registry import QUERIES
+
+    QUERIES["retrieval_mrr_eval"].sql = f"""
+    WITH exact AS ({QUERIES["knn_cosine_bruteforce"].sql}),
+    approx AS ({QUERIES["knn_cosine_ivf"].sql})
+    SELECT e.qid, e.neighbor_id AS true_nn,
+           CAST(a.rank AS BIGINT) AS approx_rank,
+           COALESCE(CAST(1000000 // a.rank AS BIGINT), 0) AS rr_ppm
+    FROM exact e
+    LEFT JOIN approx a ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+    WHERE e.rank = 1
+    """
+
+
+_finalize_mrr_oracle()

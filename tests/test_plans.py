@@ -494,3 +494,62 @@ def test_simhash_calibration_no_allpairs(plan):
             keys,
             p,
         )
+
+
+# ---------------------------------------------------------------------------
+# round 4: quality / governance / graph plans
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_audit_is_single_scan_reduce(plan):
+    # five checks fold into one aggregate over one scan: no joins, and the
+    # only exchanges are the two-phase distinct-count reduce to one row.
+    p = plan("doc_expectations_audit")
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert n_exchanges(p) <= 2, p
+
+
+def test_referential_integrity_joins_key_grain_frames(plan):
+    # fact sides collapse to (fk, count) BEFORE joining the PK side —
+    # every shuffle key is the fk, never a fact-row attribute; no
+    # cartesian/nested-loop anywhere.
+    p = plan("referential_integrity_audit")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("fk", "l_orderkey", "l_partkey", "o_custkey"), (keys, p)
+
+
+def test_k_anonymity_two_phase_reduce(plan):
+    # group sizes then a 1-row reduce: two exchanges, no joins.
+    p = plan("events_k_anonymity")
+    assert "Join" not in p, p
+    assert n_exchanges(p) <= 2, p
+
+
+def test_name_match_candidates_from_variant_equijoin(plan):
+    # SymSpell fuzzy join: candidates MUST come from the deletion-variant
+    # equi-join — no cartesian, no nested-loop, and no shuffle keyed on a
+    # raw name (only variant / candidate-tuple keys).
+    p = plan("customer_name_match")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    for keys in _hash_partition_keys(p):
+        first = keys.split("#")[0]
+        assert first in ("variant", "mention_id", "mention", "c_custkey", "c_name"), (keys, p)
+
+
+def test_state_intervals_share_one_user_shuffle(plan):
+    # lag-change-detect and lead-interval-close are both windows over
+    # (user_id | ts, event_id): Catalyst must plan ONE exchange + ONE sort.
+    p = plan("user_state_intervals")
+    assert n_exchanges(p) == 1, p
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1, p
+
+
+def test_pagerank_no_cartesian_bounded_exchanges(plan):
+    # three supersteps, each one contribution shuffle + one node join;
+    # the rank frame stays at node grain throughout. No cartesian shapes
+    # (the 1-row base constant is folded as a literal, not a join).
+    p = plan("supplier_pagerank")
+    assert "CartesianProduct" not in p, p
+    assert n_exchanges(p) <= 8, p
