@@ -1,0 +1,268 @@
+"""Incremental view maintenance for a two-table equi-join — the missing
+sibling of ContinuousAggregate (operators/rollup.py): that operator keeps an
+*aggregate* fresh under new data; this one keeps a *join* fresh under
+inserts AND deletes on either side.
+
+Semantics are the classic bilinear delta rule over weighted (bag) relations
+(DBSP / differential-dataflow style): every stored row carries a
+multiplicity ``__w``; a delta is a batch of rows with ``__w = +n`` (insert)
+or ``-n`` (retract), and one maintenance step emits
+
+    dJ = dA ⋈ B_old  +  (A_old + dA) ⋈ dB
+
+with output multiplicity = product of input multiplicities — algebraically
+equal to the three-term symmetric form, with every term delta-sized on one
+side. Deletes need no special casing: a -1 weight flows through the join
+and cancels the matching +1 rows at consolidation.
+
+Scale design (the part that must survive 100 TB states):
+
+- **State reads are bucket-pruned.** Both state stores are laid out as
+  parquet partitioned by ``__bucket = crc32(join_key) % n_buckets``; a
+  maintenance step collects the (tiny, ≤ n_buckets) distinct bucket list of
+  the incoming delta and reads ONLY those partitions of the opposite state
+  — rows outside the delta's buckets cannot join it, because the bucket is
+  a function of the join key. Step cost is O(delta + matched buckets),
+  independent of total state size — the same pruning contract as
+  operators/ann_index.py.
+- **The view is an LSM of weighted segments.** Each step APPENDS a
+  consolidated delta segment (``seg=<n>/__bucket=<b>/``) instead of
+  rewriting the view: refresh never pays a view-sized shuffle. ``read()``
+  consolidates lazily (sum ``__w`` per row, drop zeros); ``compact()``
+  folds committed segments into one — the maintenance/merge split every
+  LSM store uses.
+- **Replay-safe.** A manifest (``_state.json``) lists committed segments
+  and the watermark; a step whose watermark isn't newer is a no-op, and a
+  crashed step leaves only orphan segment dirs the manifest never points
+  to (write-audit-publish, as in operators/merge.py).
+
+The reference's analog is trigger-maintained inventory tables
+(migrations/1590689602-gateway_inventory.sql:32-62) — single-table upsert
+views; this operator extends the idea to join views, which the reference
+could not express without re-running the join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+_W = "__w"
+_BUCKET = "__bucket"
+
+
+def _consolidate(df: DataFrame) -> DataFrame:
+    """Sum multiplicities per distinct row; drop rows that cancel to 0."""
+    data_cols = [c for c in df.columns if c != _W]
+    return (
+        df.groupBy(*data_cols)
+        .agg(F.sum(_W).cast("long").alias(_W))
+        .filter(col(_W) != 0)
+    )
+
+
+class IncrementalJoinView:
+    """Maintained materialization of ``A JOIN B USING (join_keys)``.
+
+    ``apply()`` folds one delta batch (either side may be None); deltas
+    may carry a ``__w`` column (+/- multiplicity), defaulting to +1 per
+    row. ``read()`` returns the consolidated join view (with ``__w``
+    multiplicities); ``read_flat()`` expands multiplicities away for
+    consumers that want plain rows.
+    """
+
+    def __init__(self, path: str, join_keys: Sequence[str], n_buckets: int = 32):
+        self.path = path
+        self.join_keys = list(join_keys)
+        self.n_buckets = n_buckets
+        self._stores = ("a_state", "b_state", "view")
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_state.json")
+
+    def _manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"watermark": -1, "next_seg": 1, "segments": {s: [] for s in self._stores}}
+
+    def watermark(self) -> int:
+        return int(self._manifest().get("watermark", -1))
+
+    # -- layout ------------------------------------------------------------
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        key = F.concat_ws("\x00", *[col(k).cast("string") for k in self.join_keys])
+        return df.withColumn(_BUCKET, F.crc32(key) % self.n_buckets)
+
+    def _write_segment(self, df: DataFrame, store: str, seg: int) -> None:
+        out = os.path.join(self.path, store, f"seg={seg}")
+        df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
+
+    def _read_store(
+        self,
+        spark: SparkSession,
+        store: str,
+        segments: Sequence[int],
+        buckets: Sequence[int] | None = None,
+    ) -> DataFrame | None:
+        """Committed segments of a store, optionally bucket-pruned; raw
+        (unconsolidated) weighted rows. Pruning is DIRECTORY-level (as in
+        operators/ann_index.py): only ``seg=s/__bucket=b`` leaf dirs for
+        the requested buckets are handed to the reader, so unmatched
+        state files are never opened."""
+        if not segments:
+            return None
+        base = os.path.join(self.path, store)
+        if buckets is None:
+            paths = [os.path.join(base, f"seg={s}") for s in segments]
+        else:
+            paths = [
+                p
+                for s in segments
+                for b in sorted({int(x) for x in buckets})
+                if os.path.isdir(p := os.path.join(base, f"seg={s}", f"{_BUCKET}={b}"))
+            ]
+            if not paths:
+                return None
+        df = spark.read.option("basePath", base).parquet(*paths)
+        return df.drop("seg")
+
+    # -- the maintenance step ---------------------------------------------
+    def _prep_delta(self, delta: DataFrame | None) -> DataFrame | None:
+        if delta is None:
+            return None
+        if _W not in delta.columns:
+            delta = delta.withColumn(_W, F.lit(1).cast("long"))
+        d = _consolidate(self._bucketed(delta))
+        return d
+
+    def _join_term(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """Weighted join: multiplicities multiply; bucket survives (it is a
+        function of the shared join key)."""
+        lw = left.withColumnRenamed(_W, "__wl")
+        rw = right.withColumnRenamed(_W, "__wr").drop(_BUCKET)
+        out = lw.join(rw, self.join_keys)
+        return out.withColumn(_W, (col("__wl") * col("__wr")).cast("long")).drop(
+            "__wl", "__wr"
+        )
+
+    def apply(
+        self,
+        spark: SparkSession,
+        delta_a: DataFrame | None = None,
+        delta_b: DataFrame | None = None,
+        watermark: int | None = None,
+    ) -> bool:
+        """Fold one delta batch into states + view. Returns False when the
+        watermark guard rejects a replay (nothing written)."""
+        m = self._manifest()
+        if watermark is not None and watermark <= m["watermark"]:
+            return False
+        da = self._prep_delta(delta_a)
+        db = self._prep_delta(delta_b)
+        if da is None and db is None:
+            return False
+        # cache deltas: each feeds bucket-list collection + 1-2 join terms
+        if da is not None:
+            da = da.localCheckpoint()
+        if db is not None:
+            db = db.localCheckpoint()
+
+        terms = []
+        if da is not None:
+            a_buckets = [r[0] for r in da.select(_BUCKET).distinct().collect()]
+            b_old = self._read_store(spark, "b_state", m["segments"]["b_state"], a_buckets)
+            if b_old is not None:
+                terms.append(self._join_term(da, b_old))
+        if db is not None:
+            b_buckets = [r[0] for r in db.select(_BUCKET).distinct().collect()]
+            a_new = self._read_store(spark, "a_state", m["segments"]["a_state"], b_buckets)
+            if da is not None:
+                da_in = da.filter(col(_BUCKET).isin([int(b) for b in b_buckets]))
+                a_new = da_in if a_new is None else a_new.unionByName(da_in)
+            if a_new is not None:
+                terms.append(self._join_term(a_new, db))
+
+        seg = int(m["next_seg"])
+        wrote: dict[str, list[int]] = {s: list(m["segments"][s]) for s in self._stores}
+        if da is not None:
+            self._write_segment(da, "a_state", seg)
+            wrote["a_state"].append(seg)
+        if db is not None:
+            self._write_segment(db, "b_state", seg)
+            wrote["b_state"].append(seg)
+        if terms:
+            dj = terms[0]
+            for t in terms[1:]:
+                dj = dj.unionByName(t)
+            dj = _consolidate(dj)
+            self._write_segment(dj, "view", seg)
+            wrote["view"].append(seg)
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "watermark": int(watermark) if watermark is not None else m["watermark"],
+                    "next_seg": seg + 1,
+                    "segments": wrote,
+                },
+                f,
+            )
+        os.replace(tmp, self._manifest_path)  # publish: atomic pointer flip
+        return True
+
+    # -- reads -------------------------------------------------------------
+    def read(self, spark: SparkSession, store: str = "view") -> DataFrame | None:
+        m = self._manifest()
+        raw = self._read_store(spark, store, m["segments"][store])
+        if raw is None:
+            return None
+        return _consolidate(raw.drop(_BUCKET))
+
+    def read_flat(self, spark: SparkSession) -> DataFrame | None:
+        """The view with multiplicities expanded to plain rows."""
+        v = self.read(spark)
+        if v is None:
+            return None
+        return v.withColumn("__i", F.explode(F.expr(f"sequence(1, {_W})"))).drop(
+            "__i", _W
+        )
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, spark: SparkSession) -> None:
+        """Fold every store's committed segments into one consolidated
+        segment (the LSM merge). Readers never see a partial state: new
+        segments are written first, the manifest flips last."""
+        m = self._manifest()
+        seg = int(m["next_seg"])
+        new_segments = {}
+        for store in self._stores:
+            raw = self._read_store(spark, store, m["segments"][store])
+            if raw is None:
+                new_segments[store] = []
+                continue
+            data_cols = [c for c in raw.columns if c != _W]
+            folded = (
+                raw.groupBy(*data_cols)
+                .agg(F.sum(_W).cast("long").alias(_W))
+                .filter(col(_W) != 0)
+            )
+            self._write_segment(folded, store, seg)
+            new_segments[store] = [seg]
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"watermark": m["watermark"], "next_seg": seg + 1, "segments": new_segments},
+                f,
+            )
+        os.replace(tmp, self._manifest_path)

@@ -1,0 +1,132 @@
+"""IncrementalJoinView: the maintained join must equal the batch join of
+the consolidated input states at every step, under inserts, deletes,
+replays, and compaction — and state reads must be bucket-pruned."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.operators.ivm import IncrementalJoinView, _W
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def _batch_join(spark, a_rows, b_rows):
+    """Ground truth: plain join of the consolidated multisets."""
+    import collections
+
+    a = collections.Counter(a_rows)
+    b = collections.Counter(b_rows)
+    out = collections.Counter()
+    for (ak, av), na in a.items():
+        for (bk, bv), nb in b.items():
+            if ak == bk and na > 0 and nb > 0:
+                out[(ak, av, bv)] += na * nb
+    return {k: v for k, v in out.items() if v > 0}
+
+
+def _view_counter(view_df):
+    import collections
+
+    out = collections.Counter()
+    if view_df is None:
+        return {}
+    for r in view_df.collect():
+        out[(r.k, r.av, r.bv)] += r[_W]
+    return {k: v for k, v in out.items() if v != 0}
+
+
+@pytest.fixture()
+def ivm(tmp_path):
+    return IncrementalJoinView(str(tmp_path / "jv"), join_keys=["k"], n_buckets=8)
+
+
+def test_incremental_equals_batch_under_inserts_and_deletes(spark, ivm):
+    a_net, b_net = [], []
+
+    def step(da=None, db=None, wm=0):
+        dfa = _df(spark, [(k, v, w) for k, v, w in (da or [])], ["k", "av", _W]) if da else None
+        dfb = _df(spark, [(k, v, w) for k, v, w in (db or [])], ["k", "bv", _W]) if db else None
+        ivm.apply(spark, dfa, dfb, watermark=wm)
+        for k, v, w in da or []:
+            a_net.append(((k, v), w))
+        for k, v, w in db or []:
+            b_net.append(((k, v), w))
+        import collections
+
+        ca, cb = collections.Counter(), collections.Counter()
+        for kv, w in a_net:
+            ca[kv] += w
+        for kv, w in b_net:
+            cb[kv] += w
+        expect = _batch_join(spark, ca, cb)
+        got = _view_counter(ivm.read(spark))
+        assert got == expect, (got, expect)
+
+    step(da=[(1, "a1", 1), (2, "a2", 1)], wm=0)                 # A only: empty view
+    step(db=[(1, "b1", 1), (3, "b3", 1)], wm=1)                 # join appears
+    step(da=[(1, "a1b", 1), (3, "a3", 1)], db=[(2, "b2", 1)], wm=2)  # both sides
+    step(da=[(1, "a1", -1)], wm=3)                              # retract an A row
+    step(db=[(1, "b1", -1), (1, "b1x", 2)], wm=4)               # retract + multi-insert
+    step(da=[(3, "a3", -1)], db=[(3, "b3", -1)], wm=5)          # cancel both sides
+
+
+def test_replay_is_noop(spark, ivm):
+    da = _df(spark, [(1, "a", 1)], ["k", "av", _W])
+    db = _df(spark, [(1, "b", 1)], ["k", "bv", _W])
+    assert ivm.apply(spark, da, db, watermark=7)
+    before = _view_counter(ivm.read(spark))
+    assert not ivm.apply(spark, da, db, watermark=7)  # same watermark: rejected
+    assert _view_counter(ivm.read(spark)) == before
+
+
+def test_default_weight_is_plus_one_and_read_flat(spark, ivm):
+    da = _df(spark, [(1, "a")], ["k", "av"])  # no __w column
+    db = _df(spark, [(1, "b"), (1, "b")], ["k", "bv"])  # duplicate row => w=2
+    ivm.apply(spark, da, db, watermark=0)
+    flat = ivm.read_flat(spark)
+    assert flat.count() == 2  # multiplicity expanded
+    assert flat.columns == ["k", "av", "bv"]
+
+
+def test_state_reads_are_bucket_pruned(spark, ivm):
+    # seed both sides with keys spread over many buckets
+    rows = [(k, f"a{k}") for k in range(64)]
+    ivm.apply(spark, _df(spark, rows, ["k", "av"]),
+              _df(spark, [(k, f"b{k}") for k in range(64)], ["k", "bv"]), watermark=0)
+    # a single-key delta must read only its bucket's files from b_state
+    m = ivm._manifest()
+    da = ivm._prep_delta(_df(spark, [(5, "a5x")], ["k", "av"]))
+    buckets = [r[0] for r in da.select("__bucket").distinct().collect()]
+    assert len(buckets) == 1
+    pruned = ivm._read_store(spark, "b_state", m["segments"]["b_state"], buckets)
+    files = pruned.inputFiles()
+    assert files, "pruned read found no files"
+    assert all(f"__bucket={buckets[0]}" in f for f in files), files
+    # and the full store spans more buckets than the pruned read
+    all_files = ivm._read_store(spark, "b_state", m["segments"]["b_state"]).inputFiles()
+    assert len(all_files) > len(files)
+
+
+def test_compaction_preserves_view_and_shrinks_segments(spark, ivm):
+    for i in range(4):
+        ivm.apply(
+            spark,
+            _df(spark, [(i % 3, f"a{i}", 1)], ["k", "av", _W]),
+            _df(spark, [(i % 3, f"b{i}", 1)], ["k", "bv", _W]),
+            watermark=i,
+        )
+    before = _view_counter(ivm.read(spark))
+    assert len(ivm._manifest()["segments"]["view"]) > 1
+    ivm.compact(spark)
+    assert len(ivm._manifest()["segments"]["view"]) == 1
+    assert _view_counter(ivm.read(spark)) == before
+    # maintenance continues cleanly after compaction
+    ivm.apply(spark, _df(spark, [(0, "a0", -1)], ["k", "av", _W]), None, watermark=99)
+    after = _view_counter(ivm.read(spark))
+    assert all(k[1] != "a0" or v >= 0 for k, v in after.items())
