@@ -90,12 +90,17 @@ class IncrementalJoinView:
     def _manifest(self) -> dict:
         try:
             with open(self._manifest_path) as f:
-                return json.load(f)
+                m = json.load(f)
         except (OSError, ValueError):
-            return {"watermark": -1, "next_seg": 1, "segments": {s: [] for s in self._stores}}
+            return {
+                "watermarks": {"a": -1, "b": -1},
+                "next_seg": 1,
+                "segments": {s: [] for s in self._stores},
+            }
+        return m
 
-    def watermark(self) -> int:
-        return int(self._manifest().get("watermark", -1))
+    def watermark(self, side: str = "a") -> int:
+        return int(self._manifest()["watermarks"].get(side, -1))
 
     # -- layout ------------------------------------------------------------
     def _bucketed(self, df: DataFrame) -> DataFrame:
@@ -160,12 +165,24 @@ class IncrementalJoinView:
         delta_a: DataFrame | None = None,
         delta_b: DataFrame | None = None,
         watermark: int | None = None,
+        watermark_a: int | None = None,
+        watermark_b: int | None = None,
     ) -> bool:
         """Fold one delta batch into states + view. Returns False when the
-        watermark guard rejects a replay (nothing written)."""
+        watermark guard rejects a replay (nothing written).
+
+        ``watermark`` guards both sides at once (the single-stream /
+        coordinated-batch form); ``watermark_a``/``watermark_b`` guard one
+        side each, for the two-independent-streams form where A and B
+        microbatch counters advance separately. Steps must serialize
+        (single writer — the manifest flip is the commit point)."""
         m = self._manifest()
-        if watermark is not None and watermark <= m["watermark"]:
-            return False
+        if watermark is not None:
+            watermark_a = watermark_b = watermark
+        if watermark_a is not None and watermark_a <= m["watermarks"]["a"]:
+            delta_a = None
+        if watermark_b is not None and watermark_b <= m["watermarks"]["b"]:
+            delta_b = None
         da = self._prep_delta(delta_a)
         db = self._prep_delta(delta_b)
         if da is None and db is None:
@@ -208,14 +225,15 @@ class IncrementalJoinView:
             wrote["view"].append(seg)
 
         os.makedirs(self.path, exist_ok=True)
+        wms = dict(m["watermarks"])
+        if watermark_a is not None and da is not None:
+            wms["a"] = int(watermark_a)
+        if watermark_b is not None and db is not None:
+            wms["b"] = int(watermark_b)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {
-                    "watermark": int(watermark) if watermark is not None else m["watermark"],
-                    "next_seg": seg + 1,
-                    "segments": wrote,
-                },
+                {"watermarks": wms, "next_seg": seg + 1, "segments": wrote},
                 f,
             )
         os.replace(tmp, self._manifest_path)  # publish: atomic pointer flip
@@ -262,7 +280,46 @@ class IncrementalJoinView:
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"watermark": m["watermark"], "next_seg": seg + 1, "segments": new_segments},
+                {"watermarks": m["watermarks"], "next_seg": seg + 1, "segments": new_segments},
                 f,
             )
         os.replace(tmp, self._manifest_path)
+
+    # -- streaming wrapper -------------------------------------------------
+    def run_streams(
+        self,
+        spark: SparkSession,
+        a_dir: str,
+        b_dir: str,
+        schema_a,
+        schema_b,
+        checkpoint_dir: str,
+    ) -> None:
+        """Maintain the view from two file-stream inputs with availableNow
+        semantics: side A's pending files fold first, then side B's —
+        maintenance steps must serialize (single manifest writer), and the
+        per-side watermarks make a replayed microbatch (crash between the
+        sink commit and Spark's checkpoint commit) a no-op. Interleaving
+        order never changes the final view: the delta algebra is
+        order-insensitive because every step joins against the opposite
+        side's CURRENT committed state."""
+        import os as _os
+
+        for side, d, schema in (("a", a_dir, schema_a), ("b", b_dir, schema_b)):
+
+            def fold(batch: DataFrame, batch_id: int, side=side) -> None:
+                if side == "a":
+                    self.apply(spark, delta_a=batch, watermark_a=batch_id)
+                else:
+                    self.apply(spark, delta_b=batch, watermark_b=batch_id)
+
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", _os.path.join(checkpoint_dir, side))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()

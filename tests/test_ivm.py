@@ -130,3 +130,49 @@ def test_compaction_preserves_view_and_shrinks_segments(spark, ivm):
     ivm.apply(spark, _df(spark, [(0, "a0", -1)], ["k", "av", _W]), None, watermark=99)
     after = _view_counter(ivm.read(spark))
     assert all(k[1] != "a0" or v >= 0 for k, v in after.items())
+
+
+def test_streaming_maintenance_equals_batch_join(spark, tmp_path):
+    """Two availableNow file streams (orders-side, customer-side) folded
+    through run_streams: the maintained view equals the batch join of all
+    files; re-running with no new files is a no-op; late files on either
+    side are absorbed incrementally."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    sa = StructType([StructField("k", LongType()), StructField("av", StringType())])
+    sb = StructType([StructField("k", LongType()), StructField("bv", StringType())])
+
+    def put(d, rows, cols, name):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, name)
+        )
+
+    put(a_dir, [(1, "a1"), (2, "a2")], sa, "f0")
+    put(a_dir, [(3, "a3")], sa, "f1")
+    put(b_dir, [(1, "b1"), (3, "b3")], sb, "f0")
+
+    jv = IncrementalJoinView(str(tmp_path / "jv"), join_keys=["k"], n_buckets=8)
+    ck = str(tmp_path / "ck")
+    # file streams read chunk subdirectories via glob (one dir per chunk)
+    a_glob, b_glob = a_dir + "/f*", b_dir + "/f*"
+    jv.run_streams(spark, a_glob, b_glob, sa, sb, ck)
+
+    def flat(jvw):
+        return sorted((r.k, r.av, r.bv) for r in jvw.read_flat(spark).collect())
+
+    assert flat(jv) == [(1, "a1", "b1"), (3, "a3", "b3")]
+
+    jv.run_streams(spark, a_glob, b_glob, sa, sb, ck)  # nothing new: no-op
+    assert flat(jv) == [(1, "a1", "b1"), (3, "a3", "b3")]
+
+    put(b_dir, [(2, "b2")], sb, "f1")       # late B side
+    put(a_dir, [(1, "a1x")], sa, "f2")      # more A side
+    jv.run_streams(spark, a_glob, b_glob, sa, sb, ck)
+    assert flat(jv) == [
+        (1, "a1", "b1"),
+        (1, "a1x", "b1"),
+        (2, "a2", "b2"),
+        (3, "a3", "b3"),
+    ]
