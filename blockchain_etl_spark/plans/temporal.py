@@ -1,0 +1,230 @@
+"""Temporal analytics plans (round 4): time-series downsampling, point-in-
+time state lookup against the SCD2 dimension, and revenue-concentration
+reporting.
+
+The reference's temporal surface is block-height bookkeeping
+(first_block/last_block inventories, as-of price lookups —
+src/be_db_backfill.erl:288-299); these plans generalize it to event time:
+OHLC bucket rollups, "state as of T" probes, and top-k share reports.
+
+Determinism: money/values ride integer cents; open/close picks are
+max_by/min_by over the (ts, event_id) total order; top-k carries a full
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..sources.testdata import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# OHLC downsampling: the chart/storage-tier compaction every time-series
+# store needs. ONE hash aggregate (no window sort): open/close are
+# min/max over the (ts, event_id, cents) ordering struct.
+# --------------------------------------------------------------------------
+@register(
+    "events_value_downsample",
+    sql="""
+    WITH e AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+             CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT event_type, bucket_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents
+    FROM r
+    GROUP BY event_type, bucket_ts
+    """,
+    survey_ops=("A10",),
+    doc="OHLC time-series downsampling to hourly buckets per event type: "
+    "count/sum/min/max plus open (first by (ts, event_id)) and close "
+    "(last) — all in ONE hash aggregate, open/close as min/max over the "
+    "ordering struct instead of a window sort. At 100 TB this is the "
+    "map-combinable compaction pass that turns a raw event store into a "
+    "chartable rollup; integer cents keep both engines exact. The oracle "
+    "spells the same picks with row_number windows.",
+)
+def events_value_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", col("ts")).alias("bucket_ts"),
+        "ts",
+        "event_id",
+        F.round(col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("event_type", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.min(F.struct("ts", "event_id", "cents"))["cents"].alias("open_cents"),
+        F.max(F.struct("ts", "event_id", "cents"))["cents"].alias("close_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time lookup against the SCD2 dimension (plans/quality.py
+# user_state_intervals): what state was each purchasing user in ONE HOUR
+# BEFORE the purchase? The classic temporal-join shape — implemented as a
+# union + ordered window (one user_id shuffle), not an interval join.
+# --------------------------------------------------------------------------
+@register(
+    "events_state_before_purchase",
+    sql=None,  # composed from the registered SCD2 SQL post-registration
+    survey_ops=("J7",),
+    doc="Point-in-time (AS OF) probe into the SCD2 state dimension: for "
+    "each purchase event, the state interval active one hour earlier. "
+    "Spark shape: state-change rows and probe rows UNION into one frame, "
+    "sorted per user by (ts, change-before-probe marker), and "
+    "last(state, ignorenulls) carries the active state onto each probe — "
+    "ONE user_id shuffle, no interval join, no per-probe subquery. The "
+    "oracle uses DuckDB's native ASOF JOIN against the registered "
+    "interval SQL, so both the dimension build and the probe semantics "
+    "are pinned cross-engine. NULL state = the user did not exist yet.",
+)
+def events_state_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import user_state_intervals
+
+    changes = user_state_intervals(spark, sf_dir).select(
+        "user_id",
+        col("valid_from").alias("pts"),
+        col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_probe"),
+        col("valid_from"),
+    )
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .filter(col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (col("ts") - F.expr("INTERVAL 1 HOUR")).alias("pts"),
+            F.lit(None).cast("string").alias("state"),
+            "event_id",
+            F.lit(1).alias("is_probe"),
+            F.lit(None).cast(dict(load_table(spark, sf_dir, "events").dtypes)["ts"]).alias(
+                "valid_from"
+            ),
+        )
+    )
+    # changes sort BEFORE probes at equal timestamp: a state starting
+    # exactly at the probe instant is already active (ASOF <= semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("pts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = changes.unionByName(probes).select(
+        "user_id",
+        "pts",
+        "event_id",
+        "is_probe",
+        F.last("state", ignorenulls=True).over(w).alias("state_1h_before"),
+        F.last("valid_from", ignorenulls=True).over(w).alias("state_since"),
+    )
+    return merged.filter(col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        (col("pts") + F.expr("INTERVAL 1 HOUR")).alias("purchase_ts"),
+        "state_1h_before",
+        "state_since",
+    )
+
+
+def _finalize_state_probe_oracle() -> None:
+    from . import quality  # noqa: F401  (registers user_state_intervals)
+    from .registry import QUERIES
+
+    QUERIES["events_state_before_purchase"].sql = f"""
+    WITH iv AS ({QUERIES["user_state_intervals"].sql}),
+    changes AS (
+      SELECT user_id, valid_from, event_type AS state FROM iv),
+    probes AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+             CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR AS probe_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.purchase_ts,
+           c.state AS state_1h_before,
+           c.valid_from AS state_since
+    FROM probes p
+    ASOF LEFT JOIN changes c
+      ON p.user_id = c.user_id AND c.valid_from <= p.probe_ts
+    """
+
+
+_finalize_state_probe_oracle()
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration: how much of total revenue the top-100 customers
+# carry. Top-k via TakeOrderedAndProject (per-partition heads merged on
+# the driver), never a global sort.
+# --------------------------------------------------------------------------
+_TOP_N = 100
+
+
+@register(
+    "revenue_concentration",
+    sql=f"""
+    WITH rev AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    top AS (
+      SELECT cents FROM rev ORDER BY cents DESC, o_custkey LIMIT {_TOP_N}),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS top_cents,
+                 COUNT(*) AS n_top FROM top),
+    a AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 COUNT(*) AS n_customers FROM rev)
+    SELECT a.n_customers, t.n_top, a.total_cents, t.top_cents,
+           CAST(t.top_cents * 1000000 // a.total_cents AS BIGINT) AS top_share_ppm
+    FROM a, t
+    """,
+    survey_ops=("W3",),
+    doc=f"Revenue-concentration report: the top-{_TOP_N} customers' share "
+    "of total revenue in ppm. Scale shape: one customer-grain aggregate, "
+    "then (a) a TakeOrderedAndProject top-k (per-partition heads, no "
+    "global sort) and (b) a 1-row total — joined as broadcast singletons. "
+    "The Pareto question every revenue/AB dashboard asks, with integer "
+    "cents end to end.",
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    rev = rev.localCheckpoint()  # two consumers: top-k and total
+    top = rev.orderBy(col("cents").desc(), col("o_custkey")).limit(_TOP_N)
+    t = top.agg(
+        F.sum("cents").cast("long").alias("top_cents"), F.count(F.lit(1)).alias("n_top")
+    )
+    a = rev.agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return a.crossJoin(t).select(
+        "n_customers",
+        "n_top",
+        "total_cents",
+        "top_cents",
+        F.expr("CAST(top_cents * 1000000 div total_cents AS BIGINT)").alias("top_share_ppm"),
+    )

@@ -553,3 +553,29 @@ def test_pagerank_no_cartesian_bounded_exchanges(plan):
     p = plan("supplier_pagerank")
     assert "CartesianProduct" not in p, p
     assert n_exchanges(p) <= 8, p
+
+
+def test_downsample_is_one_hash_aggregate(plan):
+    # OHLC open/close via min/max ordering structs: one exchange, no
+    # window sort, no join.
+    p = plan("events_value_downsample")
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0, p
+    assert n_exchanges(p) == 1, p
+
+
+def test_state_probe_single_user_shuffle_no_interval_join(plan):
+    # union + ordered window: the probe never becomes a per-row subquery
+    # or interval join; every shuffle rides user_id.
+    p = plan("events_state_before_purchase")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] == "user_id", (keys, p)
+
+
+def test_revenue_concentration_topk_no_global_sort(plan):
+    p = plan("revenue_concentration")
+    assert "TakeOrderedAndProject" in p, p
+    # the only full Sort allowed would be inside TakeOrdered's per-partition
+    # head; a standalone global Sort node is the anti-pattern
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 0, p
