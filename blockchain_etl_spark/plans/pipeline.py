@@ -1103,3 +1103,57 @@ def corpus_doc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drop_reason"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sampling: importance-sample k docs with inclusion
+# probability increasing in a weight column (token count here — the usual
+# "sample long documents more" mix move). Deterministic equivalent of
+# A-ES/priority sampling: each doc's priority = md5-rank divided by its
+# weight (integer division — RNG-free, engine-exact); the k SMALLEST
+# priorities win, so doubling a doc's weight roughly doubles its odds.
+# --------------------------------------------------------------------------
+_WEIGHTED_SAMPLE_K = 200
+
+
+@register(
+    "doc_weighted_sample",
+    sql=f"""
+    SELECT doc_id, source, weight, priority FROM (
+      SELECT doc_id, source, weight,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+               // weight AS priority
+      FROM (SELECT doc_id, source,
+                   CAST(1 + len(list_filter(string_split(text, ' '),
+                                            w -> len(w) > 0)) AS BIGINT) AS weight
+            FROM documents) w) p
+    ORDER BY priority, doc_id
+    LIMIT {_WEIGHTED_SAMPLE_K}
+    """,
+    survey_ops=(),
+    doc=f"Deterministic weighted sampling (top-{_WEIGHTED_SAMPLE_K} by "
+    "priority = md5_rank div weight, weight = token count + 1): the "
+    "RNG-free analog of A-ES priority sampling — heavier docs draw "
+    "systematically smaller priorities, and the same corpus always "
+    "yields the same sample (the repo-wide reproducibility contract). "
+    "Scale shape: weights and priorities are map-side HOFs, selection is "
+    "TakeOrderedAndProject — per-partition heads, no global sort, no "
+    "shuffle of document text.",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(1 + size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)"
+        ).alias("weight"),
+    )
+    p = w.withColumn(
+        "priority",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+            " div weight"
+        ),
+    )
+    return p.orderBy("priority", "doc_id").limit(_WEIGHTED_SAMPLE_K)

@@ -472,7 +472,11 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionAll(fwd.select(col("dst").alias("src"), col("src").alias("dst")))
     # iterate from a stable frame: degree table = node set (every node has
-    # deg >= 1 by construction, so there are no dangling nodes)
+    # deg >= 1 by construction, so there are no dangling nodes).
+    # Measured alternative (rejected): pre-joining dst-degree onto the
+    # edge frame to drop the per-round deg join was ~1.7x SLOWER at sf0.1
+    # — the widened materialized edge frame costs more than the extra
+    # node-grain join it saves.
     deg = edges.groupBy(col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.localCheckpoint()  # cut the lineage once; reused every round
     edges = edges.localCheckpoint()

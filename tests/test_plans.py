@@ -579,3 +579,9 @@ def test_revenue_concentration_topk_no_global_sort(plan):
     # the only full Sort allowed would be inside TakeOrdered's per-partition
     # head; a standalone global Sort node is the anti-pattern
     assert len(re.findall(r"\(\d+\) Sort", p)) == 0, p
+
+
+def test_weighted_sample_topk_no_text_shuffle(plan):
+    p = plan("doc_weighted_sample")
+    assert "TakeOrderedAndProject" in p, p
+    assert n_exchanges(p) == 0, p
