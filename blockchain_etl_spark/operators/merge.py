@@ -155,6 +155,7 @@ class ParquetMergeTarget:
         updates: DataFrame,
         fold,
         watermark: int | None = None,
+        changelog_keys: Sequence[str] | None = None,
     ) -> DataFrame:
         """Version-and-publish any target ⊕ updates fold (merge_latest,
         merge_accumulate, ...): read current, fold, write v+1, flip pointer.
@@ -163,12 +164,29 @@ class ParquetMergeTarget:
         <= the stored one is a REPLAY and is skipped — this is what makes
         non-idempotent folds (additive aggregates) exactly-once under the
         ingest's replay-on-crash model, the same role the reference's
-        single transaction per block plays for its running counters."""
+        single transaction per block plays for its running counters.
+
+        ``changelog_keys``: when set, each merge also emits a CDC
+        changelog segment ``changelog/v=<n>`` — one row per changed key
+        with ``__op`` ∈ {insert, update, delete} and the AFTER image
+        (BEFORE image for deletes), the T5 change-data side channel as an
+        OUTPUT: downstream consumers (cache invalidation, search index,
+        the reference's API tier) subscribe to versions instead of
+        diffing snapshots. Folding the changelog versions in order onto
+        an empty table reproduces the target exactly
+        (tests/test_changelog.py). The diff is a key-grain full-outer
+        join of old vs new state — changelog emission costs one
+        state-sized join; leave it off for targets nobody subscribes to."""
         target = self.read(spark)
         if watermark is not None and watermark <= self._meta().get("watermark", -1):
             return target
         merged = fold(target, updates)
         next_v = self.current_version() + 1
+        if changelog_keys is not None:
+            # materialize the fold once: the diff and the publish below
+            # must see the same rows
+            merged = merged.localCheckpoint()
+            self._write_changelog(target, merged, list(changelog_keys), next_v)
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, f"v={next_v}")
         )
@@ -181,6 +199,49 @@ class ParquetMergeTarget:
             json.dump(meta, f)
         os.replace(tmp, self._pointer)  # publish: atomic pointer flip
         return self.read(spark)
+
+    def _write_changelog(
+        self,
+        old: DataFrame | None,
+        new: DataFrame,
+        keys: list[str],
+        version: int,
+    ) -> None:
+        data_cols = [c for c in new.columns if c not in keys]
+        row_hash = F.md5(F.to_json(F.struct(*[col(c) for c in data_cols])))
+        n = new.select(
+            *keys,
+            F.struct(*[col(c) for c in data_cols]).alias("__after"),
+            row_hash.alias("__nh"),
+        )
+        if old is None:
+            out = n.select(
+                *keys, F.lit("insert").alias("__op"), col("__after").alias("__row")
+            )
+        else:
+            o = old.select(
+                *keys,
+                F.struct(*[col(c) for c in data_cols]).alias("__before"),
+                row_hash.alias("__oh"),
+            )
+            j = n.join(o, keys, "full_outer")
+            out = j.select(
+                *keys,
+                F.when(col("__oh").isNull(), "insert")
+                .when(col("__nh").isNull(), "delete")
+                .when(col("__nh") != col("__oh"), "update")
+                .alias("__op"),
+                F.coalesce(col("__after"), col("__before")).alias("__row"),
+            ).filter(col("__op").isNotNull())
+        out.select(*keys, "__op", col("__row.*")).write.mode("overwrite").parquet(
+            os.path.join(self.path, "changelog", f"v={version}")
+        )
+
+    def read_changelog(self, spark: SparkSession, version: int) -> DataFrame | None:
+        p = os.path.join(self.path, "changelog", f"v={version}")
+        if not os.path.isdir(p):
+            return None
+        return spark.read.parquet(p)
 
 
 def merge_accumulate(

@@ -37,11 +37,15 @@ _LANG_WHITELIST = ("de", "en", "es", "fr", "zh")
     sql=f"""
     WITH agg AS (
       SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v_empty,
-             SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_nchars,
-             SUM(CASE WHEN lang NOT IN {str(_LANG_WHITELIST)} THEN 1 ELSE 0 END) AS v_lang,
-             SUM(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS v_range,
-             COUNT(*) - COUNT(DISTINCT doc_id) AS v_dupid
+             CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_empty,
+             CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_nchars,
+             CAST(SUM(CASE WHEN lang NOT IN {str(_LANG_WHITELIST)} THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_lang,
+             CAST(SUM(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_range,
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_dupid
       FROM documents)
     SELECT 'doc_id_unique' AS check_name, n_rows, v_dupid AS n_violations,
            CASE WHEN v_dupid = 0 THEN 1 ELSE 0 END AS passed FROM agg

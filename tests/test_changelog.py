@@ -1,0 +1,102 @@
+"""CDC changelog emission from ParquetMergeTarget: folding the changelog
+versions in order onto an empty table must reproduce the target at every
+version, ops must classify correctly, and replays must emit nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from blockchain_etl_spark.operators.merge import ParquetMergeTarget, merge_latest
+
+KEYS = ("address",)
+
+
+def _merge(t, spark, rows, wm):
+    upd = spark.createDataFrame(rows, ["address", "block", "owner"])
+    return t.merge_with(
+        spark,
+        upd,
+        lambda target, u: merge_latest(target, u, KEYS, ("block",), coalesce_cols=("owner",)),
+        watermark=wm,
+        changelog_keys=KEYS,
+    )
+
+
+def _snapshot(df):
+    return {r.address: (r.block, r.owner) for r in df.collect()}
+
+
+def _apply_changelog(state: dict, log) -> dict:
+    state = dict(state)
+    for r in log.collect():
+        if r["__op"] == "delete":
+            state.pop(r.address, None)
+        else:
+            state[r.address] = (r.block, r.owner)
+    return state
+
+
+def test_changelog_replays_to_target(spark, tmp_path):
+    t = ParquetMergeTarget(str(tmp_path / "inv"))
+    _merge(t, spark, [("a", 1, "o1"), ("b", 1, "o2")], wm=0)
+    _merge(t, spark, [("a", 2, "o1b"), ("c", 2, None)], wm=1)   # update + insert(null owner)
+    _merge(t, spark, [("c", 3, "o3"), ("b", 3, "o2")], wm=2)    # coalesce fill + no-op value
+
+    state: dict = {}
+    for v in range(1, t.current_version() + 1):
+        log = t.read_changelog(spark, v)
+        assert log is not None
+        state = _apply_changelog(state, log)
+        # folded changelog == stored version at every step
+        stored = _snapshot(spark.read.parquet(str(tmp_path / "inv" / f"v={v}")))
+        assert state == stored, (v, state, stored)
+
+
+def test_changelog_ops_classify(spark, tmp_path):
+    t = ParquetMergeTarget(str(tmp_path / "inv2"))
+    _merge(t, spark, [("a", 1, "o1")], wm=0)
+    log1 = t.read_changelog(spark, 1)
+    assert {(r.address, r["__op"]) for r in log1.collect()} == {("a", "insert")}
+
+    _merge(t, spark, [("a", 2, "oX"), ("b", 2, "o2")], wm=1)
+    log2 = t.read_changelog(spark, 2)
+    assert {(r.address, r["__op"]) for r in log2.collect()} == {
+        ("a", "update"),
+        ("b", "insert"),
+    }
+
+    # an unchanged key emits NOTHING (the reference's skip-no-op
+    # discipline, src/be_db_gateway.erl:158-184)
+    _merge(t, spark, [("b", 2, "o2")], wm=2)
+    log3 = t.read_changelog(spark, 3)
+    assert log3.count() == 0
+
+
+def test_replayed_merge_emits_no_changelog(spark, tmp_path):
+    t = ParquetMergeTarget(str(tmp_path / "inv3"))
+    _merge(t, spark, [("a", 1, "o1")], wm=5)
+    v = t.current_version()
+    _merge(t, spark, [("a", 9, "zz")], wm=5)  # same watermark: replay, skipped
+    assert t.current_version() == v
+    assert t.read_changelog(spark, v + 1) is None
+
+
+def test_delete_via_filtering_fold(spark, tmp_path):
+    """A fold that drops keys (retention purge) must surface deletes with
+    the BEFORE image."""
+    t = ParquetMergeTarget(str(tmp_path / "inv4"))
+    _merge(t, spark, [("a", 1, "o1"), ("b", 1, "o2")], wm=0)
+    upd = spark.createDataFrame([("b", 2, "o2b")], ["address", "block", "owner"])
+    t.merge_with(
+        spark,
+        upd,
+        lambda target, u: merge_latest(target, u, KEYS, ("block",)).filter(col("address") != "a"),
+        watermark=1,
+        changelog_keys=KEYS,
+    )
+    log = t.read_changelog(spark, 2)
+    rows = {r.address: r for r in log.collect()}
+    assert rows["a"]["__op"] == "delete" and rows["a"].owner == "o1"
+    assert rows["b"]["__op"] == "update"
+    assert F  # keep the import referenced

@@ -38,6 +38,12 @@ QUERIES = [
     "dedup_minhash_estimate",
     "doc_surprisal_mixture",
     "dedup_simhash_calibration",
+    # round 4 continued: iterative fixed-point PageRank, variant-join
+    # fuzzy matching, weighted top-k sampling, SCD2 interval ties
+    "supplier_pagerank",
+    "customer_name_match",
+    "doc_weighted_sample",
+    "user_state_intervals",
 ]
 
 
