@@ -135,6 +135,61 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc ANSI SQL over the ingested lakehouse — the engine-side
+    equivalent of the reference's Postgres query surface: every history
+    table (and inventory, when maintained) registers as a temp view, then
+    the statement runs through Spark SQL/Catalyst."""
+    import os
+
+    from .streaming.ingest import TABLES, BlockIngest
+
+    spark = _spark()
+    ing = BlockIngest(args.out)
+    for name in TABLES:
+        try:
+            ing.read_table(spark, name).createOrReplaceTempView(name)
+        except Exception:  # noqa: BLE001 - table not ingested yet
+            continue
+    # inventories live at <out>/<entity>_inventory (accounts, gateways, ...)
+    for d in sorted(os.listdir(args.out)) if os.path.isdir(args.out) else []:
+        if d.endswith("_inventory"):
+            try:
+                ing.read_inventory(spark, d[: -len("_inventory")]).createOrReplaceTempView(d)
+            except Exception:  # noqa: BLE001 - empty/unpublished target
+                pass
+    df = spark.sql(args.statement)
+    if args.write:
+        df.write.mode("overwrite").parquet(args.write)
+        print(args.write)
+    else:
+        for row in df.limit(args.limit).collect():
+            print(row.asDict())
+    return 0
+
+
+def cmd_materialize(args) -> int:
+    """Publish a registered query's result as a versioned table
+    (write-audit-publish via ParquetMergeTarget): re-running refreshes to
+    the next version atomically; readers never see a partial result. The
+    operational 'CREATE MATERIALIZED VIEW ... / REFRESH' pair."""
+    import os
+
+    from .operators.merge import ParquetMergeTarget
+    from .plans.registry import get_queries
+
+    queries = get_queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = queries[args.name](spark, args.sf_dir)
+    target = ParquetMergeTarget(os.path.join(args.out, "_materialized", args.name))
+    result = target.merge_with(spark, df, lambda _t, u: u)
+    print(f"{args.name} v{target.current_version()}: {result.count()} rows")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blockchain_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -171,6 +226,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--write")
     s.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("sql", help="ad-hoc SQL over the ingested tables (views per table)")
+    s.add_argument("statement")
+    s.add_argument("--out", required=True, help="ingest output dir holding the tables")
+    s.add_argument("--write")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_sql)
+
+    s = sub.add_parser("materialize", help="publish a registered query as a versioned table")
+    s.add_argument("name")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_materialize)
 
     args = p.parse_args(argv)
     return args.fn(args)

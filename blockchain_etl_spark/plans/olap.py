@@ -1067,3 +1067,104 @@ def events_user_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("est_n").desc(), "user_id")
         .limit(_CMS_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with INDEPENDENT sets (not a rollup prefix): two dashboard
+# grains — per-region and per-priority — answered in ONE aggregate pass.
+# GROUPING() markers disambiguate a real NULL from a "not in this set"
+# NULL, the standard multi-grain reporting contract.
+# --------------------------------------------------------------------------
+@register(
+    "region_priority_grouping_sets",
+    sql="""
+    SELECT CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           r_name, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+    """,
+    survey_ops=("A2",),
+    doc="GROUPING SETS with two INDEPENDENT grains (region; priority) in "
+    "one aggregate — Spark expands the sets inside a single hash "
+    "aggregate exactly like ROLLUP/CUBE, so two dashboard tables cost one "
+    "fact-scan + one shuffle instead of two queries. GROUPING() markers "
+    "let consumers split the output without NULL ambiguity. Dimension "
+    "joins broadcast.",
+)
+def region_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        orders.join(broadcast(cust), col("c_custkey") == col("o_custkey"))
+        .join(broadcast(nation), col("n_nationkey") == col("c_nationkey"))
+        .join(broadcast(region), col("r_regionkey") == col("n_regionkey"))
+    )
+    j.createOrReplaceTempView("_rpgs")
+    return spark.sql(
+        """
+        SELECT CAST(GROUPING(r_name) AS INT) AS g_region,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               r_name, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM _rpgs
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT: customers present in two behavioral segments (bought both
+# brands). Spark compiles INTERSECT to an aggregate + join on the key —
+# the set-op face of the semi-join family.
+# --------------------------------------------------------------------------
+_BRAND_A, _BRAND_B = "Brand#1", "Brand#2"
+
+
+@register(
+    "brand_loyal_customers",
+    sql=f"""
+    SELECT o_custkey
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = '{_BRAND_A}'
+    INTERSECT
+    SELECT o_custkey
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = '{_BRAND_B}'
+    """,
+    survey_ops=("X1",),
+    doc=f"INTERSECT set operator: customers who bought BOTH {_BRAND_A} "
+    f"and {_BRAND_B} parts. The brand filter pushes into the part-dim "
+    "broadcast join on each branch, branches reduce to distinct customer "
+    "keys BEFORE intersecting, so the set op touches |customers| not "
+    "|lineitems|. Complements X1's EXCEPT (churned_customers) to round "
+    "out the set-operation surface.",
+)
+def brand_loyal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def buyers(brand: str) -> DataFrame:
+        p = part.filter(col("p_brand") == brand).select("p_partkey")
+        return (
+            li.join(broadcast(p), col("p_partkey") == col("l_partkey"))
+            .join(orders, col("l_orderkey") == col("o_orderkey"))
+            .select("o_custkey")
+        )
+
+    return buyers(_BRAND_A).intersect(buyers(_BRAND_B))

@@ -49,3 +49,27 @@ def test_cli_corpus_release(tmp_path, capsys):
     for sub in ("clean", "pruned", "representatives", "funnel", "card", "lineage"):
         assert os.path.isdir(os.path.join(out, sub)), sub
         assert f"{sub}: " in printed
+
+
+def test_cli_sql(ingested, capsys):
+    assert main(["sql", "SELECT MAX(block) AS h FROM transactions", "--out", ingested]) == 0
+    out = capsys.readouterr().out
+    assert "'h':" in out
+    # inventory views register when maintained
+    assert main([
+        "sql",
+        "SELECT COUNT(*) AS n FROM accounts_inventory",
+        "--out", ingested,
+    ]) == 0
+    assert "'n':" in capsys.readouterr().out
+
+
+def test_cli_materialize_versions(tmp_path, capsys):
+    out = str(tmp_path / "mat")
+    assert main(["materialize", "pricing_summary", "--out", out]) == 0
+    first = capsys.readouterr().out
+    assert "pricing_summary v1:" in first
+    # refresh publishes the next version atomically
+    assert main(["materialize", "pricing_summary", "--out", out]) == 0
+    assert "pricing_summary v2:" in capsys.readouterr().out
+    assert os.path.isdir(os.path.join(out, "_materialized", "pricing_summary", "v=2"))

@@ -585,3 +585,18 @@ def test_weighted_sample_topk_no_text_shuffle(plan):
     p = plan("doc_weighted_sample")
     assert "TakeOrderedAndProject" in p, p
     assert n_exchanges(p) == 0, p
+
+
+def test_grouping_sets_one_aggregate_broadcast_dims(plan):
+    p = plan("region_priority_grouping_sets")
+    assert "BroadcastHashJoin" in p, p
+    assert "Expand" in p, p  # grouping-set expansion inside ONE aggregate
+    assert n_exchanges(p) == 1, p
+
+
+def test_intersect_on_key_grain(plan):
+    # branches reduce to distinct customer keys; the set op joins keys,
+    # never lineitem rows; part-brand filters broadcast.
+    p = plan("brand_loyal_customers")
+    assert "CartesianProduct" not in p, p
+    assert "PushedFilters" in p and "p_brand" in p, p
