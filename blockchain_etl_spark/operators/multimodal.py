@@ -223,3 +223,54 @@ def resize_images(media: DataFrame, box_w: int = 64, box_h: int = 64) -> DataFra
             )
 
     return flat.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio windowing — the framing stage of every audio featurizer
+# (spectrogram / MFCC / VAD): fixed-size windows with hop, one energy
+# value per window. Window geometry is exact integer math; the per-window
+# energy slot is a deterministic md5 fake (no audio decode lib in this
+# container) computed INSIDE the Arrow batch loop, standing in for
+# `numpy.square(samples[start:start+win]).sum()`.
+# ---------------------------------------------------------------------------
+AUDIO_WIN = 64  # window sized to the synthetic clips (same 2.5:1 win:hop as 400/160)
+AUDIO_HOP = 25
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("win_start", LongType()),
+        StructField("energy_fp", LongType()),
+    ]
+)
+
+
+def audio_window_energy(media: DataFrame, win: int = AUDIO_WIN, hop: int = AUDIO_HOP) -> DataFrame:
+    """audio rows → one row per (window, energy) via Arrow-batched
+    mapInPandas. n_samples = byte_len div 2 (16-bit PCM framing);
+    windows cover [i*hop, i*hop+win) for i in [0, 1 + (n-win) div hop)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "n_samples", "win_idx", "win_start", "energy_fp")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                n = len(raw) // 2
+                n_wins = 0 if n < win else 1 + (n - win) // hop
+                text = raw.decode("utf-8")
+                for i in range(n_wins):
+                    out["media_id"].append(mid)
+                    out["n_samples"].append(n)
+                    out["win_idx"].append(i)
+                    out["win_start"].append(i * hop)
+                    # deterministic fake for sum(samples[s:s+win]^2)
+                    h = hashlib.md5(f"{text}:{i}".encode()).hexdigest()
+                    out["energy_fp"].append(int(h[:12], 16))
+            yield pd.DataFrame(out)
+
+    return media.filter(media.media_type == "audio").mapInPandas(
+        batches, schema=AUDIO_WINDOW_SCHEMA
+    )

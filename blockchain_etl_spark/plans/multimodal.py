@@ -114,3 +114,44 @@ def media_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("thumb").cast("long").alias("thumb_len"),
         F.hex("thumb").alias("thumb_sig"),
     )
+
+
+@register(
+    "audio_window_energy",
+    sql=f"""
+    WITH a AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) // 2 AS n_samples
+      FROM documents WHERE {_MEDIA_TYPE_SQL} = 'audio'),
+    w AS (
+      SELECT media_id, text, n_samples,
+             CASE WHEN n_samples < 64 THEN 0
+                  ELSE 1 + (n_samples - 64) // 25 END AS n_wins
+      FROM a)
+    SELECT media_id, n_samples,
+           CAST(i AS BIGINT) AS win_idx,
+           CAST(i * 25 AS BIGINT) AS win_start,
+           CAST('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT)
+             AS energy_fp
+    FROM (SELECT media_id, text, n_samples,
+                 unnest(range(0, n_wins)) AS i
+          FROM w WHERE n_wins > 0)
+    """,
+    survey_ops=(),
+    doc="Audio framing: fixed windows with hop (64/25 samples over 16-bit "
+    "PCM byte lengths; production uses 400/160 = 25ms/10ms at 16 kHz) "
+    "plus one energy value per "
+    "window, via one Arrow-batched mapInPandas pass "
+    "(operators/multimodal.py::audio_window_energy). The energy slot is a "
+    "deterministic md5 fake standing in for the numpy square-sum over the "
+    "decoded window (no audio lib in this container); window geometry is "
+    "exact integer math, so the oracle checks the full fan-out. "
+    "Completes the modality triple: image resize, video frame sampling, "
+    "audio windowing — all through the same binary-column + Arrow-batch "
+    "plumbing. Scale shape: zero shuffle (map-only fan-out).",
+)
+def audio_window_energy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_window_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_energy(media_from_documents(docs))

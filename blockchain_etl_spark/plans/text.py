@@ -1070,3 +1070,112 @@ def doc_surprisal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM surprisal with unigram backoff — the next rung above
+# doc_unigram_surprisal on the perplexity-filter ladder: each bigram
+# position scores -log2 P(w2|w1) ≈ bitlen(c_w1) - bitlen(c_w1w2) when the
+# bigram is attested (count >= floor), else it BACKS OFF to the unigram
+# estimate bitlen(N) - bitlen(c_w2) plus a fixed penalty. Same integer
+# bit-length trick as the unigram query: exact on both engines, no log().
+# --------------------------------------------------------------------------
+_BS_MIN_BIGRAM = 2  # below this the position backs off to the unigram model
+_BS_BACKOFF_PENALTY = 4  # bits
+
+
+@register(
+    "doc_bigram_surprisal",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 1
+                        THEN struct_pack(w1 := toks[i], w2 := toks[i + 1]) END),
+                 p -> p IS NOT NULL)) AS p
+        FROM tok) t),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(toks) AS w FROM tok) t GROUP BY w),
+    big AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pos GROUP BY w1, w2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN c_ab >= {_BS_MIN_BIGRAM}
+                         THEN length(bin(ua.c)) - length(bin(c_ab))
+                         ELSE length(bin(n)) - length(bin(ub.c))
+                              + {_BS_BACKOFF_PENALTY} END) AS BIGINT) AS bits_sum,
+           CAST(SUM(CASE WHEN c_ab >= {_BS_MIN_BIGRAM} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_attested,
+           CAST(SUM(CASE WHEN c_ab >= {_BS_MIN_BIGRAM}
+                         THEN length(bin(ua.c)) - length(bin(c_ab))
+                         ELSE length(bin(n)) - length(bin(ub.c))
+                              + {_BS_BACKOFF_PENALTY} END) AS DOUBLE) / COUNT(*)
+             AS mean_bits
+    FROM pos
+    JOIN big USING (w1, w2)
+    JOIN uni ua ON ua.w = pos.w1
+    JOIN uni ub ON ub.w = pos.w2
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    survey_ops=(),
+    doc="Bigram-LM document surprisal with unigram backoff (Katz-lite): "
+    f"attested bigrams (count >= {_BS_MIN_BIGRAM}) score "
+    "bitlen(c_w1)-bitlen(c_w1w2); unattested positions back off to the "
+    f"unigram bits + {_BS_BACKOFF_PENALTY}-bit penalty. Integer bit-length "
+    "arithmetic end to end — no cross-engine log drift. Scale shape: "
+    "bigram/unigram counts shuffle once each on their keys; the count "
+    "tables are Zipf-small after flooring (broadcast-able at 100 TB), so "
+    "the three scoring joins turn map-side; final rollup shuffles doc_id. "
+    "With doc_unigram_surprisal this gives the quality-filter pair every "
+    "LM data pipeline runs (fluency = low bigram bits, rarity = high "
+    "unigram bits).",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.expr(_TOKENS.format(c="text")).alias("toks"))
+    tok = tok.localCheckpoint()  # unigram + position consumers
+    pos = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(toks, (w, i) -> CASE WHEN i < size(toks) - 1"
+                " THEN struct(toks[i] AS w1, toks[i + 1] AS w2) END),"
+                " p -> p IS NOT NULL)"
+            )
+        ).alias("p"),
+    ).select("doc_id", col("p.w1").alias("w1"), col("p.w2").alias("w2"))
+    pos = pos.localCheckpoint()  # feeds the bigram count AND the scoring join
+    uni = (
+        tok.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    ua = uni.select(col("w").alias("w1"), col("c").alias("ca"))
+    ub = uni.select(col("w").alias("w2"), col("c").alias("cb"))
+    bits = F.expr(
+        f"CASE WHEN c_ab >= {_BS_MIN_BIGRAM}"
+        " THEN length(bin(ca)) - length(bin(c_ab))"
+        f" ELSE length(bin(n)) - length(bin(cb)) + {_BS_BACKOFF_PENALTY} END"
+    )
+    attested = F.expr(f"CASE WHEN c_ab >= {_BS_MIN_BIGRAM} THEN 1 ELSE 0 END")
+    return (
+        pos.join(big, ["w1", "w2"])
+        .join(ua, ["w1"])
+        .join(ub, ["w2"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", bits.alias("bits"), attested.alias("att"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("bits_sum"),
+            F.sum("att").cast("long").alias("n_attested"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
+        )
+    )

@@ -600,3 +600,18 @@ def test_intersect_on_key_grain(plan):
     p = plan("brand_loyal_customers")
     assert "CartesianProduct" not in p, p
     assert "PushedFilters" in p and "p_brand" in p, p
+
+
+def test_audio_windows_zero_shuffle_arrow(plan):
+    p = plan("audio_window_energy")
+    assert n_exchanges(p) == 0, p
+    assert "MapInPandas" in p, p
+
+
+def test_bigram_surprisal_count_joins_only(plan):
+    # every shuffle rides a word/pair/doc key; totals broadcast from the
+    # vocab aggregate — no second corpus scan for N.
+    p = plan("doc_bigram_surprisal")
+    assert "CartesianProduct" not in p, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("w", "w1", "w2", "doc_id"), (keys, p)
