@@ -64,12 +64,58 @@ class IVFIndex:
 
         cent_r = spark.read.parquet(self._centroids)
         assigned = self._nearest_cells(corpus, cent_r, 1).select(
-            "vec_id", "embedding", "nrm", "cell"
+            "vec_id", "embedding", "nrm", "cell", F.lit(0).cast("long").alias("seg")
         )
         # one shuffle on cell → one directory per cell, clustered files
         assigned.repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(self._data)
+        self._inventory().merge(
+            spark,
+            assigned.select("vec_id", "seg", "cell"),
+            keys=["vec_id"],
+            order=["seg"],
+        )
+
+    def _inventory(self):
+        """vec_id → (latest seg, cell): the staleness ledger incremental
+        upserts maintain (ParquetMergeTarget, watermark-guarded)."""
+        from .merge import ParquetMergeTarget
+
+        return ParquetMergeTarget(os.path.join(self.path, "id_inventory"))
+
+    def upsert(
+        self, spark: SparkSession, vectors: DataFrame, watermark: int | None = None
+    ) -> bool:
+        """Fold fresh/updated vectors into the index WITHOUT rebuilding:
+        assign against the FROZEN coarse quantizer (the production
+        contract — operators/kmeans.py CodebookState owns centroid
+        refresh), append a new segment's files under each touched
+        ``cell=N/`` directory, and advance the vec_id→(seg, cell)
+        inventory so queries drop superseded rows. Work is O(batch):
+        the stored corpus is never rescanned. Returns False on a
+        watermark-replayed batch (nothing written)."""
+        inv = self._inventory()
+        if watermark is not None and watermark <= inv.watermark():
+            return False
+        seg = int(inv.current_version())  # strictly increasing per upsert
+        corpus = _with_norm(vectors.select("vec_id", "embedding"), "embedding", "nrm")
+        cent = spark.read.parquet(self._centroids)
+        assigned = self._nearest_cells(corpus, cent, 1).select(
+            "vec_id", "embedding", "nrm", "cell", F.lit(seg).cast("long").alias("seg")
+        )
+        assigned = assigned.localCheckpoint()  # data write + inventory merge
+        assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+            self._data
+        )
+        inv.merge(
+            spark,
+            assigned.select("vec_id", "seg", "cell"),
+            keys=["vec_id"],
+            order=["seg"],
+            watermark=watermark,
+        )
+        return True
 
     @staticmethod
     def _nearest_cells(
@@ -110,6 +156,17 @@ class IVFIndex:
         data = spark.read.option("basePath", self._data).parquet(
             *[os.path.join(self._data, f"cell={c}") for c in sorted(cells)]
         )
+        # staleness filter: an upserted vector's older copies (possibly in
+        # other cells) are superseded — keep only rows matching the
+        # inventory's latest (seg, cell) per vec_id. Candidate-sized join.
+        inv_df = self._inventory().read(spark)
+        if inv_df is not None and "seg" in data.columns:
+            latest = inv_df.select("vec_id", col("seg").alias("__latest"))
+            data = (
+                data.join(latest, ["vec_id"])
+                .filter(col("seg") == col("__latest"))
+                .drop("__latest")
+            )
         qside = q.select(
             col("vec_id").alias("qid"), col("embedding").alias("qe"), col("nrm").alias("qnrm")
         )

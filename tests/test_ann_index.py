@@ -96,3 +96,53 @@ def test_build_is_deterministic(spark, tmp_path):
         for r in spark.read.option("basePath", b._data).parquet(b._data).collect()
     }
     assert da == db
+
+
+def test_upsert_folds_new_vectors_without_rebuild(spark, tmp_path):
+    emb = _emb(spark).cache()
+    half = emb.filter(col("vec_id") < 40)
+    rest = emb.filter(col("vec_id") >= 40)
+    idx = IVFIndex(str(tmp_path / "ivf_up"))
+    idx.build(spark, half, n_cells=N_CELLS)
+    assert idx.upsert(spark, rest, watermark=1)
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=K, probes=N_CELLS)  # probe all: exact over index
+    ids = {r.neighbor_id for r in got.collect()}
+    assert any(i >= 40 for i in ids), "upserted vectors never surfaced"
+    # replay is a no-op
+    assert not idx.upsert(spark, rest, watermark=1)
+
+
+def test_upsert_supersedes_stale_copies(spark, tmp_path):
+    """A re-crawled vector whose embedding moved to another cell must
+    never be served from its old cell."""
+    emb = _emb(spark).cache()
+    idx = IVFIndex(str(tmp_path / "ivf_stale"))
+    idx.build(spark, emb, n_cells=N_CELLS)
+
+    # re-crawl vec 7 with a very different embedding (another vector's,
+    # which guarantees a plausible different cell assignment)
+    from pyspark.sql import functions as F
+
+    donor = emb.filter(col("vec_id") == 55).select(
+        F.lit(7).cast("long").alias("vec_id"), "embedding"
+    )
+    assert idx.upsert(spark, donor, watermark=2)
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=200, probes=N_CELLS).collect()
+    # neighbor 7 appears at most once per query (stale copy filtered)
+    from collections import Counter
+
+    per_q = Counter((r.qid, r.neighbor_id) for r in got if r.neighbor_id == 7)
+    assert all(v == 1 for v in per_q.values()), per_q
+    # and its served embedding is the NEW one: cosine to qid 55's own
+    # embedding should be (near) max since they are identical vectors
+    for r in got:
+        if r.qid == 55 and r.neighbor_id == 7:
+            assert r.cosine > 0.999, r

@@ -615,3 +615,43 @@ def test_bigram_surprisal_count_joins_only(plan):
     assert "CartesianProduct" not in p, p
     for keys in _hash_partition_keys(p):
         assert keys.split("#")[0] in ("w", "w1", "w2", "doc_id"), (keys, p)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Scale credit: when a selective dimension filter feeds a shuffle
+    join, Catalyst's runtime bloom filter must inject on the fact side —
+    at 100 TB that filter drops most fact rows BEFORE the exchange. Gate
+    it so a conf/regression never silently loses the reduction."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # force the join to shuffle (broadcast would not need the bloom filter)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        fact = spark.read.parquet(SF + "/lineitem.parquet")
+        dim = spark.read.parquet(SF + "/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "bloom" in p.lower(), p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
