@@ -90,6 +90,10 @@ def main() -> None:
         result["blocks_per_sec"] = _bench_ingest(spark)
     except Exception as exc:  # ingest bench must not lose the query run
         print(f"# ingest bench FAILED: {exc}", file=sys.stderr)
+    try:
+        result["docs_per_sec"] = _bench_doc_ingest(spark)
+    except Exception as exc:  # corpus bench must not lose the query run
+        print(f"# corpus ingest bench FAILED: {exc}", file=sys.stderr)
     # Full detail always lands on disk next to this script.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     detail = dict(result)
@@ -192,6 +196,44 @@ def _bench_ingest(spark) -> float:
             file=sys.stderr,
         )
         return bps
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _bench_doc_ingest(spark) -> float:
+    """Corpus-ingest throughput: documents/sec through the FULL streaming
+    document path (quality gate -> in-batch canonical -> against-lake
+    exact dedup -> clean-corpus append + MinHash signature index + chunk-df
+    boilerplate index maintenance, per batch). The training-data twin of
+    the blocks/sec metric: at 100 TB this is the rate the crawler-facing
+    pipeline sustains.
+
+    SPARK_GRAFT_BENCH_DOCS sets chunk count x chunk size via the sf dir's
+    documents table (default 4 chunks); =0 disables."""
+    import shutil
+    import tempfile
+
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    n_chunks = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4"))
+    if n_chunks <= 0:
+        return 0.0
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    root = tempfile.mkdtemp(prefix="bench-docingest-")
+    try:
+        ing = DocIngest(os.path.join(root, "lake"))
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            ing.process_batch(docs.filter(docs.doc_id % n_chunks == i), i)
+        dt = time.perf_counter() - t0
+        dps = round(n_docs / dt, 2)
+        print(
+            f"# corpus ingest: {n_docs} docs in {n_chunks} batches in "
+            f"{dt:.2f}s = {dps} docs/sec",
+            file=sys.stderr,
+        )
+        return dps
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
