@@ -318,3 +318,64 @@ def top_terms_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance — the incremental twin of the batch
+# user_state_intervals plan (plans/quality.py): per-user state intervals
+# maintained across microbatches with 3 scalars of state per key
+# (current state, since-ts, since-event-id). A CLOSED interval is emitted
+# exactly once, when the state actually changes (append output mode); the
+# open interval lives in group state until its closing change arrives.
+# Assumes per-user in-order delivery (the chain-ingest ordering contract);
+# out-of-order sources must run through deduped/watermarked reordering
+# first.
+# ---------------------------------------------------------------------------
+SCD2_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+    ]
+)
+
+_SCD2_STATE = StructType(
+    [
+        StructField("cur", StringType()),
+        StructField("since_us", LongType()),
+        StructField("since_eid", LongType()),
+    ]
+)
+
+
+def _scd2_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cur, since_us, since_eid = state.get if state.exists else (None, None, None)
+    out = {"user_id": [], "event_type": [], "valid_from": [], "valid_to": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            ts_us = int(ts.value // 1000)  # pandas ns → µs
+            if cur is None:
+                cur, since_us, since_eid = et, ts_us, int(eid)
+            elif et != cur:
+                out["user_id"].append(key[0])
+                out["event_type"].append(cur)
+                out["valid_from"].append(pd.Timestamp(since_us * 1000))
+                out["valid_to"].append(pd.Timestamp(ts_us * 1000))
+                cur, since_us, since_eid = et, ts_us, int(eid)
+    state.update((cur, since_us, since_eid))
+    yield pd.DataFrame(out)
+
+
+def user_state_scd2_stream(events: DataFrame) -> DataFrame:
+    """events stream → closed SCD2 intervals, append-once semantics."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_fold,
+        outputStructType=SCD2_SCHEMA,
+        stateStructType=_SCD2_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -377,3 +377,57 @@ def test_windowed_trending_terms_stream_equals_batch(spark, tmp_path):
         ("spark", 3, 1),
         ("rows", 2, 2),
     ]
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
+    """Streaming SCD2 (applyInPandasWithState) must emit exactly the batch
+    plan's CLOSED intervals — each once, across arbitrary chunking — while
+    the open interval stays in group state."""
+    from blockchain_etl_spark.plans.quality import user_state_intervals
+    from blockchain_etl_spark.streaming.windows import user_state_scd2_stream
+
+    rows = []
+    # two users, interleaved state runs; chunk boundary mid-run
+    seq = [
+        (1, "2024-01-01T00:00:00", 1, "view"),
+        (2, "2024-01-01T00:01:00", 1, "view"),
+        (3, "2024-01-01T00:02:00", 2, "click"),
+        (4, "2024-01-01T00:03:00", 1, "click"),
+        (5, "2024-01-01T00:04:00", 2, "click"),
+        (6, "2024-01-01T00:05:00", 1, "click"),
+        (7, "2024-01-01T00:06:00", 2, "purchase"),
+        (8, "2024-01-01T00:07:00", 1, "view"),
+    ]
+    for eid, ts, uid, et in seq:
+        rows.append(_ev(eid, ts, uid, et, 1.0))
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _write_chunk(spark, rows[:3], os.path.join(in_dir, "c=0"))
+    _write_chunk(spark, rows[3:6], os.path.join(in_dir, "c=1"))
+    _write_chunk(spark, rows[6:], os.path.join(in_dir, "c=2"))
+
+    got = _run_stream(
+        spark,
+        in_dir + "/c=*",
+        user_state_scd2_stream,
+        "scd2_sink",
+        str(tmp_path / "ck"),
+        "append",
+    )
+    stream_closed = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to) for r in got.collect()
+    }
+
+    # batch ground truth over the SAME rows, closed intervals only
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    batch = user_state_intervals(spark, sf_dir).filter("is_current = 0")
+    batch_closed = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to) for r in batch.collect()
+    }
+    assert stream_closed == batch_closed
+    assert len(stream_closed) > 0
