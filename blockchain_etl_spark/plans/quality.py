@@ -565,3 +565,74 @@ def _finalize_mrr_oracle() -> None:
 
 
 _finalize_mrr_oracle()
+
+
+# --------------------------------------------------------------------------
+# Entity-resolution evaluation gate — the matcher twin of the dedup/ANN
+# recall gates: the corruption is deterministic, so ground truth is known
+# (mention_id == c_custkey), and the matcher's candidate table can be
+# scored exactly. trusted = the match a resolver would ACT on (unique
+# minimal-distance candidate).
+# --------------------------------------------------------------------------
+@register(
+    "name_match_eval",
+    sql=None,  # composed from the registered matcher SQL post-registration
+    survey_ops=(),
+    doc="Entity-resolution quality gate over customer_name_match: "
+    "per-mention, the minimal-distance candidates are the actionable "
+    "match; a mention resolves CORRECTLY when its true customer "
+    "(mention_id == c_custkey by construction) is the UNIQUE minimal "
+    "candidate. Reports resolved/ambiguous/missed counts and "
+    "precision-like resolution rate in ppm — the number that gates a "
+    "matcher config change, exactly as the MinHash/SimHash recall gates "
+    "gate sketch parameters. Cost: one aggregate over the match table.",
+)
+def name_match_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = customer_name_match(spark, sf_dir)
+    # minimal-distance candidate set per mention
+    mind = m.groupBy("mention_id").agg(F.min("dist").alias("min_dist"))
+    best = m.join(mind, ["mention_id"]).filter(col("dist") == col("min_dist"))
+    per = best.groupBy("mention_id").agg(
+        F.count(F.lit(1)).alias("n_best"),
+        F.count(F.when(col("c_custkey") == col("mention_id"), 1)).alias("true_in_best"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count(F.when((col("n_best") == 1) & (col("true_in_best") == 1), 1)).alias(
+            "n_resolved"
+        ),
+        F.count(F.when((col("n_best") > 1) & (col("true_in_best") >= 1), 1)).alias(
+            "n_ambiguous"
+        ),
+        F.count(F.when(col("true_in_best") == 0, 1)).alias("n_missed"),
+        F.expr(
+            "CAST(COUNT(CASE WHEN n_best = 1 AND true_in_best = 1 THEN 1 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("resolution_ppm"),
+    )
+
+
+def _finalize_name_match_eval_oracle() -> None:
+    from .registry import QUERIES
+
+    QUERIES["name_match_eval"].sql = f"""
+    WITH m AS ({QUERIES["customer_name_match"].sql}),
+    mind AS (SELECT mention_id, MIN(dist) AS min_dist FROM m GROUP BY mention_id),
+    best AS (
+      SELECT m.* FROM m JOIN mind USING (mention_id) WHERE m.dist = mind.min_dist),
+    per AS (
+      SELECT mention_id,
+             COUNT(*) AS n_best,
+             COUNT(CASE WHEN c_custkey = mention_id THEN 1 END) AS true_in_best
+      FROM best GROUP BY mention_id)
+    SELECT COUNT(*) AS n_mentions,
+           COUNT(CASE WHEN n_best = 1 AND true_in_best = 1 THEN 1 END) AS n_resolved,
+           COUNT(CASE WHEN n_best > 1 AND true_in_best >= 1 THEN 1 END) AS n_ambiguous,
+           COUNT(CASE WHEN true_in_best = 0 THEN 1 END) AS n_missed,
+           CAST(COUNT(CASE WHEN n_best = 1 AND true_in_best = 1 THEN 1 END) * 1000000
+                // COUNT(*) AS BIGINT) AS resolution_ppm
+    FROM per
+    """
+
+
+_finalize_name_match_eval_oracle()

@@ -228,3 +228,80 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_cents",
         F.expr("CAST(top_cents * 1000000 div total_cents AS BIGINT)").alias("top_share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion-latency percentiles: how long signup → first purchase
+# takes. Complements events_funnel (WHO converts) with WHEN — the p50/p90
+# numbers a growth dashboard actually plots.
+# --------------------------------------------------------------------------
+@register(
+    "events_funnel_latency",
+    sql="""
+    WITH su AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT su.user_id,
+             CAST(date_diff('second', su.signup_ts,
+                            MIN(CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS latency_s
+      FROM su JOIN events e
+        ON e.user_id = su.user_id
+       AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) > su.signup_ts
+      GROUP BY su.user_id, su.signup_ts),
+    n AS (SELECT COUNT(*) AS n_signups FROM su)
+    SELECT n.n_signups,
+           COUNT(*) AS n_converted,
+           CAST(COUNT(*) * 1000000 // n.n_signups AS BIGINT) AS conversion_ppm,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s) AS BIGINT)
+             AS p50_latency_s,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s) AS BIGINT)
+             AS p90_latency_s
+    FROM conv CROSS JOIN n
+    GROUP BY n.n_signups
+    """,
+    survey_ops=("W4",),
+    doc="Signup→purchase conversion latency: per signed-up user, seconds "
+    "from FIRST signup to first purchase strictly after it; report "
+    "conversion rate (ppm) and exact discrete p50/p90 latency. Scale "
+    "shape: two user-grain hash aggregates (min-struct firsts, no window "
+    "sorts) sharing the user_id shuffle, then a 1-row percentile reduce "
+    "over the converted-users frame (|users| rows, not |events|). "
+    "Latencies are integer seconds — cross-engine exact.",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    su = (
+        events.filter(col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        events.filter(col("event_type") == "purchase")
+        .join(su, ["user_id"])
+        .filter(col("ts") > col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+        .select(
+            "user_id",
+            F.expr("CAST(timestampdiff(SECOND, signup_ts, purchase_ts) AS BIGINT)").alias(
+                "latency_s"
+            ),
+        )
+    )
+    n = su.agg(F.count(F.lit(1)).alias("n_signups"))
+    conv.crossJoin(F.broadcast(n)).createOrReplaceTempView("_efl_conv")
+    return spark.sql(
+        """
+        SELECT n_signups,
+               COUNT(*) AS n_converted,
+               CAST(COUNT(*) * 1000000 div n_signups AS BIGINT) AS conversion_ppm,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_s) AS BIGINT)
+                 AS p50_latency_s,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_s) AS BIGINT)
+                 AS p90_latency_s
+        FROM _efl_conv
+        GROUP BY n_signups
+        """
+    )

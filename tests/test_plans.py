@@ -655,3 +655,26 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_matcher_eval_rides_match_table(plan):
+    # eval = aggregates over the matcher's candidate table; no new
+    # quadratic shapes, shuffles only on variant/id keys.
+    p = plan("name_match_eval")
+    assert "CartesianProduct" not in p, p
+    for keys in _hash_partition_keys(p):
+        first = keys.split("#")[0]
+        # dist joins in because the min-dist filter equi-joins on it too
+        assert first in (
+            "variant", "mention_id", "c_custkey", "c_name", "mention", "dist", "min_dist",
+        ), (keys, p)
+
+
+def test_funnel_latency_user_grain_aggregates(plan):
+    # firsts via hash aggregates (no window sorts over events); the
+    # percentile reduce runs on the converted-users frame.
+    p = plan("events_funnel_latency")
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0, p
+    for keys in _hash_partition_keys(p):
+        assert keys.split("#")[0] in ("user_id", "n_signups"), (keys, p)
