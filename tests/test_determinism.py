@@ -44,6 +44,15 @@ QUERIES = [
     "customer_name_match",
     "doc_weighted_sample",
     "user_state_intervals",
+    # round 4 tail: ordering-struct open/close picks, AS-OF probe ties,
+    # grouping-set expansion, bigram backoff joins, matcher eval,
+    # discrete percentiles over join output
+    "events_value_downsample",
+    "events_state_before_purchase",
+    "region_priority_grouping_sets",
+    "doc_bigram_surprisal",
+    "name_match_eval",
+    "events_funnel_latency",
 ]
 
 
