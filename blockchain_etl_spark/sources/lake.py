@@ -76,6 +76,13 @@ def morton_key(cols: Sequence[Column], bits: int = 21) -> Column:
     ANY of the interleaved columns, the open-format stand-in for Delta
     Z-ORDER (and the multi-column answer where single-column sort only
     helps one predicate).
+
+    Caveat: the interleave only balances locality when the inputs span
+    COMPARABLE bit widths — a 17-bit money column interleaved with a
+    7-bit id column puts every high key bit on the money side, so file
+    splits ride money alone and id probes prune nothing. Bucket wide
+    columns down to the narrow column's scale first (``cents div 512``),
+    the same normalization Delta's Z-ORDER applies via range-ids.
     """
     n = len(cols)
     out = F.lit(0).cast("long")
@@ -93,10 +100,18 @@ def write_zordered(
     zorder_cols: Sequence[str],
     num_files: int = 32,
     bits: int = 21,
+    manifest: bool = True,
 ) -> None:
     """Cluster-and-write: range-partition by the Morton key and sort within
     partitions, so every output file covers a tight hyper-rectangle of the
-    zorder columns and parquet row-group min/max stats prune reads."""
+    zorder columns and parquet row-group min/max stats prune reads.
+
+    With ``manifest=True`` (default) the zone-map manifest
+    (sources/manifest.py) is refreshed for the zorder columns right after
+    the write — the pairing that makes the clustering pay at planning
+    time: Z-order gives every file a tight range on EACH interleaved
+    column, and the manifest lets a range probe on ANY of them prune
+    files without opening a single footer."""
     key = morton_key([F.col(c) for c in zorder_cols], bits=bits)
     (
         df.withColumn("__z", key)
@@ -106,3 +121,7 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if manifest:
+        from .manifest import update_manifest
+
+        update_manifest(path, list(zorder_cols))

@@ -110,3 +110,37 @@ def test_files_without_stats_are_never_skipped(spark, tmp_path):
         out, "ts", datetime.datetime(1990, 1, 1), datetime.datetime(1990, 1, 2)
     )
     assert kept2 == 1  # everything skipped EXCEPT the stats-less file
+
+
+def test_zorder_plus_manifest_prunes_on_both_columns(spark, tmp_path):
+    """write_zordered + zone maps: a range probe on EITHER interleaved
+    column prunes files (single-column sort would only help one)."""
+    from blockchain_etl_spark.sources.lake import write_zordered
+
+    # z-order pays when the interleaved columns span COMPARABLE bit
+    # widths — bucket the wide money column down to the user id's scale
+    # first (the same normalization Delta's Z-ORDER applies internally)
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        "event_id",
+        "user_id",
+        (F.round(F.col("value") * 100).cast("long") / 512).cast("long").alias("cbkt"),
+    )
+    out = str(tmp_path / "zev")
+    write_zordered(ev, out, ["user_id", "cbkt"], num_files=8)
+
+    u_lo, u_hi = 10, 40
+    kept_u, total = pruned_file_count(out, "user_id", u_lo, u_hi)
+    assert total >= 8
+    assert kept_u < total, (kept_u, total)
+
+    c_lo, c_hi = 5, 40
+    kept_c, _ = pruned_file_count(out, "cbkt", c_lo, c_hi)
+    assert kept_c < total, (kept_c, total)
+
+    # pruning is a strict optimization on both probes
+    for colname, lo, hi in (("user_id", u_lo, u_hi), ("cbkt", c_lo, c_hi)):
+        skipped = read_skipping(spark, out, colname, lo, hi)
+        full = spark.read.parquet(out).filter(
+            (F.col(colname) >= lo) & (F.col(colname) <= hi)
+        )
+        assert skipped.count() == full.count() > 0
