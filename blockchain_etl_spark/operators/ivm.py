@@ -183,15 +183,25 @@ class IncrementalJoinView:
             delta_a = None
         if watermark_b is not None and watermark_b <= m["watermarks"]["b"]:
             delta_b = None
+        had_a, had_b = delta_a is not None, delta_b is not None
         da = self._prep_delta(delta_a)
         db = self._prep_delta(delta_b)
         if da is None and db is None:
             return False
-        # cache deltas: each feeds bucket-list collection + 1-2 join terms
+        # cache deltas: each feeds bucket-list collection + 1-2 join terms.
+        # A batch whose rows fully cancel consolidates to EMPTY — treat it
+        # as absent (writing an empty partitioned segment leaves a dir
+        # with no parquet files, which poisons later reads) but still
+        # advance the watermark below: the batch WAS processed, its net
+        # effect is nil.
         if da is not None:
             da = da.localCheckpoint()
+            if da.isEmpty():
+                da = None
         if db is not None:
             db = db.localCheckpoint()
+            if db.isEmpty():
+                db = None
 
         terms = []
         if da is not None:
@@ -220,15 +230,16 @@ class IncrementalJoinView:
             dj = terms[0]
             for t in terms[1:]:
                 dj = dj.unionByName(t)
-            dj = _consolidate(dj)
-            self._write_segment(dj, "view", seg)
-            wrote["view"].append(seg)
+            dj = _consolidate(dj).localCheckpoint()
+            if not dj.isEmpty():
+                self._write_segment(dj, "view", seg)
+                wrote["view"].append(seg)
 
         os.makedirs(self.path, exist_ok=True)
         wms = dict(m["watermarks"])
-        if watermark_a is not None and da is not None:
+        if watermark_a is not None and had_a:
             wms["a"] = int(watermark_a)
-        if watermark_b is not None and db is not None:
+        if watermark_b is not None and had_b:
             wms["b"] = int(watermark_b)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
