@@ -123,11 +123,49 @@ class ParquetMergeTarget:
         callers skip a whole replayed batch before recomputing anything."""
         return int(self._meta().get("watermark", -1))
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        v = self.current_version()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Current table, or TIME TRAVEL to any retained ``version`` — the
+        versioned layout write-audit-publish already produces doubles as a
+        Delta-style history: every merge's full state stays on disk until
+        ``vacuum()`` drops it. Raises on an unknown version (distinguishes
+        'never existed' from 'vacuumed away' in the message)."""
+        v = self.current_version() if version is None else int(version)
         if v == 0:
             return None
-        return spark.read.parquet(os.path.join(self.path, f"v={v}"))
+        d = os.path.join(self.path, f"v={v}")
+        if not os.path.isdir(d):
+            known = self.versions()
+            raise FileNotFoundError(
+                f"version {v} not on disk (retained: {known or 'none'}; "
+                f"current: {self.current_version()})"
+            )
+        return spark.read.parquet(d)
+
+    def versions(self) -> "list[int]":
+        """Versions still on disk, ascending (time-travel candidates)."""
+        try:
+            entries = os.listdir(self.path)
+        except OSError:
+            return []
+        return sorted(
+            int(e[2:]) for e in entries if e.startswith("v=") and e[2:].isdigit()
+        )
+
+    def vacuum(self, keep_last: int = 1) -> "list[int]":
+        """Drop all but the newest ``keep_last`` versions (and their
+        changelog segments). Returns the versions removed. The current
+        version is always retained."""
+        import shutil
+
+        keep_last = max(1, int(keep_last))
+        vs = self.versions()
+        drop = [v for v in vs[:-keep_last] if v != self.current_version()]
+        for v in drop:
+            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(self.path, "changelog", f"v={v}"), ignore_errors=True
+            )
+        return drop
 
     def merge(
         self,

@@ -100,3 +100,28 @@ def test_delete_via_filtering_fold(spark, tmp_path):
     assert rows["a"]["__op"] == "delete" and rows["a"].owner == "o1"
     assert rows["b"]["__op"] == "update"
     assert F  # keep the import referenced
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    t = ParquetMergeTarget(str(tmp_path / "tt"))
+    _merge(t, spark, [("a", 1, "o1")], wm=0)
+    _merge(t, spark, [("a", 2, "o2"), ("b", 2, "ob")], wm=1)
+    _merge(t, spark, [("a", 3, "o3")], wm=2)
+    assert t.versions() == [1, 2, 3]
+
+    # time travel: every retained version readable as-of
+    assert _snapshot(t.read(spark, version=1)) == {"a": (1, "o1")}
+    assert _snapshot(t.read(spark, version=2)) == {"a": (2, "o2"), "b": (2, "ob")}
+    assert _snapshot(t.read(spark)) == {"a": (3, "o3"), "b": (2, "ob")}
+
+    removed = t.vacuum(keep_last=1)
+    assert removed == [1, 2]
+    assert t.versions() == [3]
+    assert _snapshot(t.read(spark)) == {"a": (3, "o3"), "b": (2, "ob")}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+    # vacuumed changelog segments are gone too; current's remains
+    assert t.read_changelog(spark, 1) is None
+    assert t.read_changelog(spark, 3) is not None
