@@ -133,22 +133,31 @@ class ParquetMergeTarget:
         if v == 0:
             return None
         d = os.path.join(self.path, f"v={v}")
-        if not os.path.isdir(d):
+        # An uncommitted (crashed-merge) v=N+1 directory is NOT a snapshot:
+        # only versions at or below the published pointer are readable.
+        if v > self.current_version() or not os.path.isdir(d):
             known = self.versions()
             raise FileNotFoundError(
-                f"version {v} not on disk (retained: {known or 'none'}; "
+                f"version {v} not committed (retained: {known or 'none'}; "
                 f"current: {self.current_version()})"
             )
         return spark.read.parquet(d)
 
     def versions(self) -> "list[int]":
-        """Versions still on disk, ascending (time-travel candidates)."""
+        """COMMITTED versions still on disk, ascending (time-travel
+        candidates). A crashed merge can leave an orphan ``v=N`` directory
+        above the published pointer — possibly partial — so anything above
+        ``current_version()`` is excluded here (and thereby from ``read``'s
+        candidates and ``vacuum``'s keep-last budget)."""
         try:
             entries = os.listdir(self.path)
         except OSError:
             return []
+        cur = self.current_version()
         return sorted(
-            int(e[2:]) for e in entries if e.startswith("v=") and e[2:].isdigit()
+            v
+            for e in entries
+            if e.startswith("v=") and e[2:].isdigit() and (v := int(e[2:])) <= cur
         )
 
     def vacuum(self, keep_last: int = 1) -> "list[int]":
@@ -246,34 +255,46 @@ class ParquetMergeTarget:
         version: int,
     ) -> None:
         data_cols = [c for c in new.columns if c not in keys]
-        row_hash = F.md5(F.to_json(F.struct(*[col(c) for c in data_cols])))
         n = new.select(
             *keys,
             F.struct(*[col(c) for c in data_cols]).alias("__after"),
-            row_hash.alias("__nh"),
         )
         if old is None:
             out = n.select(
-                *keys, F.lit("insert").alias("__op"), col("__after").alias("__row")
+                *keys,
+                F.lit("insert").alias("__op"),
+                col("__after").alias("__row"),
+                F.lit(None).cast(n.schema["__after"].dataType).alias("__before"),
             )
         else:
+            # Change detection is a null-safe STRUCT equality, not a hash of
+            # to_json: JSON serialization rounds timestamps to milliseconds
+            # and omits null fields, so hash-equality can drop real updates
+            # (and collide null-shape variants). eqNullSafe compares the raw
+            # values field-by-field. A present row's struct is never NULL
+            # (F.struct of any inputs), so top-level NULL ⇔ side absent.
             o = old.select(
                 *keys,
                 F.struct(*[col(c) for c in data_cols]).alias("__before"),
-                row_hash.alias("__oh"),
             )
             j = n.join(o, keys, "full_outer")
             out = j.select(
                 *keys,
-                F.when(col("__oh").isNull(), "insert")
-                .when(col("__nh").isNull(), "delete")
-                .when(col("__nh") != col("__oh"), "update")
+                F.when(col("__before").isNull(), "insert")
+                .when(col("__after").isNull(), "delete")
+                .when(~col("__after").eqNullSafe(col("__before")), "update")
                 .alias("__op"),
                 F.coalesce(col("__after"), col("__before")).alias("__row"),
+                # BEFORE image (null for inserts, where no prior row
+                # exists): lets CDC consumers RETRACT an updated row's old
+                # contribution from derived aggregates
+                # (operators/cdc_view.py) — with only the after image,
+                # updates would be un-subtractable.
+                col("__before"),
             ).filter(col("__op").isNotNull())
-        out.select(*keys, "__op", col("__row.*")).write.mode("overwrite").parquet(
-            os.path.join(self.path, "changelog", f"v={version}")
-        )
+        out.select(*keys, "__op", col("__row.*"), "__before").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.path, "changelog", f"v={version}"))
 
     def read_changelog(self, spark: SparkSession, version: int) -> DataFrame | None:
         p = os.path.join(self.path, "changelog", f"v={version}")

@@ -125,3 +125,72 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     # vacuumed changelog segments are gone too; current's remains
     assert t.read_changelog(spark, 1) is None
     assert t.read_changelog(spark, 3) is not None
+
+
+def test_changelog_detects_submillisecond_update(spark, tmp_path):
+    """to_json serializes timestamps at millisecond precision, so a hash-of-
+    JSON diff would drop an update that only moves microseconds; the struct
+    eqNullSafe diff must emit it."""
+    from datetime import datetime
+
+    t = ParquetMergeTarget(str(tmp_path / "ts"))
+
+    def m(rows, wm):
+        upd = spark.createDataFrame(rows, ["k", "ts"])
+        # full-replace fold: the new state IS the updates
+        return t.merge_with(spark, upd, lambda tgt, u: u, watermark=wm, changelog_keys=("k",))
+
+    m([("a", datetime(2024, 1, 1, 0, 0, 0, 123000))], wm=0)
+    m([("a", datetime(2024, 1, 1, 0, 0, 0, 123400))], wm=1)  # same millisecond
+    log = t.read_changelog(spark, 2)
+    ops = {(r.k, r["__op"]) for r in log.collect()}
+    assert ops == {("a", "update")}, ops
+
+
+def test_changelog_null_fields_equal_no_spurious_rows(spark, tmp_path):
+    """Rows with NULL fields that did not change must not appear in the
+    changelog (inner-null equality must be null-safe)."""
+    t = ParquetMergeTarget(str(tmp_path / "nulls"))
+
+    def m(rows, wm):
+        upd = spark.createDataFrame(rows, ["k", "x", "y"])
+        return t.merge_with(spark, upd, lambda tgt, u: u, watermark=wm, changelog_keys=("k",))
+
+    m([("a", None, "v"), ("b", "w", None)], wm=0)
+    m([("a", None, "v"), ("b", "w", None)], wm=1)  # identical state
+    log = t.read_changelog(spark, 2)
+    assert log.count() == 0, log.collect()
+    # and a null -> value transition IS an update
+    m([("a", "now-set", "v"), ("b", "w", None)], wm=2)
+    ops = {(r.k, r["__op"]) for r in t.read_changelog(spark, 3).collect()}
+    assert ops == {("a", "update")}, ops
+
+
+def test_uncommitted_version_is_not_a_snapshot(spark, tmp_path):
+    """A crashed merge leaves a v=N+1 data dir with no pointer flip: it must
+    not be listed, readable, or counted against vacuum's keep budget."""
+    import os as _os
+
+    t = ParquetMergeTarget(str(tmp_path / "crash"))
+    _merge(t, spark, [("a", 1, "o1")], wm=0)
+    _merge(t, spark, [("a", 2, "o2")], wm=1)
+    assert t.current_version() == 2
+
+    # simulate the crash: data for v=3 on disk, pointer still at 2
+    orphan = tmp_path / "crash" / "v=3"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"partial garbage")
+
+    assert t.versions() == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=3)
+    # vacuum budget counts committed versions only: keep_last=1 keeps v=2
+    assert t.vacuum(keep_last=1) == [1]
+    assert t.versions() == [2]
+    assert _snapshot(t.read(spark)) == {"a": (2, "o2")}
+    # the next successful merge simply overwrites the orphan dir
+    _merge(t, spark, [("a", 3, "o3")], wm=2)
+    assert t.current_version() == 3
+    assert _snapshot(t.read(spark, version=3)) == {"a": (3, "o3")}
