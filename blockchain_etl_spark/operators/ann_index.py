@@ -63,14 +63,24 @@ class IVFIndex:
         cent.coalesce(1).write.mode("overwrite").parquet(self._centroids)
 
         cent_r = spark.read.parquet(self._centroids)
+        inv = self._inventory()
+        # Rebuild rows are stamped with seg = the inventory's CURRENT
+        # version, which is strictly greater than every previously stored
+        # seg (each past write used seg = version-before-its-merge). A
+        # rebuild over a previously-upserted index therefore supersedes
+        # the old inventory entries instead of losing to them in the
+        # order=["seg"] merge. Ids absent from the rebuilt corpus may
+        # linger in the inventory, but the staleness filter is an INNER
+        # join against data — entries with no data rows serve nothing.
+        seg_val = int(inv.current_version())
         assigned = self._nearest_cells(corpus, cent_r, 1).select(
-            "vec_id", "embedding", "nrm", "cell", F.lit(0).cast("long").alias("seg")
+            "vec_id", "embedding", "nrm", "cell", F.lit(seg_val).cast("long").alias("seg")
         )
         # one shuffle on cell → one directory per cell, clustered files
         assigned.repartition("cell").write.mode("overwrite").partitionBy(
-            "cell"
+            "cell", "seg"
         ).parquet(self._data)
-        self._inventory().merge(
+        inv.merge(
             spark,
             assigned.select("vec_id", "seg", "cell"),
             keys=["vec_id"],
@@ -105,9 +115,18 @@ class IVFIndex:
             "vec_id", "embedding", "nrm", "cell", F.lit(seg).cast("long").alias("seg")
         )
         assigned = assigned.localCheckpoint()  # data write + inventory merge
-        assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-            self._data
-        )
+        # The data write is IDEMPOTENT under replay: segment files live in
+        # cell=C/seg=N partitions and a replayed batch (crash between this
+        # write and the inventory merge commit) dynamically OVERWRITES the
+        # same seg=N partitions instead of appending duplicate files. Until
+        # the inventory merge publishes, the new seg's rows are invisible
+        # to query(): superseded ids still point at an older seg (inner
+        # staleness join) and brand-new ids have no inventory row at all —
+        # so the merge commit remains the single publish point
+        # (write-audit-publish, as in ParquetMergeTarget).
+        assigned.repartition("cell").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell", "seg").parquet(self._data)
         inv.merge(
             spark,
             assigned.select("vec_id", "seg", "cell"),

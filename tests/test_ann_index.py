@@ -146,3 +146,76 @@ def test_upsert_supersedes_stale_copies(spark, tmp_path):
     for r in got:
         if r.qid == 55 and r.neighbor_id == 7:
             assert r.cosine > 0.999, r
+
+
+def test_rebuild_after_upserts_serves_all_vectors(spark, tmp_path):
+    """build() over a previously-upserted index must supersede the old
+    inventory entries (rebuild seg outranks every prior seg) — a rebuilt
+    copy of an upserted id must be served, not staleness-filtered away."""
+    emb = _emb(spark).cache()
+    half = emb.filter(col("vec_id") < 40)
+    rest = emb.filter(col("vec_id") >= 40)
+    idx = IVFIndex(str(tmp_path / "ivf_rebuild"))
+    idx.build(spark, half, n_cells=N_CELLS)
+    assert idx.upsert(spark, rest, watermark=1)
+
+    # full rebuild over the whole corpus
+    idx.build(spark, emb, n_cells=N_CELLS)
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, []).append(r.neighbor_id)
+    # every query gets a full top-k again (nothing silently dropped)
+    assert all(len(v) == K for v in per_q.values()), per_q
+    # previously-upserted ids are servable post-rebuild
+    assert any(i >= 40 for v in per_q.values() for i in v)
+
+
+def test_crashed_upsert_replay_serves_no_duplicates(spark, tmp_path):
+    """Crash between the data write and the inventory merge, then replay:
+    the seg partition is overwritten (not appended), so no duplicate
+    neighbors are ever served."""
+    from blockchain_etl_spark.operators import merge as merge_mod
+
+    emb = _emb(spark).cache()
+    half = emb.filter(col("vec_id") < 40)
+    rest = emb.filter(col("vec_id") >= 40)
+    idx = IVFIndex(str(tmp_path / "ivf_crash"))
+    idx.build(spark, half, n_cells=N_CELLS)
+
+    real_merge = merge_mod.ParquetMergeTarget.merge
+    calls = {"n": 0}
+
+    def crashing_merge(self, *a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before inventory publish")
+
+    merge_mod.ParquetMergeTarget.merge = crashing_merge
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            idx.upsert(spark, rest, watermark=1)
+    finally:
+        merge_mod.ParquetMergeTarget.merge = real_merge
+    assert calls["n"] == 1
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    # pre-replay: the orphan segment is invisible (publish never happened)
+    pre = idx.query(spark, queries, k=200, probes=N_CELLS).collect()
+    assert all(r.neighbor_id < 40 for r in pre)
+
+    # replay the batch; then every (qid, neighbor) pair appears exactly once
+    assert idx.upsert(spark, rest, watermark=1)
+    got = idx.query(spark, queries, k=200, probes=N_CELLS).collect()
+    from collections import Counter
+
+    dupes = {k: v for k, v in Counter((r.qid, r.neighbor_id) for r in got).items() if v > 1}
+    assert not dupes, dupes
+    assert any(r.neighbor_id >= 40 for r in got), "replayed batch never published"
