@@ -17,14 +17,17 @@ and cancels the matching +1 rows at consolidation.
 
 Scale design (the part that must survive 100 TB states):
 
-- **State reads are bucket-pruned.** Both state stores are laid out as
-  parquet partitioned by ``__bucket = crc32(join_key) % n_buckets``; a
-  maintenance step collects the (tiny, ≤ n_buckets) distinct bucket list of
-  the incoming delta and reads ONLY those partitions of the opposite state
-  — rows outside the delta's buckets cannot join it, because the bucket is
-  a function of the join key. Step cost is O(delta + matched buckets),
-  independent of total state size — the same pruning contract as
-  operators/ann_index.py.
+- **State reads are bucket-pruned, from the manifest alone.** Both state
+  stores are laid out as parquet partitioned by
+  ``__bucket = crc32(join_key) % n_buckets``; a maintenance step collects
+  the (tiny, ≤ n_buckets) distinct bucket list of the incoming delta and
+  reads ONLY those partitions of the opposite state — rows outside the
+  delta's buckets cannot join it, because the bucket is a function of the
+  join key. Which (segment, bucket) leaf dirs exist is RECORDED in the
+  manifest at segment-write time, so pruning issues zero filesystem
+  existence probes — object-store-safe (no per-dir HEAD/LIST round-trips),
+  the same listing-free contract Delta/Iceberg manifests provide. Step
+  cost is O(delta + matched buckets), independent of total state size.
 - **The view is an LSM of weighted segments.** Each step APPENDS a
   consolidated delta segment (``seg=<n>/__bucket=<b>/``) instead of
   rewriting the view: refresh never pays a view-sized shuffle. ``read()``
@@ -96,7 +99,9 @@ class IncrementalJoinView:
                 "watermarks": {"a": -1, "b": -1},
                 "next_seg": 1,
                 "segments": {s: [] for s in self._stores},
+                "buckets": {s: {} for s in self._stores},
             }
+        m.setdefault("buckets", {s: {} for s in self._stores})
         return m
 
     def watermark(self, side: str = "a") -> int:
@@ -107,9 +112,12 @@ class IncrementalJoinView:
         key = F.concat_ws("\x00", *[col(k).cast("string") for k in self.join_keys])
         return df.withColumn(_BUCKET, F.crc32(key) % self.n_buckets)
 
-    def _write_segment(self, df: DataFrame, store: str, seg: int) -> None:
+    def _write_segment(self, df: DataFrame, store: str, seg: int) -> "list[int]":
+        """Write one segment and return the distinct bucket list it wrote —
+        recorded in the manifest so pruning never has to probe storage."""
         out = os.path.join(self.path, store, f"seg={seg}")
         df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
+        return sorted(int(r[0]) for r in df.select(_BUCKET).distinct().collect())
 
     def _read_store(
         self,
@@ -117,23 +125,28 @@ class IncrementalJoinView:
         store: str,
         segments: Sequence[int],
         buckets: Sequence[int] | None = None,
+        seg_buckets: dict | None = None,
     ) -> DataFrame | None:
         """Committed segments of a store, optionally bucket-pruned; raw
         (unconsolidated) weighted rows. Pruning is DIRECTORY-level (as in
-        operators/ann_index.py): only ``seg=s/__bucket=b`` leaf dirs for
-        the requested buckets are handed to the reader, so unmatched
-        state files are never opened."""
+        operators/ann_index.py) and decided from the MANIFEST's recorded
+        per-segment bucket lists alone — zero filesystem existence probes,
+        so the same code is correct on object stores where per-directory
+        HEAD/LIST round-trips would dominate the step (a 100 TB state at
+        4096 buckets would otherwise cost segments×buckets probes)."""
         if not segments:
             return None
         base = os.path.join(self.path, store)
         if buckets is None:
             paths = [os.path.join(base, f"seg={s}") for s in segments]
         else:
+            want = sorted({int(x) for x in buckets})
+            seg_buckets = seg_buckets or {}
             paths = [
-                p
+                os.path.join(base, f"seg={s}", f"{_BUCKET}={b}")
                 for s in segments
-                for b in sorted({int(x) for x in buckets})
-                if os.path.isdir(p := os.path.join(base, f"seg={s}", f"{_BUCKET}={b}"))
+                for b in want
+                if b in set(seg_buckets.get(str(s), ()))
             ]
             if not paths:
                 return None
@@ -206,12 +219,16 @@ class IncrementalJoinView:
         terms = []
         if da is not None:
             a_buckets = [r[0] for r in da.select(_BUCKET).distinct().collect()]
-            b_old = self._read_store(spark, "b_state", m["segments"]["b_state"], a_buckets)
+            b_old = self._read_store(
+                spark, "b_state", m["segments"]["b_state"], a_buckets, m["buckets"]["b_state"]
+            )
             if b_old is not None:
                 terms.append(self._join_term(da, b_old))
         if db is not None:
             b_buckets = [r[0] for r in db.select(_BUCKET).distinct().collect()]
-            a_new = self._read_store(spark, "a_state", m["segments"]["a_state"], b_buckets)
+            a_new = self._read_store(
+                spark, "a_state", m["segments"]["a_state"], b_buckets, m["buckets"]["a_state"]
+            )
             if da is not None:
                 da_in = da.filter(col(_BUCKET).isin([int(b) for b in b_buckets]))
                 a_new = da_in if a_new is None else a_new.unionByName(da_in)
@@ -220,11 +237,12 @@ class IncrementalJoinView:
 
         seg = int(m["next_seg"])
         wrote: dict[str, list[int]] = {s: list(m["segments"][s]) for s in self._stores}
+        bmap: dict[str, dict] = {s: dict(m["buckets"][s]) for s in self._stores}
         if da is not None:
-            self._write_segment(da, "a_state", seg)
+            bmap["a_state"][str(seg)] = self._write_segment(da, "a_state", seg)
             wrote["a_state"].append(seg)
         if db is not None:
-            self._write_segment(db, "b_state", seg)
+            bmap["b_state"][str(seg)] = self._write_segment(db, "b_state", seg)
             wrote["b_state"].append(seg)
         if terms:
             dj = terms[0]
@@ -232,7 +250,7 @@ class IncrementalJoinView:
                 dj = dj.unionByName(t)
             dj = _consolidate(dj).localCheckpoint()
             if not dj.isEmpty():
-                self._write_segment(dj, "view", seg)
+                bmap["view"][str(seg)] = self._write_segment(dj, "view", seg)
                 wrote["view"].append(seg)
 
         os.makedirs(self.path, exist_ok=True)
@@ -244,7 +262,7 @@ class IncrementalJoinView:
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"watermarks": wms, "next_seg": seg + 1, "segments": wrote},
+                {"watermarks": wms, "next_seg": seg + 1, "segments": wrote, "buckets": bmap},
                 f,
             )
         os.replace(tmp, self._manifest_path)  # publish: atomic pointer flip
@@ -259,26 +277,40 @@ class IncrementalJoinView:
         return _consolidate(raw.drop(_BUCKET))
 
     def read_flat(self, spark: SparkSession) -> DataFrame | None:
-        """The view with multiplicities expanded to plain rows."""
+        """The view with multiplicities expanded to plain rows.
+
+        A negative NET multiplicity means a retraction was applied with no
+        matching insert — a data error, not a valid bag. ``sequence(1, w)``
+        would silently run DESCENDING for w < 0 and emit |w|+2 phantom
+        rows, so the expansion raises instead (consolidation already
+        dropped exact zeros)."""
         v = self.read(spark)
         if v is None:
             return None
-        return v.withColumn("__i", F.explode(F.expr(f"sequence(1, {_W})"))).drop(
-            "__i", _W
+        seq = (
+            f"case when {_W} > 0 then sequence(1, {_W}) "
+            f"else raise_error('negative net multiplicity in ivm view: ' "
+            f"|| cast({_W} as string)) end"
         )
+        return v.withColumn("__i", F.explode(F.expr(seq))).drop("__i", _W)
 
     # -- maintenance -------------------------------------------------------
     def compact(self, spark: SparkSession) -> None:
         """Fold every store's committed segments into one consolidated
         segment (the LSM merge). Readers never see a partial state: new
-        segments are written first, the manifest flips last."""
+        segments are written first, the manifest flips last. The old
+        segment dirs become unreferenced — run ``vacuum()`` afterwards to
+        reclaim them (kept separate so a retention window can keep old
+        segments around for debugging / readers in flight)."""
         m = self._manifest()
         seg = int(m["next_seg"])
-        new_segments = {}
+        new_segments: dict[str, list[int]] = {}
+        new_buckets: dict[str, dict] = {}
         for store in self._stores:
             raw = self._read_store(spark, store, m["segments"][store])
             if raw is None:
                 new_segments[store] = []
+                new_buckets[store] = {}
                 continue
             data_cols = [c for c in raw.columns if c != _W]
             folded = (
@@ -286,15 +318,44 @@ class IncrementalJoinView:
                 .agg(F.sum(_W).cast("long").alias(_W))
                 .filter(col(_W) != 0)
             )
-            self._write_segment(folded, store, seg)
+            new_buckets[store] = {str(seg): self._write_segment(folded, store, seg)}
             new_segments[store] = [seg]
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"watermarks": m["watermarks"], "next_seg": seg + 1, "segments": new_segments},
+                {
+                    "watermarks": m["watermarks"],
+                    "next_seg": seg + 1,
+                    "segments": new_segments,
+                    "buckets": new_buckets,
+                },
                 f,
             )
         os.replace(tmp, self._manifest_path)
+
+    def vacuum(self) -> "dict[str, list[int]]":
+        """Delete every ``seg=N`` directory the manifest no longer
+        references (post-compaction leftovers and crashed-step orphans).
+        Mirrors ``ParquetMergeTarget.vacuum``: the deletion set is computed
+        against the PUBLISHED manifest, so referenced segments can never be
+        touched — a vacuum that crashes midway only leaves some garbage
+        undeleted, never a broken view. Returns {store: [segs removed]}."""
+        import shutil
+
+        m = self._manifest()
+        removed: dict[str, list[int]] = {}
+        for store in self._stores:
+            base = os.path.join(self.path, store)
+            keep = {f"seg={s}" for s in m["segments"][store]}
+            try:
+                entries = os.listdir(base)
+            except OSError:
+                continue
+            for e in entries:
+                if e.startswith("seg=") and e not in keep:
+                    shutil.rmtree(os.path.join(base, e), ignore_errors=True)
+                    removed.setdefault(store, []).append(int(e.split("=", 1)[1]))
+        return removed
 
     # -- streaming wrapper -------------------------------------------------
     def run_streams(
@@ -334,3 +395,155 @@ class IncrementalJoinView:
                 .start()
             )
             q.awaitTermination()
+
+    def run_streams_continuous(
+        self,
+        spark: SparkSession,
+        a_dir: str,
+        b_dir: str,
+        schema_a,
+        schema_b,
+        checkpoint_dir: str,
+        trigger: str = "500 milliseconds",
+    ):
+        """The CONTINUOUS two-stream maintainer: both sides run as live
+        Structured Streaming queries at once (processingTime trigger), with
+        maintenance steps serialized through a single in-process lock —
+        apply()'s manifest flip assumes one writer, and the lock makes the
+        two foreachBatch callbacks (which run on driver-side threads of
+        this SparkSession) take turns. Interleaving order never changes
+        the final view: each step joins its delta against the opposite
+        side's CURRENT committed state, and the delta algebra is
+        order-insensitive (tests interleave A/B arrivals live).
+
+        Multi-driver deployments need a distributed lock or a
+        compare-and-swap manifest commit instead; the single-driver lock
+        matches Structured Streaming's one-driver-many-executors model,
+        where foreachBatch user code always runs on the driver.
+
+        Returns the two live StreamingQuery handles; callers own their
+        lifecycle (processAllAvailable / stop)."""
+        import os as _os
+        import threading
+
+        lock = threading.Lock()
+        queries = []
+        for side, d, schema in (("a", a_dir, schema_a), ("b", b_dir, schema_b)):
+
+            def fold(batch: DataFrame, batch_id: int, side=side) -> None:
+                with lock:
+                    if side == "a":
+                        self.apply(spark, delta_a=batch, watermark_a=batch_id)
+                    else:
+                        self.apply(spark, delta_b=batch, watermark_b=batch_id)
+
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", _os.path.join(checkpoint_dir, side))
+                .trigger(processingTime=trigger)
+                .start()
+            )
+            queries.append(q)
+        return queries
+
+
+class IncrementalJoinAggregate:
+    """A maintained JOIN feeding a maintained AGGREGATE — the reference's
+    inventory pattern in full: its trigger-maintained tables are exactly
+    join-then-aggregate (migrations/1590689602-gateway_inventory.sql:32-62
+    folds a join of block/txn rows into per-key inventory aggregates).
+    Here the two halves compose: IncrementalJoinView keeps the join fresh
+    as weighted delta segments, and every NEW view segment folds into a
+    per-group (count, sums) aggregate target as a weighted partial —
+    ``sum(w)`` per group is the row count, ``sum(w·x)`` the column sum, so
+    retractions subtract automatically and groups that cancel to zero
+    leave the aggregate.
+
+    Exactly-once across the two commits: the aggregate target's watermark
+    records the highest view SEGMENT folded so far. A crash between the
+    view's manifest flip and the aggregate's pointer flip heals on the
+    next ``apply()``/``catch_up()`` — pending segments are re-read from
+    the committed manifest and folded once (the merge watermark rejects
+    replays). Step cost is O(view delta + touched groups): the stored
+    aggregate is only ever joined at the group-key grain, and the view's
+    full state is never rescanned.
+
+    Sum columns must be exact types (integer/decimal) so the incremental
+    fold equals the batch recompute at any chunking — the same
+    associativity rule merge_accumulate documents.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        join_keys: Sequence[str],
+        group_keys: Sequence[str],
+        sum_cols: Sequence[str] = (),
+        n_buckets: int = 32,
+    ):
+        from .merge import ParquetMergeTarget
+
+        self.view = IncrementalJoinView(os.path.join(path, "join"), join_keys, n_buckets)
+        self.agg = ParquetMergeTarget(os.path.join(path, "agg"))
+        self.group_keys = list(group_keys)
+        self.sum_cols = list(sum_cols)
+
+    def apply(self, spark: SparkSession, delta_a=None, delta_b=None, **watermarks) -> bool:
+        applied = self.view.apply(spark, delta_a, delta_b, **watermarks)
+        self.catch_up(spark)
+        return applied
+
+    def catch_up(self, spark: SparkSession) -> None:
+        """Fold every committed view segment the aggregate hasn't seen."""
+        m = self.view._manifest()
+        last = self.agg.watermark()
+        pending = [int(s) for s in m["segments"]["view"] if int(s) > last]
+        if not pending:
+            return
+        raw = self.view._read_store(spark, "view", pending)
+        partial = (
+            raw.drop(_BUCKET)
+            .groupBy(*self.group_keys)
+            .agg(
+                F.sum(_W).cast("long").alias("__n"),
+                *[F.sum(col(c) * col(_W)).alias(c) for c in self.sum_cols],
+            )
+        )
+
+        def fold(tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
+            from .merge import merge_accumulate
+
+            merged = merge_accumulate(
+                tgt, upd, keys=self.group_keys, sum_cols=["__n", *self.sum_cols]
+            )
+            return merged.filter(col("__n") != 0)
+
+        self.agg.merge_with(spark, partial, fold, watermark=max(pending))
+
+    def compact(self, spark: SparkSession) -> None:
+        """Compact the underlying view. The aggregate MUST be caught up
+        first: compaction renumbers the view into one fresh segment, and
+        folding that segment as if it were a delta would double-count —
+        so catch_up runs here, then the aggregate watermark advances past
+        the compacted segment with an identity rewrite."""
+        self.catch_up(spark)
+        self.view.compact(spark)
+        newest = int(self.view._manifest()["next_seg"]) - 1
+        cur = self.agg.read(spark)
+        if cur is not None:
+            self.agg.merge_with(spark, cur, lambda tgt, upd: upd, watermark=newest)
+
+    def vacuum(self) -> "dict[str, list[int]]":
+        return self.view.vacuum()
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """(group_keys..., n_rows, sum_cols...) over the maintained join."""
+        t = self.agg.read(spark)
+        if t is None:
+            return None
+        return t.select(
+            *self.group_keys, col("__n").alias("n_rows"), *[col(c) for c in self.sum_cols]
+        )

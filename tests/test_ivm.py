@@ -104,7 +104,9 @@ def test_state_reads_are_bucket_pruned(spark, ivm):
     da = ivm._prep_delta(_df(spark, [(5, "a5x")], ["k", "av"]))
     buckets = [r[0] for r in da.select("__bucket").distinct().collect()]
     assert len(buckets) == 1
-    pruned = ivm._read_store(spark, "b_state", m["segments"]["b_state"], buckets)
+    pruned = ivm._read_store(
+        spark, "b_state", m["segments"]["b_state"], buckets, m["buckets"]["b_state"]
+    )
     files = pruned.inputFiles()
     assert files, "pruned read found no files"
     assert all(f"__bucket={buckets[0]}" in f for f in files), files
@@ -176,3 +178,140 @@ def test_streaming_maintenance_equals_batch_join(spark, tmp_path):
         (2, "a2", "b2"),
         (3, "a3", "b3"),
     ]
+
+
+def test_read_flat_raises_on_negative_net_multiplicity(spark, ivm):
+    """A retraction with no matching insert leaves a NEGATIVE net weight in
+    the view — read() exposes it (so audits can see the corruption) but
+    read_flat() must raise instead of emitting phantom rows via a
+    descending sequence(1, w)."""
+    ivm.apply(spark, _df(spark, [("k1", "a", 1)], ["k", "av", _W]),
+              _df(spark, [("k1", "b", 1)], ["k", "bv", _W]), watermark=0)
+    # retract the A row twice: net view multiplicity becomes 1 - 2 = -1
+    ivm.apply(spark, _df(spark, [("k1", "a", -2)], ["k", "av", _W]), None, watermark=1)
+    v = ivm.read(spark)
+    assert {r[_W] for r in v.collect()} == {-1}
+    with pytest.raises(Exception, match="negative net multiplicity"):
+        ivm.read_flat(spark).collect()
+
+
+def test_read_flat_ok_on_positive_weights(spark, ivm):
+    ivm.apply(spark, _df(spark, [("k1", "a", 2)], ["k", "av", _W]),
+              _df(spark, [("k1", "b", 1)], ["k", "bv", _W]), watermark=0)
+    rows = ivm.read_flat(spark).collect()
+    assert len(rows) == 2 and all((r.k, r.av, r.bv) == ("k1", "a", "b") for r in rows)
+
+
+def test_bucket_pruning_uses_manifest_not_filesystem_probes(spark, ivm, monkeypatch):
+    """Pruning decisions must come from the manifest's recorded bucket
+    lists alone — per-directory existence probes don't survive object
+    stores. Any isdir call during a maintenance step is a failure."""
+    ivm.apply(spark, _df(spark, [("k%d" % i, "a", 1) for i in range(20)], ["k", "av", _W]),
+              _df(spark, [("k%d" % i, "b", 1) for i in range(20)], ["k", "bv", _W]), watermark=0)
+
+    import blockchain_etl_spark.operators.ivm as ivm_mod
+
+    def no_probe(path):
+        raise AssertionError(f"filesystem probe in pruning path: {path}")
+
+    m = ivm._manifest()
+    da = ivm._prep_delta(_df(spark, [("k3", "a", 1)], ["k", "av", _W]))
+    buckets = [r[0] for r in da.select("__bucket").distinct().collect()]
+    monkeypatch.setattr(ivm_mod.os.path, "isdir", no_probe)
+    pruned = ivm._read_store(
+        spark, "b_state", m["segments"]["b_state"], buckets, m["buckets"]["b_state"]
+    )
+    files = pruned.inputFiles()
+    monkeypatch.undo()
+    assert files and all(any(f"__bucket={b}" in f for b in buckets) for f in files)
+
+    # and the full maintenance step still lands correctly
+    ivm.apply(spark, _df(spark, [("k3", "a", 1)], ["k", "av", _W]), None, watermark=1)
+    v = _view_counter(ivm.read(spark))
+    assert v[("k3", "a", "b")] == 2
+
+
+def test_compact_vacuum_reclaims_unreferenced_segments(spark, ivm):
+    import os as _os
+
+    def seg_dirs():
+        out = []
+        for store in ("a_state", "b_state", "view"):
+            base = _os.path.join(ivm.path, store)
+            if _os.path.isdir(base):
+                out += [(store, e) for e in _os.listdir(base) if e.startswith("seg=")]
+        return sorted(out)
+
+    for i in range(4):
+        ivm.apply(spark, _df(spark, [(f"k{i}", "a", 1)], ["k", "av", _W]),
+                  _df(spark, [(f"k{i}", "b", 1)], ["k", "bv", _W]), watermark=i)
+    before = seg_dirs()
+    assert len(before) == 12
+    view_before = _view_counter(ivm.read(spark))
+
+    ivm.compact(spark)
+    # compaction alone leaves the old segments on disk (readers in flight)
+    assert len(seg_dirs()) == 15
+    removed = ivm.vacuum()
+    after = seg_dirs()
+    assert len(after) == 3, after
+    assert sum(len(v) for v in removed.values()) == 12
+    # the view is unchanged and further maintenance still works
+    assert _view_counter(ivm.read(spark)) == view_before
+    ivm.apply(spark, _df(spark, [("k0", "a", 1)], ["k", "av", _W]), None, watermark=9)
+    assert _view_counter(ivm.read(spark))[("k0", "a", "b")] == 2
+    # vacuum never touches referenced segments: all remaining dirs are in the manifest
+    m = ivm._manifest()
+    for store, e in seg_dirs():
+        assert int(e.split("=")[1]) in m["segments"][store]
+
+
+def test_continuous_two_stream_maintenance(spark, tmp_path):
+    """Both sides LIVE at once (processingTime trigger), files arriving on
+    either side while both queries run, maintenance steps serialized by the
+    in-process lock: the final view must equal the batch join, including
+    deltas that arrived after the queries started."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    a_dir, b_dir = str(tmp_path / "ca"), str(tmp_path / "cb")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    sa = StructType([StructField("k", LongType()), StructField("av", StringType())])
+    sb = StructType([StructField("k", LongType()), StructField("bv", StringType())])
+
+    def put(d, rows, schema, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, name)
+        )
+
+    # seed files before the queries start
+    put(a_dir, [(1, "a1"), (2, "a2")], sa, "f0")
+    put(b_dir, [(1, "b1")], sb, "f0")
+
+    jv = IncrementalJoinView(str(tmp_path / "cjv"), join_keys=["k"], n_buckets=8)
+    queries = jv.run_streams_continuous(
+        spark, a_dir + "/f*", b_dir + "/f*", sa, sb, str(tmp_path / "cck"),
+        trigger="200 milliseconds",
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        # interleaved arrivals WHILE both queries are live
+        put(b_dir, [(2, "b2"), (3, "b3")], sb, "f1")
+        queries[1].processAllAvailable()
+        put(a_dir, [(3, "a3")], sa, "f1")
+        put(b_dir, [(1, "b1x")], sb, "f2")
+        for q in queries:
+            q.processAllAvailable()
+        for q in queries:
+            assert q.exception() is None
+    finally:
+        for q in queries:
+            q.stop()
+
+    got = sorted((r.k, r.av, r.bv) for r in jv.read_flat(spark).collect())
+    assert got == [
+        (1, "a1", "b1"),
+        (1, "a1", "b1x"),
+        (2, "a2", "b2"),
+        (3, "a3", "b3"),
+    ], got
