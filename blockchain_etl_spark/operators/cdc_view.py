@@ -1,0 +1,137 @@
+"""Changelog-driven downstream aggregate view — the consumer end of the T5
+CDC story: a derived per-group aggregate maintained from a
+ParquetMergeTarget's changelog rows ALONE, never re-reading (or even being
+able to read) the source table.
+
+The reference's analog is the trigger-maintained ``stats_inventory`` row
+counts (migrations/1593015009-stats_inventory.sql:11-16): every change to a
+watched table bumps a derived aggregate in the same transaction. Here the
+"trigger" is the changelog stream each ``merge_with(changelog_keys=...)``
+commit emits, and the derived table is versioned/replay-guarded exactly
+like any other merge target.
+
+Maintenance algebra: every changelog row expands to weighted contributions
+— ``insert → +after``, ``delete → -before``, ``update → -before +after``
+(the before image ships in the changelog's ``__before`` struct) — and the
+view folds ``sum(w)`` / ``sum(w·x)`` per group. Counts that cancel to zero
+drop the group row, so the maintained view equals the batch recompute
+``GROUP BY`` over the source AT EVERY VERSION (tests/test_cdc_view.py
+property-checks this under interleaved inserts/updates/deletes).
+
+Scale shape: one fold costs O(changelog batch) + one merge on the group
+key — never a source-table scan. Sum columns must be exact types (integer
+/ decimal): float sums would drift between the incremental and batch forms
+under reordering, the same rule plans/registry.py applies to oracles.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from .merge import ParquetMergeTarget, merge_accumulate
+
+
+class ChangelogAggregateView:
+    """Maintained ``GROUP BY group_keys: count(*), sum(sum_cols...)`` over a
+    changelog-emitting merge target."""
+
+    def __init__(self, path: str, group_keys: Sequence[str], sum_cols: Sequence[str] = ()):
+        self.target = ParquetMergeTarget(path)
+        self.group_keys = list(group_keys)
+        self.sum_cols = list(sum_cols)
+
+    def folded_version(self) -> int:
+        """Last source version folded into the view (0 = nothing yet)."""
+        return max(0, self.target.watermark())
+
+    def _delta_partial(self, log: DataFrame) -> DataFrame:
+        """Changelog rows → one weighted partial row per touched group."""
+        after = log.filter(col("__op").isin("insert", "update")).select(
+            *[col(k) for k in self.group_keys],
+            F.lit(1).cast("long").alias("__w"),
+            *[col(c) for c in self.sum_cols],
+        )
+        # delete rows carry the before image flattened; update rows carry
+        # the AFTER image flattened and the before image in __before.
+        minus_del = log.filter(col("__op") == "delete").select(
+            *[col(k) for k in self.group_keys],
+            F.lit(-1).cast("long").alias("__w"),
+            *[col(c) for c in self.sum_cols],
+        )
+        # group keys that are data columns come from the before image;
+        # merge keys sit at top level and cannot change in an update.
+        bf = self._before_fields(log)
+        minus_upd = log.filter(col("__op") == "update").select(
+            *[(col(f"__before.{k}") if k in bf else col(k)).alias(k) for k in self.group_keys],
+            F.lit(-1).cast("long").alias("__w"),
+            *[col(f"__before.{c}").alias(c) for c in self.sum_cols],
+        )
+        rows = after.unionByName(minus_del).unionByName(minus_upd)
+        aggs = [F.sum("__w").cast("long").alias("__n")] + [
+            F.sum(col(c) * col("__w")).alias(c) for c in self.sum_cols
+        ]
+        return rows.groupBy(*self.group_keys).agg(*aggs)
+
+    def _before_fields(self, log: DataFrame) -> set:
+        (f,) = [f for f in log.schema.fields if f.name == "__before"]
+        return {sf.name for sf in f.dataType.fields}
+
+    def fold(self, spark: SparkSession, source: ParquetMergeTarget, upto: int | None = None) -> DataFrame | None:
+        """Fold every unseen changelog version (folded_version, upto] into
+        the view — one versioned commit per source version, watermarked by
+        it, so replays and crash-recovery re-folds are no-ops and the view
+        can always catch back up to the source by calling fold() again."""
+        upto = source.current_version() if upto is None else int(upto)
+        out = None
+        for v in range(self.folded_version() + 1, upto + 1):
+            log = source.read_changelog(spark, v)
+            if log is None:
+                raise ValueError(
+                    f"source version {v} has no changelog segment — the view "
+                    "cannot be maintained from CDC alone (was the merge run "
+                    "without changelog_keys, or the segment vacuumed?)"
+                )
+            partial = self._delta_partial(log)
+            out = self.target.merge_with(
+                spark,
+                partial,
+                lambda tgt, upd: self._merge(tgt, upd),
+                watermark=v,
+            )
+        return out if out is not None else self.read(spark)
+
+    def _merge(self, tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
+        merged = merge_accumulate(
+            tgt, upd, keys=self.group_keys, sum_cols=["__n", *self.sum_cols]
+        )
+        # groups whose membership cancelled to zero leave the view entirely
+        return merged.filter(col("__n") != 0)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """(group_keys..., n_rows, sum_cols...) — the maintained aggregate."""
+        t = self.target.read(spark)
+        if t is None:
+            return None
+        return t.select(
+            *self.group_keys,
+            col("__n").alias("n_rows"),
+            *[col(c) for c in self.sum_cols],
+        )
+
+
+def changelog_group_counts(
+    spark: SparkSession,
+    source: ParquetMergeTarget,
+    view_path: str,
+    group_keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+) -> DataFrame | None:
+    """One-call convenience: catch a view up to the source and read it."""
+    view = ChangelogAggregateView(view_path, group_keys, sum_cols)
+    view.fold(spark, source)
+    return view.read(spark)
