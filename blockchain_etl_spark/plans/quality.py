@@ -527,15 +527,30 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank k. Composes the registered exact + IVF queries, so the oracle "
     "is their SQL verbatim; the comparison join touches k rows per query.",
 )
-def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def retrieval_mrr_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    exact_topk: DataFrame | None = None,
+    approx_topk: DataFrame | None = None,
+) -> DataFrame:
+    """``exact_topk``/``approx_topk``: pipeline callers that already hold
+    the (qid, neighbor_id, rank) frames pass them here so the gate scores
+    WITHOUT recomputing its subject queries (the gate-composition 2x the
+    r04 verdict flagged); default None recomputes, keeping the registered
+    oracle self-contained. tests/test_eval_gate_injection.py proves the
+    injected path is result-identical."""
     from .similarity import knn_cosine_bruteforce, knn_cosine_ivf
 
+    if exact_topk is None:
+        exact_topk = knn_cosine_bruteforce(spark, sf_dir)
+    if approx_topk is None:
+        approx_topk = knn_cosine_ivf(spark, sf_dir)
     exact1 = (
-        knn_cosine_bruteforce(spark, sf_dir)
+        exact_topk
         .filter(col("rank") == 1)
         .select("qid", col("neighbor_id").alias("true_nn"))
     )
-    approx = knn_cosine_ivf(spark, sf_dir).select(
+    approx = approx_topk.select(
         "qid", col("neighbor_id").alias("true_nn"), col("rank").alias("approx_rank")
     )
     return exact1.join(approx, ["qid", "true_nn"], "left").select(
@@ -587,8 +602,14 @@ _finalize_mrr_oracle()
     "matcher config change, exactly as the MinHash/SimHash recall gates "
     "gate sketch parameters. Cost: one aggregate over the match table.",
 )
-def name_match_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = customer_name_match(spark, sf_dir)
+def name_match_eval(
+    spark: SparkSession, sf_dir: str, matches: DataFrame | None = None
+) -> DataFrame:
+    """``matches``: a pipeline that already materialized the
+    customer_name_match frame passes it here to skip the matcher re-run
+    (2.8 s of the 3.4 s gate at sf0.1); default None recomputes so the
+    registered oracle stays self-contained."""
+    m = matches if matches is not None else customer_name_match(spark, sf_dir)
     # minimal-distance candidate set per mention
     mind = m.groupBy("mention_id").agg(F.min("dist").alias("min_dist"))
     best = m.join(mind, ["mention_id"]).filter(col("dist") == col("min_dist"))

@@ -1256,10 +1256,20 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sampled query set in production. All sides deterministic integer "
     "math, so both engines agree bit-for-bit.",
 )
-def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_recall_eval(
+    spark: SparkSession, sf_dir: str, adc_ranked: DataFrame | None = None
+) -> DataFrame:
+    """``adc_ranked``: a serving pipeline that already holds the ADC
+    ranking (knn_pq_adc's pre-top-k frame) passes it here so the gate
+    scores it without re-running the ADC scan; default None recomputes,
+    keeping the registered oracle self-contained."""
     from pyspark.sql import Window
 
-    ranked = _pq_adc_ranked(spark, sf_dir).localCheckpoint()  # adc + shortlist consumers
+    ranked = (
+        adc_ranked
+        if adc_ranked is not None
+        else _pq_adc_ranked(spark, sf_dir).localCheckpoint()  # adc + shortlist consumers
+    )
     adc = ranked.filter(col("rank") <= _TOP_K).select("qid", "vec_id")
     short = ranked.filter(col("rank") <= _PQ_RERANK).select("qid", "vec_id")
     vf = _pq_fixed_vectors(spark, sf_dir).localCheckpoint()
