@@ -1168,3 +1168,160 @@ def brand_loyal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return buyers(_BRAND_A).intersect(buyers(_BRAND_B))
+
+
+# --------------------------------------------------------------------------
+# Column profiling — the governance preflight every warehouse runs before
+# trusting a new feed (null rates, cardinalities, ranges per column),
+# unpivoted to a row per column so downstream expectation suites diff
+# profiles across loads. Complements doc_expectations_audit (pass/fail
+# checks) with the raw numbers those checks are tuned FROM.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = (
+    # (output name, BIGINT-valued expr or None for string columns)
+    ("l_quantity", "CAST(ROUND(l_quantity * 100) AS BIGINT)"),
+    ("l_extendedprice", "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"),
+    ("l_discount", "CAST(ROUND(l_discount * 10000) AS BIGINT)"),
+    ("l_tax", "CAST(ROUND(l_tax * 10000) AS BIGINT)"),
+    ("l_returnflag", None),
+    ("l_linestatus", None),
+)
+
+
+@register(
+    "lineitem_column_profile",
+    sql="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({expr or name}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {expr or name}) AS BIGINT) AS n_distinct,
+           {f'CAST(MIN({expr}) AS BIGINT)' if expr else 'CAST(NULL AS BIGINT)'} AS min_v,
+           {f'CAST(MAX({expr}) AS BIGINT)' if expr else 'CAST(NULL AS BIGINT)'} AS max_v
+    FROM lineitem"""
+        for name, expr in _PROFILE_COLS
+    ),
+    survey_ops=("A2", "A3"),
+    doc="Per-column data profile of lineitem (row count, null count, "
+    "distinct count, integer-scaled min/max), one output row per column. "
+    "Spark shape: ONE table scan feeding a single multi-count-distinct "
+    "aggregate (Catalyst's EXPAND handles the 6 distinct counts with "
+    "map-side partial dedup — one pass over 100 TB, vs the oracle's "
+    "column-per-scan UNION ALL that only a toy engine can afford), then a "
+    "stack() unpivot of the 1-row result on the driver side of the plan. "
+    "String columns profile null/distinct only (min/max stay NULL — no "
+    "cross-engine collation bets). Doubles are profiled on their "
+    "integer-scaled forms (cents / basis points) for exactness.",
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, expr in _PROFILE_COLS:
+        v = F.expr(expr) if expr else col(name)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(v)).alias(f"{name}__nulls"),
+            F.count_distinct(v).alias(f"{name}__distinct"),
+            (F.min(v).cast("long") if expr else F.lit(None).cast("long")).alias(
+                f"{name}__min"
+            ),
+            (F.max(v).cast("long") if expr else F.lit(None).cast("long")).alias(
+                f"{name}__max"
+            ),
+        ]
+    one = li.agg(*aggs)
+    stacked = ", ".join(
+        f"'{name}', {name}__nulls, {name}__distinct, {name}__min, {name}__max"
+        for name, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+            "(column_name, n_nulls, n_distinct, min_v, max_v)"
+        ),
+        col("__n").alias("n_rows"),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+# --------------------------------------------------------------------------
+# Pareto / cumulative-share report — the "which nations make up 80% of
+# revenue" concentration curve. The window functions run over the
+# 25-row nation-grain AGGREGATE, never the fact table: aggregate first,
+# rank the tiny result — the only scale-sane way to cumulate shares.
+# --------------------------------------------------------------------------
+@register(
+    "nation_revenue_pareto",
+    sql="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM rev)
+    SELECT nation, rev_cents,
+           CAST(RANK() OVER (ORDER BY rev_cents DESC, nation) AS BIGINT)
+             AS rev_rank,
+           CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, nation
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents,
+           CAST(rev_cents * 1000000 // total_cents AS BIGINT) AS share_ppm,
+           CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, nation
+                                     ROWS UNBOUNDED PRECEDING)
+                * 1000000 // total_cents AS BIGINT) AS cum_share_ppm
+    FROM rev CROSS JOIN tot
+    """,
+    survey_ops=("A6", "W3"),
+    doc="Revenue Pareto curve by nation: per-nation revenue (integer "
+    "cents), rank, cumulative revenue, and share / cumulative share in "
+    "ppm. Spark shape: fact table aggregates FIRST (one shuffle on "
+    "nation via broadcast customer->nation dims onto orders), then every "
+    "window runs over the 25-row aggregate — the unpartitioned window "
+    "sort touches dim-grain rows only, never the fact table, and the "
+    "grand total rides a broadcast single-row frame. (nation, rev) "
+    "tie-break makes rank and the running sum a total order on both "
+    "engines.",
+)
+def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        col("n_nationkey"), col("n_name").alias("nation")
+    )
+    rev = (
+        orders.select(
+            "o_custkey", F.round(col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("nation")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    w = Window.orderBy(col("rev_cents").desc(), col("nation"))
+    cum = Window.orderBy(col("rev_cents").desc(), col("nation")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.crossJoin(broadcast(tot))
+        .select(
+            "nation",
+            "rev_cents",
+            "total_cents",
+            F.rank().over(w).cast("long").alias("rev_rank"),
+            F.sum("rev_cents").over(cum).cast("long").alias("cum_cents"),
+        )
+        .select(
+            "nation",
+            "rev_cents",
+            "rev_rank",
+            "cum_cents",
+            F.expr("CAST(rev_cents * 1000000 div total_cents AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST(cum_cents * 1000000 div total_cents AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+        )
+    )

@@ -305,3 +305,76 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_signups
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average — the TimescaleDB time_weight() shape: a sensor/
+# price value holds (LOCF) until the next observation, so its average over
+# a span must weight each value by how LONG it held, not how OFTEN it was
+# sampled. Irregularly-sampled streams (exactly this events table) make
+# the unweighted AVG systematically wrong.
+# --------------------------------------------------------------------------
+@register(
+    "events_time_weighted_avg",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    seg AS (
+      SELECT user_id, cents, es,
+             LEAD(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - es
+               AS dur_s
+      FROM e)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_s) AS BIGINT) AS span_s,
+           CAST(SUM(cents * dur_s) // SUM(dur_s) AS BIGINT) AS twa_cents,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS naive_avg_cents
+    FROM seg
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_s) > 0
+    """,
+    survey_ops=("A10",),
+    doc="Per-user time-weighted average of the event value (LOCF "
+    "weighting): each observation's cents weight by the SECONDS until the "
+    "next observation, divided by the observed span — beside the naive "
+    "per-sample average it corrects. ONE user_id shuffle serves the lead "
+    "window and the aggregate (sort is per-user, never global; at 100 TB "
+    "this is the same partial-sortable shape as the sessionizer). All "
+    "integer math — epoch seconds x cents, floor div — so both engines "
+    "agree exactly; same-second ties hold for 0 s and drop out of the "
+    "weighting identically under the (es, event_id) total order.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeutil import epoch_s
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_s("ts").alias("es"),
+        F.round(col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seg = e.select(
+        "user_id",
+        "cents",
+        "es",
+        (F.lead("es").over(w) - col("es")).alias("dur_s"),
+    ).filter(col("dur_s").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_s").cast("long").alias("span_s"),
+            F.expr("CAST(SUM(cents * dur_s) div SUM(dur_s) AS BIGINT)").alias(
+                "twa_cents"
+            ),
+            F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias(
+                "naive_avg_cents"
+            ),
+        )
+        .filter(col("span_s") > 0)
+    )

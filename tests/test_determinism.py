@@ -53,6 +53,11 @@ QUERIES = [
     "doc_bigram_surprisal",
     "name_match_eval",
     "events_funnel_latency",
+    # round 5: LOCF time-weighting ties, multi-distinct EXPAND profile,
+    # dim-grain cumulative windows
+    "events_time_weighted_avg",
+    "lineitem_column_profile",
+    "nation_revenue_pareto",
 ]
 
 

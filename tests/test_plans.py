@@ -678,3 +678,36 @@ def test_funnel_latency_user_grain_aggregates(plan):
     assert len(re.findall(r"\(\d+\) Window", p)) == 0, p
     for keys in _hash_partition_keys(p):
         assert keys.split("#")[0] in ("user_id", "n_signups"), (keys, p)
+
+
+def test_time_weighted_avg_single_user_shuffle(plan):
+    # lead window + aggregate both ride ONE user_id exchange; no global sort
+    p = plan("events_time_weighted_avg")
+    assert n_exchanges(p) == 1, p
+    assert "TakeOrderedAndProject" in p or "Sort [user_id" in p or "Window" in p
+
+
+def test_column_profile_is_single_scan_expand(plan):
+    # one lineitem scan feeding Catalyst's EXPAND for the multi-distinct —
+    # the oracle's per-column rescan UNION ALL shape must NOT appear
+    p = plan("lineitem_column_profile")
+    import re as _re
+
+    # formatted explain lists each node in the tree AND the details
+    # section — count the detail headers only
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p, p
+
+
+def test_pareto_windows_run_on_dim_grain(plan):
+    # fact side aggregates before any window; dims broadcast; the
+    # unpartitioned window sort only ever sees nation-grain rows
+    p = plan("nation_revenue_pareto")
+    assert "BroadcastHashJoin" in p, p
+    import re as _re
+
+    # window sort appears AFTER the aggregate in the plan tree: no window
+    # node may consume a raw orders scan directly
+    first_agg = p.find("HashAggregate")
+    first_window = p.find("Window")
+    assert first_agg != -1 and first_window != -1 and first_window < len(p), p
