@@ -1325,3 +1325,111 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Portable HLL — the third member of the distinct-count family: unlike
+# events_approx_stats / events_distinct_sketch_rollup (engine-native HLL++
+# and DataSketches, rows-only by necessity), this sketch is OUR OWN spec —
+# md5-derived buckets, integer leading-zero maxima, and a table-driven
+# linear-counting fallback — so the DuckDB oracle reproduces it BIT FOR
+# BIT and the driver hash-verifies an approximate algorithm end-to-end
+# (same move as events_user_cms_topk for heavy hitters).
+# --------------------------------------------------------------------------
+import math as _math
+
+_HLL_M = 256
+# alpha_m * m^2, milli-scaled (integer): 0.7213/(1 + 1.079/m) * m^2 * 1000
+_HLL_A_E3 = round(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 1000)
+# linear-counting lookup: est[e] = round(m * ln(m / e)) for e empty buckets.
+# Precomputed in ONE place and embedded as integers in BOTH engines'
+# expressions — no in-engine transcendental math to drift by an ulp.
+_HLL_LC = tuple(round(_HLL_M * _math.log(_HLL_M / e)) for e in range(1, _HLL_M + 1))
+
+
+@register(
+    "events_hll_portable_rollup",
+    sql=f"""
+    WITH h AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT)
+               AS bucket,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 15) AS BIGINT)
+               AS v
+      FROM events),
+    daily AS (  -- mergeable per-day partials: (day, type, bucket) -> max zeros
+      SELECT event_type, day, bucket,
+             MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS mz
+      FROM h GROUP BY event_type, day, bucket),
+    merged AS (  -- sketch union = max per bucket (associative)
+      SELECT event_type, bucket, MAX(mz) AS mz
+      FROM daily GROUP BY event_type, bucket),
+    days AS (
+      SELECT event_type, COUNT(DISTINCT day) AS n_days
+      FROM daily GROUP BY event_type),
+    s AS (
+      SELECT event_type, COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS HUGEINT) << mz) AS sum_present
+      FROM merged GROUP BY event_type)
+    , sj AS (SELECT s.*, days.n_days FROM s JOIN days USING (event_type))
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(CASE WHEN n_buckets < {_HLL_M}
+                THEN list_extract([{", ".join(str(x) for x in _HLL_LC)}],
+                                  CAST({_HLL_M} - n_buckets AS INT))
+                ELSE (CAST({_HLL_A_E3} AS HUGEINT) * (CAST(1 AS HUGEINT) << 61))
+                     // sum_present // 1000
+                END AS BIGINT) AS est_users
+    FROM sj
+    """,
+    survey_ops=("A3",),
+    doc="Distinct users per event type via a PORTABLE HyperLogLog: "
+    "bucket = first 8 bits of md5(user_id), rho-maxima over the next 60 "
+    "bits (integer bit-length only), per-day partials union-merged by "
+    "bucket MAX (the incremental A3 rollup shape — a new day never "
+    "re-reads history), LogLog estimate in exact DECIMAL integer "
+    "arithmetic with a precomputed-integer-table linear-counting "
+    "fallback for the sparse regime. Every step is engine-exact, so the "
+    "ESTIMATE itself hash-matches the oracle — the sketch-trust property "
+    "the native-HLL twins cannot offer; accuracy vs the exact rollup is "
+    "bounded in pytest. Scale: state is <= m=256 integers per "
+    "(day, type) partial, map-side combinable, no distinct shuffle.",
+)
+def events_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.date_trunc("day", col("ts")).alias("day"),
+        F.expr("conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10)")
+        .cast("long")
+        .alias("bucket"),
+        F.expr("conv(substring(md5(cast(user_id as string)), 3, 15), 16, 10)")
+        .cast("long")
+        .alias("v"),
+    )
+    daily = h.groupBy("event_type", "day", "bucket").agg(
+        F.expr("MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END)").alias("mz")
+    )
+    daily = daily.localCheckpoint()  # feeds the bucket merge AND the day count
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("mz").alias("mz"))
+    days = daily.groupBy("event_type").agg(F.count_distinct("day").alias("n_days"))
+    s = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(mz AS INT)) AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("sum_present"),
+    ).join(broadcast(days), ["event_type"])
+    lc = ", ".join(str(x) for x in _HLL_LC)
+    return s.select(
+        "event_type",
+        col("n_days").cast("long").alias("n_days"),
+        col("n_buckets").cast("long").alias("n_buckets"),
+        F.expr(
+            f"CAST(CASE WHEN n_buckets < {_HLL_M} "
+            f"THEN element_at(array({lc}), CAST({_HLL_M} - n_buckets AS INT)) "
+            f"ELSE (CAST({_HLL_A_E3} AS DECIMAL(38,0)) * CAST(shiftleft(CAST(1 AS BIGINT), 61) AS DECIMAL(38,0))) "
+            f"div sum_present div 1000 END AS BIGINT)"
+        ).alias("est_users"),
+    )

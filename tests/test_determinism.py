@@ -58,6 +58,7 @@ QUERIES = [
     "events_time_weighted_avg",
     "lineitem_column_profile",
     "nation_revenue_pareto",
+    "events_hll_portable_rollup",
 ]
 
 

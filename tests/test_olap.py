@@ -111,3 +111,23 @@ def test_cms_estimate_is_a_guaranteed_overestimate(spark):
     rows = get_queries()["events_user_cms_topk"](spark, SF_DIR).collect()
     assert rows
     assert all(r.est_n >= r.exact_n for r in rows)
+
+
+def test_portable_hll_tracks_exact_counts(spark):
+    """events_hll_portable_rollup: the hash-matched estimate must stay
+    within the ~1.04/sqrt(256) = 6.5% HLL band (kept loose at 15%) of the
+    exact distinct rollup, and agree on grouping/day structure."""
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    qs = get_queries()
+    sf = "/root/testdata/sf0.001"
+    est = {r.event_type: r for r in qs["events_hll_portable_rollup"](spark, sf).collect()}
+    exact = {
+        r.event_type: r for r in qs["events_distinct_rollup_exact"](spark, sf).collect()
+    }
+    assert set(est) == set(exact)
+    for t, r in est.items():
+        e = exact[t]
+        assert r.n_days == e.n_days, (t, r, e)
+        err = abs(r.est_users - e.exact_total_users) / e.exact_total_users
+        assert err <= 0.15, (t, r.est_users, e.exact_total_users)
