@@ -21,6 +21,14 @@ rows into the same files, which is exactly what makes these per-file
 ranges tight enough to skip on. The reference's analog is the BRIN index
 on rewards/dc_burns time (migrations/1612220889-reward_brin_idx.sql:5) —
 block-range min/max metadata consulted before touching heap pages.
+
+Object-store contract (same as operators/merge.py and operators/ivm.py):
+query-time pruning reads the MANIFEST only — zero per-file existence
+probes or footer opens for files it skips; harvesting issues one
+directory LIST plus footer reads for new files only. The single local-FS
+primitive is the ``os.replace`` manifest flip — on S3/GCS swap it for a
+conditional put (or keep stats in a Delta/Iceberg table); no call-site
+changes.
 """
 
 from __future__ import annotations
