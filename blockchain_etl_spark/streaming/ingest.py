@@ -171,12 +171,25 @@ def derive_tables(txns: DataFrame) -> dict[str, DataFrame]:
 class BlockIngest:
     """Ordered, idempotent ingest into a directory-per-table layout."""
 
-    def __init__(self, out_dir: str, maintain_inventories: bool = False):
+    def __init__(
+        self,
+        out_dir: str,
+        maintain_inventories: bool = False,
+        maintain_stats: bool = False,
+    ):
         self.out_dir = out_dir
         # when on, each batch also MERGEs entity history partials into
         # <out>/<entity>_inventory (ParquetMergeTarget) — the streaming
         # form of the reference's AFTER INSERT inventory triggers.
         self.maintain_inventories = maintain_inventories
+        # when on (implies inventories), inventory merges also emit CDC
+        # changelogs and a per-table row-count view follows them — the
+        # reference's trigger-maintained stats_inventory
+        # (migrations/1593015009-stats_inventory.sql:11-16), maintained
+        # from change rows alone instead of COUNT(*) rescans.
+        self.maintain_stats = maintain_stats
+        if maintain_stats and not maintain_inventories:
+            raise ValueError("maintain_stats requires maintain_inventories")
 
     # -- sync-height watermark (T1) ------------------------------------
     @property
@@ -229,7 +242,7 @@ class BlockIngest:
             if self.maintain_inventories:
                 # accounts: ASSOCIATIVE aggregate state (counts/min/max/
                 # role set) — merged additively, not latest-wins.
-                from ..operators.merge import merge_accumulate
+                from ..operators.merge import merge_accumulate, merge_latest
                 from .entities import account_inventory_from_actors
 
                 self.inventory_target("accounts").merge_with(
@@ -245,21 +258,32 @@ class BlockIngest:
                         set_cols=["roles"],
                     ),
                     watermark=int(bounds.hi),
+                    changelog_keys=["address"] if self.maintain_stats else None,
                 )
                 for name, (keys, coalesce_cols) in INVENTORIES.items():
-                    self.inventory_target(name).merge(
+                    self.inventory_target(name).merge_with(
                         batch.sparkSession,
                         tables[name],
-                        keys=keys,
-                        # hash breaks same-block ties → deterministic fold
-                        # at any partition count, so a replayed merge is a
-                        # no-op (merge_latest ties favor the update side).
-                        order=["block", "hash"],
-                        coalesce_cols=coalesce_cols,
-                        first_col="first_block",
-                        last_col="last_block",
+                        lambda target, upd, keys=keys, cc=coalesce_cols: merge_latest(
+                            target,
+                            upd,
+                            keys=keys,
+                            # hash breaks same-block ties → deterministic
+                            # fold at any partition count, so a replayed
+                            # merge is a no-op (ties favor the update side).
+                            order=["block", "hash"],
+                            coalesce_cols=cc,
+                            first_col="first_block",
+                            last_col="last_block",
+                        ),
                         watermark=int(bounds.hi),
+                        changelog_keys=keys if self.maintain_stats else None,
                     )
+                if self.maintain_stats:
+                    for name in ("accounts", *INVENTORIES):
+                        self._stats_view(name).fold(
+                            batch.sparkSession, self.inventory_target(name)
+                        )
             if bounds.hi > stored:
                 self._write_sync_height(bounds.hi)
         finally:
@@ -269,6 +293,32 @@ class BlockIngest:
         from ..operators.merge import ParquetMergeTarget
 
         return ParquetMergeTarget(os.path.join(self.out_dir, f"{name}_inventory"))
+
+    def _stats_view(self, name: str):
+        """Per-inventory CDC-maintained row count (empty group = one global
+        row), versioned/replay-guarded like everything else."""
+        from ..operators.cdc_view import ChangelogAggregateView
+
+        return ChangelogAggregateView(
+            os.path.join(self.out_dir, "stats", name), group_keys=()
+        )
+
+    def stats_inventory(self, spark: SparkSession) -> DataFrame:
+        """The reference's ``stats_inventory`` rows — (name, value) row
+        counts per inventory table — maintained from CDC changelogs alone
+        (migrations/1593015009-stats_inventory.sql:11-16: each change to a
+        watched table bumps the stat in-transaction; here the changelog
+        fold in process_batch plays the trigger). Never scans an
+        inventory: each read is a 1-row view lookup per table."""
+        rows = []
+        for name in ("accounts", *INVENTORIES):
+            v = self._stats_view(name).read(spark)
+            n = 0
+            if v is not None:
+                got = v.collect()
+                n = int(got[0].n_rows) if got else 0
+            rows.append((f"{name}_inventory", n))
+        return spark.createDataFrame(rows, ["name", "value"])
 
     def read_inventory(self, spark: SparkSession, name: str) -> DataFrame:
         df = self.inventory_target(name).read(spark)
