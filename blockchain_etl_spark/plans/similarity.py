@@ -1325,3 +1325,75 @@ def pq_recall_eval(
         (col("adc_hits").cast("double") / F.lit(_TOP_K)).alias("adc_recall_at_k"),
         (col("rerank_hits").cast("double") / F.lit(_TOP_K)).alias("rerank_recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data step (triplet /
+# InfoNCE negatives): for each anchor, the most-similar corpus vectors
+# whose LABEL DIFFERS are exactly the negatives that carry gradient
+# signal. Same broadcast-anchor + streamed-corpus shape as the
+# brute-force kNN baseline, plus the label inequality in the pair filter.
+# --------------------------------------------------------------------------
+@register(
+    "knn_hard_negatives",
+    sql=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+          FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    pairs AS (
+      SELECT qid, qlabel, vec_id, neg_label,
+             CAST(SUM(CAST(ROUND(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      FROM (SELECT qid, qlabel, e.vec_id AS vec_id, e.label AS neg_label,
+                   unnest(qe) AS qv, unnest(e.embedding) AS cv
+            FROM q, embeddings e WHERE e.label <> qlabel) z
+      GROUP BY qid, qlabel, vec_id, neg_label
+    ),
+    scored AS (
+      SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+             pairs.vec_id AS neighbor_id, CAST(neg_label AS BIGINT) AS neg_label,
+             dot / (nq.nrm * nc.nrm) AS cosine
+      FROM pairs
+      JOIN norms nq ON nq.vec_id = qid
+      JOIN norms nc ON nc.vec_id = pairs.vec_id
+    )
+    SELECT qid, qlabel, neighbor_id, neg_label, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored) r
+    WHERE rank <= {_TOP_K}
+    """,
+    survey_ops=(),
+    doc="Hard-negative mining for contrastive training: per anchor (the "
+    "broadcast query set), the top-k most-cosine-similar vectors with a "
+    "DIFFERENT label — the negatives that actually move an InfoNCE/"
+    "triplet loss, vs easy random negatives. Corpus streams once, label "
+    "filter prunes pairs before scoring, exact fixed-point dot products, "
+    "per-anchor window top-k. At 100 TB the anchor set is the (sampled) "
+    "training batch and the corpus side can swap to the IVF/PQ index "
+    "path (knn_pq_adc) unchanged — this registered form pins the exact "
+    "semantics the approximate server must approach.",
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(
+        emb.select("vec_id", "embedding", "label"), "embedding", "nrm"
+    ).localCheckpoint()  # anchor (broadcast) side and stream side both read it
+    anchors = corpus.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("qid"),
+        col("embedding").alias("qe"),
+        col("nrm").alias("qnrm"),
+        col("label").alias("qlabel"),
+    )
+    pairs = corpus.join(F.broadcast(anchors), col("label") != col("qlabel"))
+    scored = pairs.select(
+        "qid",
+        col("qlabel").cast("long").alias("qlabel"),
+        col("vec_id").alias("neighbor_id"),
+        col("label").cast("long").alias("neg_label"),
+        (_fx_dot("qe", "embedding") / (col("qnrm") * col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(col("cosine").desc(), col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        col("rank") <= _TOP_K
+    )

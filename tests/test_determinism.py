@@ -59,6 +59,7 @@ QUERIES = [
     "lineitem_column_profile",
     "nation_revenue_pareto",
     "events_hll_portable_rollup",
+    "knn_hard_negatives",
 ]
 
 
