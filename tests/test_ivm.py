@@ -315,3 +315,54 @@ def test_continuous_two_stream_maintenance(spark, tmp_path):
         (2, "a2", "b2"),
         (3, "a3", "b3"),
     ], got
+
+
+def test_continuous_streams_recover_from_restart(spark, tmp_path):
+    """Stop both live queries, add files on both sides, restart from the
+    same checkpoints: the view must absorb exactly the new files once
+    (checkpoint offsets + per-side watermarks), ending ≡ batch join."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    a_dir, b_dir = str(tmp_path / "ra"), str(tmp_path / "rb")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    sa = StructType([StructField("k", LongType()), StructField("av", StringType())])
+    sb = StructType([StructField("k", LongType()), StructField("bv", StringType())])
+
+    def put(d, rows, schema, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, name)
+        )
+
+    put(a_dir, [(1, "a1")], sa, "f0")
+    put(b_dir, [(1, "b1")], sb, "f0")
+
+    jv = IncrementalJoinView(str(tmp_path / "rjv"), join_keys=["k"], n_buckets=8)
+    ck = str(tmp_path / "rck")
+    queries = jv.run_streams_continuous(
+        spark, a_dir + "/f*", b_dir + "/f*", sa, sb, ck, trigger="200 milliseconds"
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    # files arrive while nothing is running
+    put(a_dir, [(2, "a2")], sa, "f1")
+    put(b_dir, [(2, "b2")], sb, "f1")
+
+    queries = jv.run_streams_continuous(
+        spark, a_dir + "/f*", b_dir + "/f*", sa, sb, ck, trigger="200 milliseconds"
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        for q in queries:
+            assert q.exception() is None
+    finally:
+        for q in queries:
+            q.stop()
+
+    got = sorted((r.k, r.av, r.bv) for r in jv.read_flat(spark).collect())
+    assert got == [(1, "a1", "b1"), (2, "a2", "b2")], got
