@@ -1,0 +1,82 @@
+"""PortableHLLState: the incrementally-folded sketch must be BIT-IDENTICAL
+to the registered batch query over the same data — at any chunking, under
+replays, and when fed through a file stream."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.operators.hll_state import PortableHLLState
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _batch_truth(spark):
+    """The registered query's (event_type -> n_buckets/est) over all events."""
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    rows = get_queries()["events_hll_portable_rollup"](spark, SF).collect()
+    return {r.event_type: (r.n_buckets, r.est_users) for r in rows}
+
+
+def _got(state, spark):
+    return {
+        r.event_type: (r.n_buckets, r.est_users)
+        for r in state.estimate(spark).collect()
+    }
+
+
+def test_incremental_fold_equals_batch_query(spark, tmp_path):
+    ev = _events(spark).cache()
+    state = PortableHLLState(str(tmp_path / "hll"), keys=["event_type"], id_col="user_id")
+    # fold in 3 arbitrary chunks
+    for i, (lo, hi) in enumerate([(0, 50), (50, 100), (100, 10**9)]):
+        state.fold(
+            spark,
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            watermark=i,
+        )
+    assert _got(state, spark) == _batch_truth(spark)
+    # replayed chunk: watermark makes it a no-op
+    v = state.target.current_version()
+    state.fold(spark, ev.filter(F.col("user_id") >= 100), watermark=2)
+    assert state.target.current_version() == v
+    assert _got(state, spark) == _batch_truth(spark)
+
+
+def test_chunking_invariance(spark, tmp_path):
+    """Different chunkings land on the same state (sketch union is
+    associative/commutative/idempotent)."""
+    ev = _events(spark).cache()
+    a = PortableHLLState(str(tmp_path / "a"), keys=["event_type"], id_col="user_id")
+    a.fold(spark, ev, watermark=0)
+    b = PortableHLLState(str(tmp_path / "b"), keys=["event_type"], id_col="user_id")
+    for i, t in enumerate(["click", "view", "purchase", "signup", "error"]):
+        b.fold(spark, ev.filter(F.col("event_type") == t), watermark=i)
+    # overlapping re-fold (idempotent union, new watermark)
+    b.fold(spark, ev.limit(200), watermark=99)
+    assert _got(a, spark) == _got(b, spark)
+
+
+def test_stream_fold_equals_batch(spark, tmp_path):
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # three file chunks
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
+    state = PortableHLLState(str(tmp_path / "shll"), keys=["event_type"], id_col="user_id")
+    state.run_stream(spark, src + "/f*", ev.schema, str(tmp_path / "ck"))
+    assert _got(state, spark) == _batch_truth(spark)
+    # nothing new: no-op
+    v = state.target.current_version()
+    state.run_stream(spark, src + "/f*", ev.schema, str(tmp_path / "ck"))
+    assert state.target.current_version() == v
