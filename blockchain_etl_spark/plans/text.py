@@ -1179,3 +1179,64 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("mean_bits"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping chunking — the RAG/embedding prep step: fixed-size windows
+# with stride < size so no boundary sentence is lost to a hard cut. Chunk
+# grain (doc_id, seq, offsets, md5 fingerprint) is exactly what a vector
+# store ingests next (embedding_* queries take it from here).
+# --------------------------------------------------------------------------
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+
+@register(
+    "doc_chunk_overlap",
+    sql=f"""
+    SELECT doc_id,
+           CAST(i + 1 AS BIGINT) AS chunk_seq,
+           CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS char_start,
+           CAST(length(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE}))
+                AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE}))
+             AS chunk_md5
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1))
+               AS i
+      FROM documents
+      WHERE length(text) > 0)
+    """,
+    survey_ops=("P7",),
+    doc="Overlapping document chunking for retrieval/embedding pipelines: "
+    f"{_CHUNK_SIZE}-char windows every {_CHUNK_STRIDE} chars (50-char "
+    "overlap), one row per chunk with 1-based offsets, actual length "
+    "(the tail chunk is shorter), and an md5 content fingerprint for "
+    "downstream chunk-level dedup (doc_chunk_dedup's grain). Spark "
+    "shape: sequence+explode is a map-side HOF — ZERO shuffle, the "
+    "corpus streams once and fans out ~len/stride chunk rows per doc; "
+    "at 100 TB this is the embarrassingly-parallel shape chunking must "
+    "keep (an aggregate- or window-based chunker would shuffle the "
+    "whole corpus for no reason).",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("i"),
+    )
+    chunk = F.expr(f"substring(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE})")
+    return d.select(
+        "doc_id",
+        (col("i") + 1).cast("long").alias("chunk_seq"),
+        (col("i") * _CHUNK_STRIDE + 1).cast("long").alias("char_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

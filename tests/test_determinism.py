@@ -60,6 +60,7 @@ QUERIES = [
     "nation_revenue_pareto",
     "events_hll_portable_rollup",
     "knn_hard_negatives",
+    "doc_chunk_overlap",
 ]
 
 
