@@ -44,25 +44,12 @@ class PortableHLLState:
         self.id_col = id_col
 
     def _partial(self, batch: DataFrame) -> DataFrame:
-        """Per-batch sketch partial: (keys, bucket) -> max zeros."""
-        h = batch.select(
-            *self.keys,
-            F.expr(
-                f"conv(substring(md5(cast({self.id_col} as string)), 1, 2), 16, 10)"
-            )
-            .cast("long")
-            .alias("bucket"),
-            F.expr(
-                f"conv(substring(md5(cast({self.id_col} as string)), 3, 15), 16, 10)"
-            )
-            .cast("long")
-            .alias("v"),
-        )
-        return h.groupBy(*self.keys, "bucket").agg(
-            F.expr("MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END)")
-            .cast("long")
-            .alias("mz")
-        )
+        """Per-batch sketch partial: (keys, bucket) -> max zeros — the
+        SHARED spec implementation (functions/hll.py), so state folds and
+        the registered batch query cannot drift apart."""
+        from ..functions.hll import partial
+
+        return partial(batch, self.keys, self.id_col)
 
     def fold(
         self, spark: SparkSession, batch: DataFrame, watermark: int | None = None
@@ -83,29 +70,19 @@ class PortableHLLState:
         """(keys..., n_buckets, est_users) — identical arithmetic to the
         registered batch query (LogLog in exact DECIMAL, table-driven
         linear counting below m occupied buckets)."""
-        from ..plans.olap import _HLL_A_E3, _HLL_LC, _HLL_M
+        from ..functions.hll import SUM_PRESENT_SQL, estimate_expr
 
         t = self.target.read(spark)
         if t is None:
             return None
         s = t.groupBy(*self.keys).agg(
             F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(
-                F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(mz AS INT)) AS DECIMAL(38,0))")
-            )
-            .cast("decimal(38,0)")
-            .alias("sum_present"),
+            F.sum(F.expr(SUM_PRESENT_SQL)).cast("decimal(38,0)").alias("sum_present"),
         )
-        lc = ", ".join(str(x) for x in _HLL_LC)
         return s.select(
             *self.keys,
             col("n_buckets").cast("long").alias("n_buckets"),
-            F.expr(
-                f"CAST(CASE WHEN n_buckets < {_HLL_M} "
-                f"THEN element_at(array({lc}), CAST({_HLL_M} - n_buckets AS INT)) "
-                f"ELSE (CAST({_HLL_A_E3} AS DECIMAL(38,0)) * CAST(shiftleft(CAST(1 AS BIGINT), 61) AS DECIMAL(38,0))) "
-                f"div sum_present div 1000 END AS BIGINT)"
-            ).alias("est_users"),
+            estimate_expr("est_users"),
         )
 
     # -- streaming wrapper --------------------------------------------------

@@ -1345,15 +1345,14 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIT and the driver hash-verifies an approximate algorithm end-to-end
 # (same move as events_user_cms_topk for heavy hitters).
 # --------------------------------------------------------------------------
-import math as _math
-
-_HLL_M = 256
-# alpha_m * m^2, milli-scaled (integer): 0.7213/(1 + 1.079/m) * m^2 * 1000
-_HLL_A_E3 = round(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 1000)
-# linear-counting lookup: est[e] = round(m * ln(m / e)) for e empty buckets.
-# Precomputed in ONE place and embedded as integers in BOTH engines'
-# expressions — no in-engine transcendental math to drift by an ulp.
-_HLL_LC = tuple(round(_HLL_M * _math.log(_HLL_M / e)) for e in range(1, _HLL_M + 1))
+# shared spec constants + expressions (functions/hll.py) — ONE
+# implementation for this batch query and the incremental
+# operators/hll_state.py, so stream ≡ batch can be asserted bit-for-bit
+from ..functions.hll import A_E3 as _HLL_A_E3
+from ..functions.hll import LC_TABLE as _HLL_LC
+from ..functions.hll import M as _HLL_M
+from ..functions.hll import estimate_expr as _hll_estimate_expr
+from ..functions.hll import partial as _hll_partial
 
 
 @register(
@@ -1407,38 +1406,23 @@ _HLL_LC = tuple(round(_HLL_M * _math.log(_HLL_M / e)) for e in range(1, _HLL_M +
     "(day, type) partial, map-side combinable, no distinct shuffle.",
 )
 def events_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hll import SUM_PRESENT_SQL
+
     events = load_table(spark, sf_dir, "events")
-    h = events.select(
-        "event_type",
-        F.date_trunc("day", col("ts")).alias("day"),
-        F.expr("conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10)")
-        .cast("long")
-        .alias("bucket"),
-        F.expr("conv(substring(md5(cast(user_id as string)), 3, 15), 16, 10)")
-        .cast("long")
-        .alias("v"),
+    withday = events.select(
+        "event_type", F.date_trunc("day", col("ts")).alias("day"), "user_id"
     )
-    daily = h.groupBy("event_type", "day", "bucket").agg(
-        F.expr("MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END)").alias("mz")
-    )
+    daily = _hll_partial(withday, ["event_type", "day"], "user_id")
     daily = daily.localCheckpoint()  # feeds the bucket merge AND the day count
     merged = daily.groupBy("event_type", "bucket").agg(F.max("mz").alias("mz"))
     days = daily.groupBy("event_type").agg(F.count_distinct("day").alias("n_days"))
     s = merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(mz AS INT)) AS DECIMAL(38,0))"))
-        .cast("decimal(38,0)")
-        .alias("sum_present"),
+        F.sum(F.expr(SUM_PRESENT_SQL)).cast("decimal(38,0)").alias("sum_present"),
     ).join(broadcast(days), ["event_type"])
-    lc = ", ".join(str(x) for x in _HLL_LC)
     return s.select(
         "event_type",
         col("n_days").cast("long").alias("n_days"),
         col("n_buckets").cast("long").alias("n_buckets"),
-        F.expr(
-            f"CAST(CASE WHEN n_buckets < {_HLL_M} "
-            f"THEN element_at(array({lc}), CAST({_HLL_M} - n_buckets AS INT)) "
-            f"ELSE (CAST({_HLL_A_E3} AS DECIMAL(38,0)) * CAST(shiftleft(CAST(1 AS BIGINT), 61) AS DECIMAL(38,0))) "
-            f"div sum_present div 1000 END AS BIGINT)"
-        ).alias("est_users"),
+        _hll_estimate_expr("est_users"),
     )
