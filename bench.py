@@ -94,6 +94,10 @@ def main() -> None:
         result["docs_per_sec"] = _bench_doc_ingest(spark)
     except Exception as exc:  # corpus bench must not lose the query run
         print(f"# corpus ingest bench FAILED: {exc}", file=sys.stderr)
+    try:
+        result["ivm_rows_per_sec"] = _bench_ivm(spark)
+    except Exception as exc:  # ivm bench must not lose the query run
+        print(f"# ivm bench FAILED: {exc}", file=sys.stderr)
     # Full detail always lands on disk next to this script.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     detail = dict(result)
@@ -274,6 +278,67 @@ def _bench_oracle(reps: int) -> dict:
         timings[name] = round(best, 3)
         print(f"# oracle {name}: {timings[name]:.3f}s", file=sys.stderr)
     return {"total": round(sum(timings.values()), 3), "queries": timings}
+
+
+def _bench_ivm(spark) -> float:
+    """Incremental-view-maintenance throughput: delta rows/sec through the
+    full join->aggregate maintenance path (IncrementalJoinAggregate —
+    weighted delta join against bucket-pruned state, LSM segment append,
+    CDC-watermarked aggregate fold; two atomic commits per step). The
+    metric a 100 TB deployment actually cares about for maintained views:
+    how fast deltas flow INTO an always-fresh join+rollup, not how fast
+    the join reruns from scratch.
+
+    Drives the sf dir's customer (dimension side) and orders (fact deltas,
+    chunked into steps) tables into a per-nation order-count/cents view.
+    SPARK_GRAFT_BENCH_IVM_STEPS sets the fact chunk count (default 6);
+    =0 disables."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.operators.ivm import IncrementalJoinAggregate
+
+    n_steps = int(os.environ.get("SPARK_GRAFT_BENCH_IVM_STEPS", "6"))
+    if n_steps <= 0:
+        return 0.0
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("grp")
+    )
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("qty"),
+    )
+    n_rows = cust.count() + orders.count()
+    root = tempfile.mkdtemp(prefix="bench-ivm-")
+    try:
+        jagg = IncrementalJoinAggregate(
+            os.path.join(root, "jagg"),
+            join_keys=["k"],
+            group_keys=["grp"],
+            sum_cols=["qty"],
+        )
+        t0 = time.perf_counter()
+        jagg.apply(spark, delta_a=cust, watermark_a=0)
+        for i in range(n_steps):
+            jagg.apply(
+                spark,
+                delta_b=orders.filter(F.col("k") % n_steps == i),
+                watermark_b=i,
+            )
+        n_groups = jagg.read(spark).count()
+        dt = time.perf_counter() - t0
+        assert n_groups > 0, "ivm bench produced an empty view"
+        rps = round(n_rows / dt, 1)
+        print(
+            f"# ivm: {n_rows} delta rows through {n_steps + 1} join+agg "
+            f"maintenance steps in {dt:.2f}s = {rps} rows/sec",
+            file=sys.stderr,
+        )
+        return rps
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
