@@ -33,7 +33,7 @@ def _got(state, spark):
 
 
 def test_incremental_fold_equals_batch_query(spark, tmp_path):
-    ev = _events(spark).cache()
+    ev = _events(spark)
     state = PortableHLLState(str(tmp_path / "hll"), keys=["event_type"], id_col="user_id")
     # fold in 3 arbitrary chunks
     for i, (lo, hi) in enumerate([(0, 50), (50, 100), (100, 10**9)]):
@@ -53,7 +53,7 @@ def test_incremental_fold_equals_batch_query(spark, tmp_path):
 def test_chunking_invariance(spark, tmp_path):
     """Different chunkings land on the same state (sketch union is
     associative/commutative/idempotent)."""
-    ev = _events(spark).cache()
+    ev = _events(spark)
     a = PortableHLLState(str(tmp_path / "a"), keys=["event_type"], id_col="user_id")
     a.fold(spark, ev, watermark=0)
     b = PortableHLLState(str(tmp_path / "b"), keys=["event_type"], id_col="user_id")

@@ -37,6 +37,9 @@ def test_every_query_has_a_baseline(baseline):
 def test_plan_shapes_match_baseline(spark, baseline):
     from plan_snapshot import collect
 
+    # cached tables from earlier test modules flip scans to
+    # InMemoryRelation and change fingerprints — compare cold plans
+    spark.catalog.clearCache()
     live = collect(spark)
     diffs = {}
     for name, fp in live.items():

@@ -25,6 +25,10 @@ def n_exchanges(p: str) -> int:
 @pytest.fixture(scope="module")
 def plan(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # cached tables from earlier test modules would flip scans to
+    # InMemoryRelation (no pruning, different exchange counts) — plan
+    # assertions must see the cold-storage plan
+    spark.catalog.clearCache()
 
     def get(name: str) -> str:
         from blockchain_etl_spark.plans.registry import get_queries
@@ -711,3 +715,11 @@ def test_pareto_windows_run_on_dim_grain(plan):
     first_agg = p.find("HashAggregate")
     first_window = p.find("Window")
     assert first_agg != -1 and first_window != -1 and first_window < len(p), p
+
+
+def test_chunk_overlap_is_shuffle_free(plan):
+    # sequence+explode chunking must stay a map-side HOF: zero exchanges,
+    # the 100 TB embarrassingly-parallel contract from its docstring
+    p = plan("doc_chunk_overlap")
+    assert n_exchanges(p) == 0, p
+    assert "Generate" in p, p
