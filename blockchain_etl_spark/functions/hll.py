@@ -43,8 +43,14 @@ def value_col(id_col: str) -> Column:
 
 MAX_ZEROS_SQL = "MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END)"
 
+# One present bucket's term of the harmonic sum, scaled by 2^61:
+# 2^61 * 2^-rho = 2^(61 - mz). (An EMPTY bucket contributes 2^61 * 2^0;
+# the estimator adds those separately.) NOT 2^mz — that inversion made
+# dense-regime estimates explode by ~1e15x while the sparse linear-
+# counting branch hid it from the small-sf tests; the dense regime is now
+# pinned by tests/test_hll_state.py::test_dense_regime_estimates.
 SUM_PRESENT_SQL = (
-    "CAST(shiftleft(CAST(1 AS BIGINT), CAST(mz AS INT)) AS DECIMAL(38,0))"
+    "CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - mz AS INT)) AS DECIMAL(38,0))"
 )
 
 

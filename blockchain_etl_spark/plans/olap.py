@@ -1378,7 +1378,7 @@ from ..functions.hll import partial as _hll_partial
       FROM daily GROUP BY event_type),
     s AS (
       SELECT event_type, COUNT(*) AS n_buckets,
-             SUM(CAST(1 AS HUGEINT) << mz) AS sum_present
+             SUM(CAST(1 AS HUGEINT) << (61 - mz)) AS sum_present
       FROM merged GROUP BY event_type)
     , sj AS (SELECT s.*, days.n_days FROM s JOIN days USING (event_type))
     SELECT event_type,

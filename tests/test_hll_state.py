@@ -80,3 +80,23 @@ def test_stream_fold_equals_batch(spark, tmp_path):
     v = state.target.current_version()
     state.run_stream(spark, src + "/f*", ev.schema, str(tmp_path / "ck"))
     assert state.target.current_version() == v
+
+
+def test_dense_regime_estimates(spark, tmp_path):
+    """All 256 buckets occupied (the LogLog branch the sparse sf tables
+    never reach): the estimate must track the true cardinality within the
+    HLL error band — this branch once inverted the harmonic sum (2^mz vs
+    2^(61-mz)) and produced ~1e17 'estimates'; both engines mirrored the
+    bug so only a regime-specific bound catches it."""
+    from pyspark.sql import functions as F
+
+    n = 5000
+    ids = spark.range(n).select(
+        F.lit("t").alias("grp"), F.col("id").alias("user_id")
+    )
+    state = PortableHLLState(str(tmp_path / "dense"), keys=["grp"], id_col="user_id")
+    state.fold(spark, ids, watermark=0)
+    row = state.estimate(spark).collect()[0]
+    assert row.n_buckets == 256, row  # genuinely dense
+    err = abs(row.est_users - n) / n
+    assert err <= 0.15, (row.est_users, n, err)
