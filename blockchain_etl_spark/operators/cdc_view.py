@@ -26,7 +26,6 @@ under reordering, the same rule plans/registry.py applies to oracles.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +33,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from .merge import ParquetMergeTarget, merge_accumulate
+
+
+def weighted_group_fold(group_keys: Sequence[str], sum_cols: Sequence[str]):
+    """target ⊕ weighted-partial fold shared by every maintained aggregate
+    built on ±weighted contributions (this module's CDC views and
+    ivm.IncrementalJoinAggregate): accumulate ``__n``/sums per group, drop
+    groups whose membership cancelled to zero."""
+
+    def fold(tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
+        merged = merge_accumulate(
+            tgt, upd, keys=list(group_keys), sum_cols=["__n", *sum_cols]
+        )
+        return merged.filter(col("__n") != 0)
+
+    return fold
+
+
+def read_weighted_agg(
+    t: DataFrame | None, group_keys: Sequence[str], sum_cols: Sequence[str]
+) -> DataFrame | None:
+    """(group_keys..., n_rows, sum_cols...) projection of a weighted-agg
+    state table (the ``__n`` bookkeeping column renamed for consumers)."""
+    if t is None:
+        return None
+    return t.select(
+        *group_keys, col("__n").alias("n_rows"), *[col(c) for c in sum_cols]
+    )
 
 
 class ChangelogAggregateView:
@@ -100,28 +126,14 @@ class ChangelogAggregateView:
             out = self.target.merge_with(
                 spark,
                 partial,
-                lambda tgt, upd: self._merge(tgt, upd),
+                weighted_group_fold(self.group_keys, self.sum_cols),
                 watermark=v,
             )
         return out if out is not None else self.read(spark)
 
-    def _merge(self, tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
-        merged = merge_accumulate(
-            tgt, upd, keys=self.group_keys, sum_cols=["__n", *self.sum_cols]
-        )
-        # groups whose membership cancelled to zero leave the view entirely
-        return merged.filter(col("__n") != 0)
-
     def read(self, spark: SparkSession) -> DataFrame | None:
         """(group_keys..., n_rows, sum_cols...) — the maintained aggregate."""
-        t = self.target.read(spark)
-        if t is None:
-            return None
-        return t.select(
-            *self.group_keys,
-            col("__n").alias("n_rows"),
-            *[col(c) for c in self.sum_cols],
-        )
+        return read_weighted_agg(self.target.read(spark), self.group_keys, self.sum_cols)
 
 
 def changelog_group_counts(

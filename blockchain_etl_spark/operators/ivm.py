@@ -142,12 +142,34 @@ class IncrementalJoinView:
         else:
             want = sorted({int(x) for x in buckets})
             seg_buckets = seg_buckets or {}
-            paths = [
-                os.path.join(base, f"seg={s}", f"{_BUCKET}={b}")
-                for s in segments
-                for b in want
-                if b in set(seg_buckets.get(str(s), ()))
-            ]
+
+            def seg_bucket_set(s: int) -> set:
+                have = seg_buckets.get(str(s))
+                if have is not None:
+                    return set(have)
+                # Migration path: a manifest written before bucket lists
+                # were recorded has segments but no entry — treating it as
+                # empty would silently DROP that segment's state from the
+                # join. Derive the list with ONE directory listing per
+                # legacy segment (a LIST, not per-bucket probes; new
+                # manifests never hit this).
+                try:
+                    return {
+                        int(e.split("=", 1)[1])
+                        for e in os.listdir(os.path.join(base, f"seg={s}"))
+                        if e.startswith(f"{_BUCKET}=")
+                    }
+                except OSError:
+                    return set()
+
+            paths = []
+            for s in segments:
+                have = seg_bucket_set(s)
+                paths += [
+                    os.path.join(base, f"seg={s}", f"{_BUCKET}={b}")
+                    for b in want
+                    if b in have
+                ]
             if not paths:
                 return None
         df = spark.read.option("basePath", base).parquet(*paths)
@@ -317,7 +339,14 @@ class IncrementalJoinView:
                 raw.groupBy(*data_cols)
                 .agg(F.sum(_W).cast("long").alias(_W))
                 .filter(col(_W) != 0)
-            )
+            ).localCheckpoint()  # one fold feeds the write AND the bucket list
+            # a store whose rows fully cancel folds to EMPTY — record no
+            # segment (a partitioned write of zero rows leaves a file-less
+            # dir that poisons later reads, the same hazard apply() guards)
+            if folded.isEmpty():
+                new_segments[store] = []
+                new_buckets[store] = {}
+                continue
             new_buckets[store] = {str(seg): self._write_segment(folded, store, seg)}
             new_segments[store] = [seg]
         tmp = self._manifest_path + ".tmp"
@@ -512,16 +541,14 @@ class IncrementalJoinAggregate:
                 *[F.sum(col(c) * col(_W)).alias(c) for c in self.sum_cols],
             )
         )
+        from .cdc_view import weighted_group_fold
 
-        def fold(tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
-            from .merge import merge_accumulate
-
-            merged = merge_accumulate(
-                tgt, upd, keys=self.group_keys, sum_cols=["__n", *self.sum_cols]
-            )
-            return merged.filter(col("__n") != 0)
-
-        self.agg.merge_with(spark, partial, fold, watermark=max(pending))
+        self.agg.merge_with(
+            spark,
+            partial,
+            weighted_group_fold(self.group_keys, self.sum_cols),
+            watermark=max(pending),
+        )
 
     def compact(self, spark: SparkSession) -> None:
         """Compact the underlying view. The aggregate MUST be caught up
@@ -541,9 +568,6 @@ class IncrementalJoinAggregate:
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """(group_keys..., n_rows, sum_cols...) over the maintained join."""
-        t = self.agg.read(spark)
-        if t is None:
-            return None
-        return t.select(
-            *self.group_keys, col("__n").alias("n_rows"), *[col(c) for c in self.sum_cols]
-        )
+        from .cdc_view import read_weighted_agg
+
+        return read_weighted_agg(self.agg.read(spark), self.group_keys, self.sum_cols)

@@ -366,3 +366,42 @@ def test_continuous_streams_recover_from_restart(spark, tmp_path):
 
     got = sorted((r.k, r.av, r.bv) for r in jv.read_flat(spark).collect())
     assert got == [(1, "a1", "b1"), (2, "a2", "b2")], got
+
+
+def test_compact_with_fully_cancelled_store_is_readable(spark, ivm):
+    """A store whose rows all cancel must compact to NO segment (a
+    partitioned write of zero rows leaves a file-less dir that breaks
+    later reads), and reads/maintenance must keep working."""
+    ivm.apply(spark, _df(spark, [("k1", "a", 1)], ["k", "av", _W]),
+              _df(spark, [("k1", "b", 1)], ["k", "bv", _W]), watermark=0)
+    ivm.apply(spark, _df(spark, [("k1", "a", -1)], ["k", "av", _W]), None, watermark=1)
+    ivm.compact(spark)
+    m = ivm._manifest()
+    assert m["segments"]["a_state"] == [], m   # fully cancelled
+    assert m["segments"]["view"] == [], m      # join cancelled too
+    assert m["segments"]["b_state"], m
+    assert ivm.read(spark) is None
+    assert ivm.read(spark, "b_state") is not None
+    # maintenance continues: a fresh A row re-joins the surviving B state
+    ivm.apply(spark, _df(spark, [("k1", "a2", 1)], ["k", "av", _W]), None, watermark=2)
+    assert _view_counter(ivm.read(spark)) == {("k1", "a2", "b"): 1}
+
+
+def test_legacy_manifest_without_bucket_lists_still_joins(spark, ivm):
+    """Pre-bucket-recording manifests (segments but no 'buckets' key) must
+    not be treated as empty by the pruned read — that would silently drop
+    state from every delta join."""
+    import json as _json
+
+    ivm.apply(spark, _df(spark, [(k, f"a{k}", 1) for k in range(8)], ["k", "av", _W]),
+              _df(spark, [(k, f"b{k}", 1) for k in range(8)], ["k", "bv", _W]),
+              watermark=0)
+    # strip the bucket lists, as an old-version manifest would look
+    m = ivm._manifest()
+    del m["buckets"]
+    with open(ivm._manifest_path, "w") as f:
+        _json.dump(m, f)
+    # a delta against the legacy state must still find its join partners
+    ivm.apply(spark, _df(spark, [(3, "a3x", 1)], ["k", "av", _W]), None, watermark=1)
+    got = _view_counter(ivm.read(spark))
+    assert got[(3, "a3x", "b3")] == 1, got
