@@ -28,28 +28,81 @@ from pyspark.sql.functions import broadcast, col
 
 # fixed-point cosine machinery shared with the in-plan queries
 from ..plans.similarity import _fx_dot, _with_norm
+from .merge import ParquetMergeTarget
 
 
 class IVFIndex:
-    """cell-partitioned vector index: ``<path>/data/cell=N/`` parquet plus
-    ``<path>/centroids`` parquet."""
+    """cell-partitioned vector index: ``.../data/cell=N/`` parquet plus
+    ``.../centroids`` parquet, grouped into GENERATIONS.
+
+    A full ``build()`` is atomic: it writes a complete new generation
+    directory (centroids + data + a fresh id inventory) and publishes it
+    with one pointer flip (``_gen.json``) — a crash anywhere mid-rebuild
+    leaves the previous generation fully intact and serving, instead of a
+    wiped data dir pointing nowhere (write-audit-publish, the same
+    contract the upsert path keeps via the inventory merge commit).
+    Generation 0 is the legacy flat layout (``<path>/data`` etc.), so
+    pre-generation indexes keep working unchanged."""
 
     def __init__(self, path: str):
         self.path = path
 
+    # -- generation pointer -------------------------------------------------
+    @property
+    def _gen_pointer(self) -> str:
+        return os.path.join(self.path, "_gen.json")
+
+    def _gen(self) -> int:
+        import json
+
+        try:
+            with open(self._gen_pointer) as f:
+                return int(json.load(f)["gen"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return 0
+
+    def _gen_dir(self, gen: int) -> str:
+        return self.path if gen == 0 else os.path.join(self.path, f"gen={gen}")
+
+    def _publish_gen(self, gen: int) -> None:
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._gen_pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"gen": gen}, f)
+        os.replace(tmp, self._gen_pointer)  # the rebuild's single commit point
+
     @property
     def _data(self) -> str:
-        return os.path.join(self.path, "data")
+        return os.path.join(self._gen_dir(self._gen()), "data")
 
     @property
     def _centroids(self) -> str:
-        return os.path.join(self.path, "centroids")
+        return os.path.join(self._gen_dir(self._gen()), "centroids")
 
     def build(
         self, spark: SparkSession, vectors: DataFrame, n_cells: int = 8
     ) -> None:
         """``vectors``: (vec_id, embedding). Deterministic build — same
-        corpus in, same index out, no RNG."""
+        corpus in, same index out, no RNG.
+
+        The rebuild lands in a FRESH generation directory (centroids,
+        data, id inventory) and only the final pointer flip makes it
+        live: a crash before the flip leaves the previous index serving,
+        never a wiped-data/dangling-inventory hybrid. The fresh inventory
+        also means a rebuild structurally supersedes all prior upserts
+        (no cross-generation seg arithmetic); upsert watermarks restart
+        with the new generation — resume post-rebuild upserts with
+        watermarks from the rebuild's snapshot, not the old stream's."""
+        import shutil
+
+        old_gen = self._gen()
+        new_gen = old_gen + 1
+        gdir = self._gen_dir(new_gen)
+        cent_path = os.path.join(gdir, "centroids")
+        data_path = os.path.join(gdir, "data")
+
         corpus = _with_norm(vectors.select("vec_id", "embedding"), "embedding", "nrm")
         # RNG-free uniform centroid sample: smallest md5(vec_id) wins.
         # TakeOrderedAndProject (per-partition top-k) — no global sort.
@@ -60,39 +113,40 @@ class IVFIndex:
             .withColumn("cell", F.row_number().over(Window.orderBy("__r")) - 1)
             .select("cell", col("embedding").alias("cvec"), col("nrm").alias("cnrm"))
         )
-        cent.coalesce(1).write.mode("overwrite").parquet(self._centroids)
+        cent.coalesce(1).write.mode("overwrite").parquet(cent_path)
 
-        cent_r = spark.read.parquet(self._centroids)
-        inv = self._inventory()
-        # Rebuild rows are stamped with seg = the inventory's CURRENT
-        # version, which is strictly greater than every previously stored
-        # seg (each past write used seg = version-before-its-merge). A
-        # rebuild over a previously-upserted index therefore supersedes
-        # the old inventory entries instead of losing to them in the
-        # order=["seg"] merge. Ids absent from the rebuilt corpus may
-        # linger in the inventory, but the staleness filter is an INNER
-        # join against data — entries with no data rows serve nothing.
-        seg_val = int(inv.current_version())
+        cent_r = spark.read.parquet(cent_path)
         assigned = self._nearest_cells(corpus, cent_r, 1).select(
-            "vec_id", "embedding", "nrm", "cell", F.lit(seg_val).cast("long").alias("seg")
+            "vec_id", "embedding", "nrm", "cell", F.lit(0).cast("long").alias("seg")
         )
         # one shuffle on cell → one directory per cell, clustered files
         assigned.repartition("cell").write.mode("overwrite").partitionBy(
             "cell", "seg"
-        ).parquet(self._data)
+        ).parquet(data_path)
+        inv = ParquetMergeTarget(os.path.join(gdir, "id_inventory"))
         inv.merge(
             spark,
             assigned.select("vec_id", "seg", "cell"),
             keys=["vec_id"],
             order=["seg"],
         )
+        self._publish_gen(new_gen)
+        # retired generation: best-effort reclaim (readers in flight on
+        # the old snapshot simply finish; a crashed cleanup only leaks
+        # disk, never correctness)
+        if old_gen == 0:
+            for sub in ("data", "centroids", "id_inventory"):
+                shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+        else:
+            shutil.rmtree(self._gen_dir(old_gen), ignore_errors=True)
 
     def _inventory(self):
-        """vec_id → (latest seg, cell): the staleness ledger incremental
-        upserts maintain (ParquetMergeTarget, watermark-guarded)."""
-        from .merge import ParquetMergeTarget
-
-        return ParquetMergeTarget(os.path.join(self.path, "id_inventory"))
+        """vec_id → (latest seg, cell) for the CURRENT generation: the
+        staleness ledger incremental upserts maintain (ParquetMergeTarget,
+        watermark-guarded)."""
+        return ParquetMergeTarget(
+            os.path.join(self._gen_dir(self._gen()), "id_inventory")
+        )
 
     def upsert(
         self, spark: SparkSession, vectors: DataFrame, watermark: int | None = None

@@ -219,3 +219,44 @@ def test_crashed_upsert_replay_serves_no_duplicates(spark, tmp_path):
     dupes = {k: v for k, v in Counter((r.qid, r.neighbor_id) for r in got).items() if v > 1}
     assert not dupes, dupes
     assert any(r.neighbor_id >= 40 for r in got), "replayed batch never published"
+
+
+def test_crashed_rebuild_keeps_old_index_serving(spark, tmp_path):
+    """A rebuild that dies before its generation pointer flips must leave
+    the previous index fully intact and serving — never a wiped data dir
+    with a dangling inventory."""
+    from blockchain_etl_spark.operators import merge as merge_mod
+
+    emb = _emb(spark)
+    half = emb.filter(col("vec_id") < 40)
+    idx = IVFIndex(str(tmp_path / "ivf_genc"))
+    idx.build(spark, half, n_cells=N_CELLS)
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    before = {(r.qid, r.neighbor_id) for r in idx.query(spark, queries, k=K, probes=N_CELLS).collect()}
+    assert before
+
+    real_merge = merge_mod.ParquetMergeTarget.merge
+
+    def crashing_merge(self, *a, **kw):
+        raise RuntimeError("simulated crash before generation publish")
+
+    merge_mod.ParquetMergeTarget.merge = crashing_merge
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            idx.build(spark, emb, n_cells=N_CELLS)
+    finally:
+        merge_mod.ParquetMergeTarget.merge = real_merge
+
+    # old generation still live and identical
+    after = {(r.qid, r.neighbor_id) for r in idx.query(spark, queries, k=K, probes=N_CELLS).collect()}
+    assert after == before
+
+    # the retried rebuild publishes and serves the full corpus
+    idx.build(spark, emb, n_cells=N_CELLS)
+    got = idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    assert any(r.neighbor_id >= 40 for r in got)
