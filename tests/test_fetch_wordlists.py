@@ -81,3 +81,26 @@ def test_plaintext_fallback_url_shape(tmp_path, monkeypatch):
     monkeypatch.setattr(fw, "LOCK_PATH", str(tmp_path / "lock2.json"))
     sums_json = fw.fetch_all(str(tmp_path / "wl3"), fetcher=_fake_fetcher(_payloads_json()))
     assert sums == sums_json
+
+
+def test_bad_first_url_falls_through_to_next(tmp_path, monkeypatch):
+    """A malformed first candidate (restructured JSON, stub file) must try
+    the documented fallback URL, not abort the fetch."""
+    monkeypatch.setattr(fw, "LOCK_PATH", str(tmp_path / "lock.json"))
+
+    plain = {
+        "adjectives.txt": ("\n".join(WORDS) + "\n").encode(),
+        "colors.txt": ("\n".join(WORDS[:24]) + "\n").encode(),
+        "animals.txt": ("\n".join(WORDS[:20]) + "\n").encode(),
+    }
+
+    def fetch(url):
+        if "angry-purple-tiger/master/wordlists" in url:
+            return b'{"not": "a flat array"}'  # first candidate broken
+        for fname, raw in plain.items():
+            if fname.split(".")[0] in url:
+                return raw
+        raise OSError(f"404 {url}")
+
+    sums = fw.fetch_all(str(tmp_path / "wl"), fetcher=fetch)
+    assert set(sums) == {"adjectives.txt", "colors.txt", "animals.txt"}

@@ -50,6 +50,11 @@ UPSTREAM = {
 LOCK_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "wordlists.lock.json")
 
 
+class PinMismatchError(ValueError):
+    """Fetched content does not match the recorded sha256 pin — the only
+    failure that must abort instead of falling through to the next URL."""
+
+
 def _to_lines(raw: bytes) -> list[str]:
     """Normalize either a JSON array of words or a plain one-per-line file."""
     text = raw.decode("utf-8")
@@ -97,7 +102,7 @@ def fetch_all(dest: str, fetcher=_default_fetcher) -> dict:
                 digest = hashlib.sha256(payload).hexdigest()
                 pinned = lock.get(fname)
                 if pinned and pinned != digest:
-                    raise ValueError(
+                    raise PinMismatchError(
                         f"{fname}: sha256 {digest} does not match pinned {pinned} "
                         f"(upstream changed, or a tampered mirror) — refusing"
                     )
@@ -105,9 +110,9 @@ def fetch_all(dest: str, fetcher=_default_fetcher) -> dict:
                     f.write(payload)
                 out[fname] = digest
                 break
-            except ValueError:
-                raise
-            except Exception as e:  # URL missing / network error: try next
+            except PinMismatchError:
+                raise  # integrity failure: never fall through to a mirror
+            except Exception as e:  # URL missing / bad shape / network: try next
                 last_err = e
         else:
             raise RuntimeError(f"no candidate URL worked for {fname}: {last_err}")
