@@ -22,6 +22,13 @@ Scale shape: one fold costs O(changelog batch) + one merge on the group
 key — never a source-table scan. Sum columns must be exact types (integer
 / decimal): float sums would drift between the incremental and batch forms
 under reordering, the same rule plans/registry.py applies to oracles.
+
+Only RETRACTABLE aggregates (count, sum — group-commutative) can be
+maintained from deltas alone: deleting the current MAX of a group cannot
+be folded without re-reading the group's surviving rows, so min/max
+views need either the source table (ContinuousAggregate's touched-bucket
+refold, operators/rollup.py) or a sketch that absorbs deletes. This
+class enforces the constraint by construction (counts + sums only).
 """
 
 from __future__ import annotations
