@@ -28,58 +28,32 @@ from pyspark.sql.functions import broadcast, col
 
 # fixed-point cosine machinery shared with the in-plan queries
 from ..plans.similarity import _fx_dot, _with_norm
+from .generations import GenerationalLayout
 from .merge import ParquetMergeTarget
 
 
-class IVFIndex:
+class IVFIndex(GenerationalLayout):
     """cell-partitioned vector index: ``.../data/cell=N/`` parquet plus
-    ``.../centroids`` parquet, grouped into GENERATIONS.
-
-    A full ``build()`` is atomic: it writes a complete new generation
-    directory (centroids + data + a fresh id inventory) and publishes it
-    with one pointer flip (``_gen.json``) — a crash anywhere mid-rebuild
+    ``.../centroids`` parquet, grouped into GENERATIONS
+    (operators/generations.py): a full ``build()`` writes a complete new
+    generation directory (centroids + data + a fresh id inventory) and
+    publishes it with one pointer flip — a crash anywhere mid-rebuild
     leaves the previous generation fully intact and serving, instead of a
     wiped data dir pointing nowhere (write-audit-publish, the same
-    contract the upsert path keeps via the inventory merge commit).
-    Generation 0 is the legacy flat layout (``<path>/data`` etc.), so
-    pre-generation indexes keep working unchanged."""
+    contract the upsert path keeps via the inventory merge commit)."""
+
+    _LEGACY_STORES = ("data", "centroids", "id_inventory")
 
     def __init__(self, path: str):
         self.path = path
 
-    # -- generation pointer -------------------------------------------------
-    @property
-    def _gen_pointer(self) -> str:
-        return os.path.join(self.path, "_gen.json")
-
-    def _gen(self) -> int:
-        import json
-
-        try:
-            with open(self._gen_pointer) as f:
-                return int(json.load(f)["gen"])
-        except (OSError, ValueError, KeyError, TypeError):
-            return 0
-
-    def _gen_dir(self, gen: int) -> str:
-        return self.path if gen == 0 else os.path.join(self.path, f"gen={gen}")
-
-    def _publish_gen(self, gen: int) -> None:
-        import json
-
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._gen_pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"gen": gen}, f)
-        os.replace(tmp, self._gen_pointer)  # the rebuild's single commit point
-
     @property
     def _data(self) -> str:
-        return os.path.join(self._gen_dir(self._gen()), "data")
+        return self._store("data")
 
     @property
     def _centroids(self) -> str:
-        return os.path.join(self._gen_dir(self._gen()), "centroids")
+        return self._store("centroids")
 
     def build(
         self, spark: SparkSession, vectors: DataFrame, n_cells: int = 8
@@ -95,8 +69,6 @@ class IVFIndex:
         (no cross-generation seg arithmetic); upsert watermarks restart
         with the new generation — resume post-rebuild upserts with
         watermarks from the rebuild's snapshot, not the old stream's."""
-        import shutil
-
         old_gen = self._gen()
         new_gen = old_gen + 1
         gdir = self._gen_dir(new_gen)
@@ -131,22 +103,13 @@ class IVFIndex:
             order=["seg"],
         )
         self._publish_gen(new_gen)
-        # retired generation: best-effort reclaim (readers in flight on
-        # the old snapshot simply finish; a crashed cleanup only leaks
-        # disk, never correctness)
-        if old_gen == 0:
-            for sub in ("data", "centroids", "id_inventory"):
-                shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
-        else:
-            shutil.rmtree(self._gen_dir(old_gen), ignore_errors=True)
+        self._retire_gen(old_gen, self._LEGACY_STORES)
 
     def _inventory(self):
         """vec_id → (latest seg, cell) for the CURRENT generation: the
         staleness ledger incremental upserts maintain (ParquetMergeTarget,
         watermark-guarded)."""
-        return ParquetMergeTarget(
-            os.path.join(self._gen_dir(self._gen()), "id_inventory")
-        )
+        return ParquetMergeTarget(self._store("id_inventory"))
 
     def upsert(
         self, spark: SparkSession, vectors: DataFrame, watermark: int | None = None

@@ -43,23 +43,39 @@ from ..plans.similarity import (
     pq_subvectors_from,
 )
 from .ann_index import IVFIndex
+from .generations import GenerationalLayout
 
 _FP = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
 
-class IVFPQIndex:
-    """Cell-partitioned PQ-compressed ANN index with an exact-rerank store."""
+class IVFPQIndex(GenerationalLayout):
+    """Cell-partitioned PQ-compressed ANN index with an exact-rerank store.
+
+    The four stores (centroids, codebook, codes, vectors) are rebuilt
+    into a fresh GENERATION directory and published with one pointer flip
+    (operators/generations.py) — without it, a crash between the
+    sequential store writes serves a hybrid index (new centroids against
+    old codes), which is silently wrong rather than merely stale."""
+
+    _LEGACY_STORES = ("centroids", "codebook", "codes", "vectors")
 
     def __init__(self, path: str):
         self.path = path
 
     def _p(self, name: str) -> str:
-        return os.path.join(self.path, name)
+        return self._store(name)
 
     def build(
         self, spark: SparkSession, vectors: DataFrame, n_cells: int = 8
     ) -> None:
-        """``vectors``: (vec_id, embedding). Deterministic build."""
+        """``vectors``: (vec_id, embedding). Deterministic build, atomic
+        at the generation-pointer flip."""
+        old_gen = self._gen()
+        gdir = self._gen_dir(old_gen + 1)
+
+        def _np(name: str) -> str:  # store path in the NEW generation
+            return os.path.join(gdir, name)
+
         corpus = _with_norm(
             vectors.select("vec_id", "embedding"), "embedding", "nrm"
         ).withColumn("vf", F.expr(_FP))
@@ -71,8 +87,8 @@ class IVFPQIndex:
             .withColumn("cell", F.row_number().over(Window.orderBy("__r")) - 1)
             .select("cell", col("embedding").alias("cvec"), col("nrm").alias("cnrm"))
         )
-        cent.coalesce(1).write.mode("overwrite").parquet(self._p("centroids"))
-        cent_r = spark.read.parquet(self._p("centroids"))
+        cent.coalesce(1).write.mode("overwrite").parquet(_np("centroids"))
+        cent_r = spark.read.parquet(_np("centroids"))
 
         # PQ codebook: subvectors of the k smallest-md5 vectors, codes
         # 0..K-1 in md5 order (deterministic; corpus ids are arbitrary so
@@ -87,8 +103,8 @@ class IVFPQIndex:
         codebook = pq_subvectors_from(
             seeds.select(col("code").alias("vec_id"), "vf")
         ).select("sub", col("vec_id").alias("code"), col("subvec").alias("cvec"))
-        codebook.coalesce(1).write.mode("overwrite").parquet(self._p("codebook"))
-        codebook_r = spark.read.parquet(self._p("codebook"))
+        codebook.coalesce(1).write.mode("overwrite").parquet(_np("codebook"))
+        codebook_r = spark.read.parquet(_np("codebook"))
 
         # _nearest_cells projects the scoring columns only — re-derive the
         # fixed-point vector from the surviving embedding column
@@ -112,12 +128,14 @@ class IVFPQIndex:
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(self._p("codes"))
+            .parquet(_np("codes"))
         )
         # exact-rerank store: fixed-point vectors, same partitioning
         assigned.select("vec_id", "vf", "cell").repartition("cell").write.mode(
             "overwrite"
-        ).partitionBy("cell").parquet(self._p("vectors"))
+        ).partitionBy("cell").parquet(_np("vectors"))
+        self._publish_gen(old_gen + 1)  # all four stores flip together
+        self._retire_gen(old_gen, self._LEGACY_STORES)
 
     def _pruned(self, spark: SparkSession, name: str, cells: "list[int]") -> DataFrame:
         base = self._p(name)

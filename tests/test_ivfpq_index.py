@@ -101,3 +101,41 @@ def test_rerank_store_agrees_with_codes_partitioning(spark, tmp_path):
     cc = {(r.vec_id, r.cell) for r in c.select("vec_id", "cell").collect()}
     vv = {(r.vec_id, r.cell) for r in v.select("vec_id", "cell").collect()}
     assert cc == vv and len(cc) == 200
+
+
+def test_crashed_rebuild_serves_previous_generation(spark, tmp_path):
+    """A rebuild that dies before the generation pointer flips (e.g. after
+    writing new centroids/codebook but before the stores complete) must
+    leave the previous index serving identical results — never a hybrid of
+    new and old stores."""
+    from pyspark.sql.functions import col as _col
+
+    from blockchain_etl_spark.operators.ivfpq_index import IVFPQIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select("vec_id", "embedding")
+    half = emb.filter(_col("vec_id") < 40)
+    idx = IVFPQIndex(str(tmp_path / "pq_gen"))
+    idx.build(spark, half, n_cells=4)
+
+    queries = emb.filter(_col("vec_id") < 5).select(_col("vec_id").alias("qid"), "embedding")
+    before = {(r.qid, r.neighbor_id, r.rank) for r in idx.query(spark, queries, k=3, probes=4).collect()}
+    assert before
+
+    real = IVFPQIndex._publish_gen
+    IVFPQIndex._publish_gen = lambda self, gen: (_ for _ in ()).throw(
+        RuntimeError("simulated crash before publish")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            idx.build(spark, emb, n_cells=4)
+    finally:
+        IVFPQIndex._publish_gen = real
+
+    after = {(r.qid, r.neighbor_id, r.rank) for r in idx.query(spark, queries, k=3, probes=4).collect()}
+    assert after == before
+    # retried rebuild publishes the full corpus
+    idx.build(spark, emb, n_cells=4)
+    got = idx.query(spark, queries, k=50, probes=4).collect()
+    assert any(r.neighbor_id >= 40 for r in got)
