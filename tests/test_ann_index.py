@@ -260,3 +260,27 @@ def test_crashed_rebuild_keeps_old_index_serving(spark, tmp_path):
     idx.build(spark, emb, n_cells=N_CELLS)
     got = idx.query(spark, queries, k=K, probes=N_CELLS).collect()
     assert any(r.neighbor_id >= 40 for r in got)
+
+
+def test_upsert_after_rebuild_lands_in_new_generation(spark, tmp_path):
+    """Post-rebuild upserts fold into the NEW generation's inventory and
+    data (watermarks restart with the generation, per build()'s
+    docstring) — and staleness filtering keeps working across them."""
+    emb = _emb(spark)
+    idx = IVFIndex(str(tmp_path / "ivf_genup"))
+    idx.build(spark, emb.filter(col("vec_id") < 30), n_cells=N_CELLS)
+    assert idx.upsert(spark, emb.filter((col("vec_id") >= 30) & (col("vec_id") < 40)), watermark=1)
+    idx.build(spark, emb.filter(col("vec_id") < 50), n_cells=N_CELLS)  # rebuild: gen+1
+
+    # fresh-generation watermark: the same watermark value is NEW again
+    assert idx.upsert(spark, emb.filter(col("vec_id") >= 50), watermark=1)
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=200, probes=N_CELLS).collect()
+    from collections import Counter
+
+    dupes = {k: v for k, v in Counter((r.qid, r.neighbor_id) for r in got).items() if v > 1}
+    assert not dupes, dupes
+    ids = {r.neighbor_id for r in got}
+    assert any(i >= 50 for i in ids) and any(i < 50 for i in ids)
