@@ -143,6 +143,36 @@ class ChangelogAggregateView:
         return read_weighted_agg(self.target.read(spark), self.group_keys, self.sum_cols)
 
 
+def follow(
+    view: "ChangelogAggregateView",
+    spark: SparkSession,
+    source: ParquetMergeTarget,
+    poll_interval_s: float = 1.0,
+    max_idle_polls: int = 3,
+) -> int:
+    """The T6 periodic-tick form of consumption: poll the source's
+    published version and fold anything new, until the source stays quiet
+    for ``max_idle_polls`` consecutive polls. Returns the number of
+    versions folded. Crash-safe for free — every fold is watermarked, so
+    a restarted follower resumes from ``folded_version()``; in production
+    the loop body runs under any scheduler (cron, Trigger.ProcessingTime)
+    exactly like streaming/jobs.py's micro-jobs."""
+    import time
+
+    folded = 0
+    idle = 0
+    while idle < max_idle_polls:
+        behind = source.current_version() - view.folded_version()
+        if behind > 0:
+            view.fold(spark, source)
+            folded += behind
+            idle = 0
+        else:
+            idle += 1
+            time.sleep(poll_interval_s)
+    return folded
+
+
 def changelog_group_counts(
     spark: SparkSession,
     source: ParquetMergeTarget,

@@ -83,3 +83,32 @@ def test_missing_changelog_is_an_error(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no changelog segment"):
         view.fold(spark, t)
+
+
+def test_follow_tracks_a_live_writer(spark, tmp_path):
+    """The polling follower must absorb merges that land WHILE it runs and
+    settle on the recompute state (the T6 tick form of consumption)."""
+    import threading
+    import time
+
+    from blockchain_etl_spark.operators.cdc_view import follow
+
+    t = ParquetMergeTarget(str(tmp_path / "live"))
+    view = ChangelogAggregateView(str(tmp_path / "lview"), group_keys=("grp",), sum_cols=("qty",))
+    _merge_state(t, spark, STATES[0], wm=0)
+
+    def writer():
+        for i, rows in enumerate(STATES[1:], start=1):
+            time.sleep(0.4)
+            _merge_state(t, spark, rows, wm=i)
+
+    w = threading.Thread(target=writer)
+    w.start()
+    folded = follow(view, spark, t, poll_interval_s=0.3, max_idle_polls=6)
+    w.join()
+    # the follower may settle before the last write in rare scheduling; one
+    # final catch-up tick makes the assertion about CORRECTNESS, not timing
+    view.fold(spark, t)
+    assert folded >= 1
+    assert view.folded_version() == t.current_version()
+    assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())
