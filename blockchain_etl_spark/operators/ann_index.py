@@ -195,13 +195,19 @@ class IVFIndex(GenerationalLayout):
         # staleness filter: an upserted vector's older copies (possibly in
         # other cells) are superseded — keep only rows matching the
         # inventory's latest (seg, cell) per vec_id. Candidate-sized join.
+        # BOTH coordinates matter: the dynamic-partition-overwrite replay
+        # argument in upsert() covers bit-identical retries only, so a
+        # crashed batch retried with CHANGED content can leave an orphan
+        # (old cell, same seg) row — a seg-only filter would serve it.
         inv_df = self._inventory().read(spark)
         if inv_df is not None and "seg" in data.columns:
-            latest = inv_df.select("vec_id", col("seg").alias("__latest"))
+            latest = inv_df.select(
+                "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
+            )
             data = (
                 data.join(latest, ["vec_id"])
-                .filter(col("seg") == col("__latest"))
-                .drop("__latest")
+                .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
+                .drop("__lseg", "__lcell")
             )
         qside = q.select(
             col("vec_id").alias("qid"), col("embedding").alias("qe"), col("nrm").alias("qnrm")

@@ -84,6 +84,18 @@ class ChangelogAggregateView:
 
     def _delta_partial(self, log: DataFrame) -> DataFrame:
         """Changelog rows → one weighted partial row per touched group."""
+        # Update retractions read sum values from the __before image, and
+        # merge KEYS are never in it (they sit at top level and cannot
+        # change in an update) — so a sum_col that is also a merge key
+        # cannot be maintained. Fail with the real reason instead of an
+        # unresolved-column analysis error deep in the select.
+        bad = [c for c in self.sum_cols if c not in self._before_fields(log)]
+        if bad:
+            raise ValueError(
+                f"sum_cols {bad} are changelog merge keys (absent from the "
+                "__before image) — a merge key identifies rows and cannot "
+                "be a maintained sum column; aggregate a data column instead"
+            )
         after = log.filter(col("__op").isin("insert", "update")).select(
             *[col(k) for k in self.group_keys],
             F.lit(1).cast("long").alias("__w"),
@@ -113,6 +125,40 @@ class ChangelogAggregateView:
     def _before_fields(self, log: DataFrame) -> set:
         (f,) = [f for f in log.schema.fields if f.name == "__before"]
         return {sf.name for sf in f.dataType.fields}
+
+    def seed(
+        self, spark: SparkSession, snapshot: DataFrame | None, watermark: int
+    ) -> None:
+        """One-time (re)initialization from a SOURCE SNAPSHOT instead of
+        CDC: for when the changelog segments covering
+        (folded_version, watermark] do not exist — the source merged
+        versions before changelog_keys was enabled, or vacuum() dropped
+        segments past the view's lag. Replaces the whole view state with
+        the snapshot's aggregate, watermarked at the snapshot's version,
+        so the next fold() resumes CDC-only from ``watermark + 1``. Costs
+        one source scan — the price of not having the changelogs — which
+        is exactly what it replaces (a wedged ValueError loop)."""
+        if snapshot is None:
+            raise ValueError(
+                "nothing to seed from: the source has no published state"
+            )
+        agg = snapshot.groupBy(*self.group_keys).agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[F.sum(col(c)).alias(c) for c in self.sum_cols],
+        )
+        self.target.merge_with(spark, agg, lambda _t, u: u, watermark=watermark)
+
+    def catch_up(self, spark: SparkSession, source: ParquetMergeTarget) -> DataFrame | None:
+        """fold(), but self-healing: if the next needed changelog segment
+        is missing (CDC enabled mid-life, or vacuumed past our lag),
+        re-seed from the source's current snapshot instead of wedging the
+        caller with a ValueError."""
+        nxt = self.folded_version() + 1
+        cur = source.current_version()
+        if nxt <= cur and source.read_changelog(spark, nxt) is None:
+            self.seed(spark, source.read(spark), watermark=cur)
+            return self.read(spark)
+        return self.fold(spark, source)
 
     def fold(self, spark: SparkSession, source: ParquetMergeTarget, upto: int | None = None) -> DataFrame | None:
         """Fold every unseen changelog version (folded_version, upto] into
@@ -162,10 +208,14 @@ def follow(
     folded = 0
     idle = 0
     while idle < max_idle_polls:
-        behind = source.current_version() - view.folded_version()
-        if behind > 0:
+        if source.current_version() > view.folded_version():
+            # count from the view's own watermark, not the pre-fold gap:
+            # fold() catches up to the source's CURRENT version at fold
+            # time, so a writer advancing between the poll and the fold
+            # would otherwise be folded-but-uncounted.
+            before = view.folded_version()
             view.fold(spark, source)
-            folded += behind
+            folded += view.folded_version() - before
             idle = 0
         else:
             idle += 1

@@ -68,10 +68,11 @@ def register(
 # every run. The ordering is a HYBRID of coverage-first and rotation:
 #
 # 1. Queries with NO fully-verified driver row yet (no CORRECTNESS_r*.json
-#    entry with hash_match=true — includes brand-new queries and the
-#    rows-only sketches, whose weaker check never sets hash_match) sort
-#    FIRST, so every query earns driver evidence within one round of
-#    being added instead of waiting ~N/window rounds of blind rotation.
+#    entry with hash_match=true — i.e. brand-new queries) sort FIRST,
+#    CAPPED at half the driver's window: every query earns driver evidence
+#    within a round or two of being added, while previously-green queries
+#    keep guaranteed re-verification slots even when many new queries land
+#    at once.
 # 2. Within each group, names rotate by md5(f"{round}:{name}") where
 #    `round` is inferred from the number of CORRECTNESS_r*.json artifacts
 #    already written — previously-green queries keep re-entering the
@@ -110,18 +111,27 @@ def _driver_verified() -> set[str]:
     return verified
 
 
+# The driver verifies a ~50-query window; at most HALF of it is ceded to
+# the never-verified priority group, so previously-green queries are
+# guaranteed re-verification slots every round even when a large batch of
+# new queries lands at once (otherwise a big unverified group would fill
+# the whole window and regressions in greens could hide indefinitely).
+_WINDOW = 50
+
+
 def _ordered_names() -> list[str]:
     import hashlib
 
     rnd = _round_index()
     verified = _driver_verified()
-    return sorted(
-        QUERIES,
-        key=lambda n: (
-            n in verified,  # never-verified first
-            hashlib.md5(f"{rnd}:{n}".encode()).hexdigest(),
-        ),
-    )
+
+    def rot(n: str) -> str:
+        return hashlib.md5(f"{rnd}:{n}".encode()).hexdigest()
+
+    unverified = sorted((n for n in QUERIES if n not in verified), key=rot)
+    head, overflow = unverified[: _WINDOW // 2], unverified[_WINDOW // 2 :]
+    rest = sorted([n for n in QUERIES if n in verified] + overflow, key=rot)
+    return head + rest
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

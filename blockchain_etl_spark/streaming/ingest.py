@@ -281,7 +281,14 @@ class BlockIngest:
                     )
                 if self.maintain_stats:
                     for name in ("accounts", *INVENTORIES):
-                        self._stats_view(name).fold(
+                        # catch_up, not fold: enabling maintain_stats on a
+                        # directory whose inventories already merged
+                        # versions WITHOUT changelog_keys (or whose
+                        # vacuum() outran the view) must seed the view
+                        # from a one-time snapshot count — a bare fold()
+                        # raises on the missing changelog segment and
+                        # wedges ingestion.
+                        self._stats_view(name).catch_up(
                             batch.sparkSession, self.inventory_target(name)
                         )
             if bounds.hi > stored:

@@ -284,3 +284,69 @@ def test_upsert_after_rebuild_lands_in_new_generation(spark, tmp_path):
     assert not dupes, dupes
     ids = {r.neighbor_id for r in got}
     assert any(i >= 50 for i in ids) and any(i < 50 for i in ids)
+
+
+def test_crashed_upsert_retried_with_changed_content_leaves_no_orphan(spark, tmp_path):
+    """Crash between the data write and the inventory merge, then retry
+    the SAME batch with CHANGED content (re-crawl raced the retry): a
+    vec_id whose retry landed in a different cell leaves an orphan
+    cell=OLD/seg=N row on disk — dynamic partition overwrite only rewrote
+    the retry's partitions. The staleness filter must match the inventory
+    on BOTH (seg, cell), so the orphan is never served."""
+    from blockchain_etl_spark.operators import merge as merge_mod
+
+    emb = _emb(spark).cache()
+    base = emb.filter(col("vec_id") < 40)
+    idx = IVFIndex(str(tmp_path / "ivf_retry"))
+    idx.build(spark, base, n_cells=N_CELLS)
+
+    # craft two versions of vec 500 that land in DIFFERENT cells: each
+    # copies a distinct existing vector whose cells differ.
+    data = spark.read.option("basePath", idx._data).parquet(idx._data)
+    cells = {r.vec_id: r.cell for r in data.select("vec_id", "cell").collect()}
+    a, b = None, None
+    for vid, c in sorted(cells.items()):
+        if a is None:
+            a = (vid, c)
+        elif c != a[1]:
+            b = (vid, c)
+            break
+    assert b is not None, "corpus landed in one cell; widen n_cells"
+
+    def as_500(src_vid):
+        return emb.filter(col("vec_id") == src_vid).select(
+            F.lit(500).cast("long").alias("vec_id"), "embedding"
+        )
+
+    real_merge = merge_mod.ParquetMergeTarget.merge
+
+    def crashing_merge(self, *args, **kw):
+        raise RuntimeError("simulated crash before inventory publish")
+
+    merge_mod.ParquetMergeTarget.merge = crashing_merge
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            idx.upsert(spark, as_500(a[0]), watermark=1)  # lands cell a
+    finally:
+        merge_mod.ParquetMergeTarget.merge = real_merge
+
+    # retry with changed content → lands cell b; cell a keeps the orphan
+    assert idx.upsert(spark, as_500(b[0]), watermark=1)
+
+    queries = emb.filter(col("vec_id").isin(a[0], b[0])).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=200, probes=N_CELLS).collect()
+    from collections import Counter
+
+    hits = Counter((r.qid, r.neighbor_id) for r in got if r.neighbor_id == 500)
+    assert all(v == 1 for v in hits.values()), hits
+    # the served copy is the RETRY's content: identical to donor b, so
+    # cosine vs b's own embedding is ~1; vs donor a it must NOT be ~1
+    for r in got:
+        if r.neighbor_id == 500 and r.qid == b[0]:
+            assert r.cosine > 0.999, r
+        if r.neighbor_id == 500 and r.qid == a[0]:
+            assert r.cosine < 0.999, r

@@ -112,3 +112,77 @@ def test_follow_tracks_a_live_writer(spark, tmp_path):
     assert folded >= 1
     assert view.folded_version() == t.current_version()
     assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())
+
+
+def test_catch_up_seeds_when_changelogs_predate_cdc(spark, tmp_path):
+    """Enabling a view on a source that merged versions WITHOUT
+    changelog_keys must seed from a snapshot (not wedge with ValueError),
+    then resume CDC-only folds for subsequent versions."""
+    t = ParquetMergeTarget(str(tmp_path / "seed_src"))
+    # two pre-CDC versions: no changelog segments exist for them
+    for i, rows in enumerate(STATES[:2]):
+        upd = spark.createDataFrame(rows, ["id", "grp", "qty"])
+        t.merge_with(spark, upd, lambda tgt, u: u, watermark=i)
+    view = ChangelogAggregateView(
+        str(tmp_path / "seed_view"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    view.catch_up(spark, t)  # seeds from the v=2 snapshot
+    assert view.folded_version() == t.current_version()
+    assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())
+    # CDC turned on from here: catch_up folds incrementally (no re-seed —
+    # the view version advances by exactly one per source version)
+    for i, rows in enumerate(STATES[2:], start=2):
+        _merge_state(t, spark, rows, wm=i)
+        before = view.target.current_version()
+        view.catch_up(spark, t)
+        assert view.target.current_version() == before + 1
+        assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())
+
+
+def test_catch_up_reseeds_after_vacuum_outran_the_view(spark, tmp_path):
+    """vacuum() dropping changelog segments the view has not folded yet
+    must re-seed instead of wedging."""
+    t = ParquetMergeTarget(str(tmp_path / "vac_src"))
+    view = ChangelogAggregateView(
+        str(tmp_path / "vac_view"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    _merge_state(t, spark, STATES[0], wm=0)
+    view.catch_up(spark, t)
+    for i, rows in enumerate(STATES[1:], start=1):
+        _merge_state(t, spark, rows, wm=i)
+    t.vacuum(keep_last=1)  # drops the changelogs the lagging view needs
+    view.catch_up(spark, t)
+    assert view.folded_version() == t.current_version()
+    assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())
+
+
+def test_sum_col_that_is_a_merge_key_raises_clearly(spark, tmp_path):
+    """A sum_col that is also a changelog merge key has no __before image;
+    the fold must fail with the real reason, not an unresolved-column
+    analysis error."""
+    import pytest
+
+    t = ParquetMergeTarget(str(tmp_path / "badsum_src"))
+    _merge_state(t, spark, STATES[0], wm=0)  # changelog_keys=("id",)
+    view = ChangelogAggregateView(
+        str(tmp_path / "badsum_view"), group_keys=("grp",), sum_cols=("id",)
+    )
+    with pytest.raises(ValueError, match="merge key"):
+        view.fold(spark, t)
+
+
+def test_follow_counts_folds_from_view_state(spark, tmp_path):
+    """follow() must report versions folded as measured by the VIEW's own
+    watermark advance — a writer racing ahead between the poll and the
+    fold may fold more versions than the poll observed."""
+    from blockchain_etl_spark.operators.cdc_view import follow
+
+    t = ParquetMergeTarget(str(tmp_path / "cnt_src"))
+    view = ChangelogAggregateView(
+        str(tmp_path / "cnt_view"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    for i, rows in enumerate(STATES):
+        _merge_state(t, spark, rows, wm=i)
+    folded = follow(view, spark, t, poll_interval_s=0.05, max_idle_polls=1)
+    assert folded == t.current_version()
+    assert view.folded_version() == t.current_version()

@@ -56,3 +56,26 @@ def test_stats_follow_inventories_across_batches(spark, txn_df, tmp_path):
 def test_stats_require_inventories():
     with pytest.raises(ValueError, match="maintain_inventories"):
         BlockIngest("/tmp/x", maintain_stats=True)
+
+
+def test_stats_enabled_mid_life_seeds_instead_of_wedging(spark, txn_df, tmp_path):
+    """An ingest directory whose inventories already merged versions
+    WITHOUT changelog_keys, later reopened with maintain_stats=True, must
+    seed the count views from a snapshot and keep ingesting — not raise
+    on the missing changelog segments."""
+    out = str(tmp_path / "late")
+    plain = BlockIngest(out, maintain_inventories=True)  # no stats, no CDC
+    plain.process_batch(
+        txn_df.filter((F.col("block") >= 1) & (F.col("block") <= 40)), 0
+    )
+
+    ing = BlockIngest(out, maintain_inventories=True, maintain_stats=True)
+    ing.process_batch(
+        txn_df.filter((F.col("block") >= 41) & (F.col("block") <= 80)), 0
+    )
+    assert _got_counts(spark, ing) == _expect_counts(spark, ing)
+    # and subsequent batches fold CDC-only (counts stay exact)
+    ing.process_batch(
+        txn_df.filter((F.col("block") >= 81) & (F.col("block") <= 120)), 0
+    )
+    assert _got_counts(spark, ing) == _expect_counts(spark, ing)
