@@ -19,6 +19,18 @@ from pyspark.sql.functions import broadcast, col
 from ..sources.testdata import load_table
 from .registry import register
 
+# portable-HLL spec constants + expressions (functions/hll.py) — ONE
+# implementation shared by the batch queries here and the incremental
+# operators/hll_state.py, so stream ≡ batch can be asserted bit-for-bit
+from ..functions.hll import A_E3 as _HLL_A_E3
+from ..functions.hll import LC_TABLE as _HLL_LC
+from ..functions.hll import M as _HLL_M
+from ..functions.hll import SUM_PRESENT_SQL as _HLL_SUM_PRESENT
+from ..functions.hll import estimate_expr as _hll_estimate_expr
+from ..functions.hll import partial as _hll_partial
+
+_HLL_LC_LIST = ", ".join(str(x) for x in _HLL_LC)
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -547,28 +559,131 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Sketch path: approximate distincts + quantiles. At 100 TB the exact
 # forms (count distinct, percentile_disc, ntile) pay key-cardinality
-# shuffles or total sorts; HyperLogLog++ and t-digest sketches are
-# map-side-combinable and constant-memory. Registered WITHOUT an oracle —
-# sketch estimates are engine-specific by nature, so the driver does the
-# rows-only check and tests/test_olap.py bounds the estimation error
-# against the exact queries instead.
+# shuffles or total sorts; mergeable constant-memory sketches replace
+# them. The REGISTERED forms below are PORTABLE sketches (our own spec:
+# md5-bucket HLL, fixed-point histogram quantiles) so the DuckDB oracle
+# reproduces the ESTIMATES bit-for-bit and the driver hash-verifies an
+# approximate algorithm end-to-end. The engine-native twins (HLL++,
+# DataSketches, t-digest) live right below as *_native — pytest-only
+# (tests/test_olap.py bounds their error), since native sketch estimates
+# are engine-specific and can never hash-match an oracle.
 # --------------------------------------------------------------------------
 @register(
     "events_approx_stats",
-    sql=None,
+    sql=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT)
+               AS bucket,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 15) AS BIGINT)
+               AS v
+      FROM events),
+    p AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS mz
+      FROM h GROUP BY event_type, bucket),
+    s AS (
+      SELECT event_type, COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS HUGEINT) << (61 - mz)) AS sum_present
+      FROM p GROUP BY event_type),
+    hll AS (
+      SELECT event_type,
+             CAST(CASE WHEN n_buckets < {_HLL_M}
+                  THEN list_extract([{_HLL_LC_LIST}],
+                                    CAST({_HLL_M} - n_buckets AS INT))
+                  ELSE (CAST({_HLL_A_E3} AS HUGEINT) * (CAST(1 AS HUGEINT) << 61))
+                       // sum_present // 1000
+                  END AS BIGINT) AS approx_users
+      FROM s),
+    b AS (
+      SELECT event_type,
+             CAST(FLOOR(CAST(value AS DECIMAL(25,6)) * 100) AS BIGINT) AS cb
+      FROM events),
+    hist AS (SELECT event_type, cb, COUNT(*) AS n FROM b GROUP BY event_type, cb),
+    cum AS (
+      SELECT event_type, cb,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY cb) AS cum
+      FROM hist),
+    tot AS (SELECT event_type, SUM(n) AS n_events FROM hist GROUP BY event_type),
+    qq AS (
+      SELECT c.event_type, t.n_events,
+             MIN(CASE WHEN cum * 2 >= n_events THEN cb END) AS q50_c,
+             MIN(CASE WHEN cum * 10 >= n_events * 9 THEN cb END) AS q90_c,
+             MIN(CASE WHEN cum * 100 >= n_events * 99 THEN cb END) AS q99_c
+      FROM cum c JOIN tot t USING (event_type)
+      GROUP BY c.event_type, t.n_events)
+    SELECT q.event_type, CAST(q.n_events AS BIGINT) AS n_events,
+           hll.approx_users,
+           q50_c / 100.0 AS q50, q90_c / 100.0 AS q90, q99_c / 100.0 AS q99
+    FROM qq q JOIN hll USING (event_type)
+    """,
     survey_ops=("A3",),
-    doc="Per-event-type approximate statistics: HyperLogLog++ distinct "
-    "users (approx_count_distinct, rsd 2%) and t-digest value quantiles "
-    "(approx_percentile) in ONE map-side-combinable aggregate — "
-    "constant-memory sketches that replace the exact count-distinct "
-    "shuffle and the ntile total sort at 100 TB. No oracle by design "
-    "(sketches are engine-specific); error is bounded against the exact "
-    "queries in pytest. Quantiles are emitted as three scalar DOUBLE "
-    "columns (q50/q90/q99) — same single t-digest sketch, unpacked with "
-    "element_at — so downstream consumers (and the driver's rows-only "
-    "canonicalizer) see flat columns, not an array.",
+    doc="Per-event-type approximate statistics with PORTABLE sketches: "
+    "distinct users via the md5-bucket integer HLL (functions/hll.py) and "
+    "value quantiles via a fixed-point histogram — values bin to integer "
+    "cents, per-bin counts cumulate, and qXX is the first bin whose "
+    "cumulative count crosses ceil(q*n) (integer cross-multiply, no "
+    "float thresholds). Both sketches are mergeable map-side partials "
+    "(m=256 registers; one count per touched bin), the 100 TB shape, and "
+    "both are ENGINE-EXACT: the DuckDB oracle reproduces the estimates "
+    "bit-for-bit, so the driver hash-verifies the approximation itself — "
+    "the property the engine-native t-digest/HLL++ twin "
+    "(events_approx_stats_native, pytest-bounded) cannot offer.",
 )
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    part = _hll_partial(events.select("event_type", "user_id"), ["event_type"], "user_id")
+    hll = (
+        part.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr(_HLL_SUM_PRESENT)).cast("decimal(38,0)").alias("sum_present"),
+        )
+        .select("event_type", _hll_estimate_expr("approx_users"))
+    )
+    # cent-resolution histogram: exact decimal binning (values carry <= 2
+    # decimals, so the cast is exact on both engines); at coarser bin
+    # widths the same plan is the classic approximate-histogram quantile,
+    # still engine-exact.
+    binned = events.select(
+        "event_type",
+        F.floor(col("value").cast("decimal(25,6)") * 100).cast("long").alias("cb"),
+    )
+    hist = binned.groupBy("event_type", "cb").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    tot = hist.groupBy("event_type").agg(F.sum("n").alias("n_events"))
+    # cum >= ceil(q*n)  ⇔  cum*den >= n*num for integer cum — no floats
+    qt = (
+        cum.join(broadcast(tot), ["event_type"])
+        .groupBy("event_type", "n_events")
+        .agg(
+            F.min(F.when(col("cum") * 2 >= col("n_events"), col("cb"))).alias("q50_c"),
+            F.min(F.when(col("cum") * 10 >= col("n_events") * 9, col("cb"))).alias("q90_c"),
+            F.min(F.when(col("cum") * 100 >= col("n_events") * 99, col("cb"))).alias("q99_c"),
+        )
+    )
+    return qt.join(hll, ["event_type"]).select(
+        "event_type",
+        col("n_events").cast("long").alias("n_events"),
+        "approx_users",
+        (col("q50_c") / F.lit(100.0)).alias("q50"),
+        (col("q90_c") / F.lit(100.0)).alias("q90"),
+        (col("q99_c") / F.lit(100.0)).alias("q99"),
+    )
+
+
+def events_approx_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native twin of events_approx_stats (pytest-only, not
+    registered): HyperLogLog++ distinct users (approx_count_distinct,
+    rsd 2%) and t-digest value quantiles (approx_percentile) in one
+    map-side-combinable aggregate. Estimates are engine-specific, so this
+    form can never hash-match a DuckDB oracle; tests/test_olap.py bounds
+    its error against the exact answers instead."""
     events = load_table(spark, sf_dir, "events")
     agg = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -587,19 +702,83 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_distinct_sketch_rollup",
-    sql=None,
+    sql=f"""
+    WITH h AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT)
+               AS bucket,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 15) AS BIGINT)
+               AS v
+      FROM events),
+    daily AS (
+      SELECT event_type, day, bucket,
+             MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS mz
+      FROM h GROUP BY event_type, day, bucket),
+    wk AS (
+      SELECT event_type, date_trunc('week', day) AS week, day, bucket, mz
+      FROM daily),
+    merged AS (
+      SELECT event_type, week, bucket, MAX(mz) AS mz
+      FROM wk GROUP BY event_type, week, bucket),
+    days AS (
+      SELECT event_type, week, COUNT(DISTINCT day) AS n_days
+      FROM wk GROUP BY event_type, week),
+    s AS (
+      SELECT event_type, week, COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS HUGEINT) << (61 - mz)) AS sum_present
+      FROM merged GROUP BY event_type, week)
+    SELECT s.event_type, s.week,
+           CAST(days.n_days AS BIGINT) AS n_days,
+           CAST(CASE WHEN n_buckets < {_HLL_M}
+                THEN list_extract([{_HLL_LC_LIST}],
+                                  CAST({_HLL_M} - n_buckets AS INT))
+                ELSE (CAST({_HLL_A_E3} AS HUGEINT) * (CAST(1 AS HUGEINT) << 61))
+                     // sum_present // 1000
+                END AS BIGINT) AS est_users
+    FROM s JOIN days ON s.event_type = days.event_type AND s.week = days.week
+    """,
     survey_ops=("A3",),
-    doc="Sketch partial-merge rollup: per-(day, event_type) HLL sketches "
-    "(Apache DataSketches via hll_sketch_agg) union-merged per event_type "
-    "to a whole-range distinct-user estimate. THE pattern for distinct "
-    "counts at 100 TB: daily partials are small, mergeable, and "
-    "incrementally maintainable (a new day never re-reads history), while "
-    "exact re-aggregation of raw events would shuffle every (day, user) "
-    "row per refresh. Rows-only by design (sketch estimates are "
-    "engine-specific); pytest bounds the estimate against exact "
-    "count-distinct.",
+    doc="Sketch partial-merge rollup across the granularity LATTICE with "
+    "the portable HLL: the SAME per-(day, type) register partials that "
+    "events_hll_portable_rollup merges to whole-range totals here merge "
+    "to per-(week, type) estimates — daily partials are computed once and "
+    "re-rolled to any coarser grain by bucket-MAX, never re-reading raw "
+    "events (the incremental A3 shape: a new day touches one week). "
+    "Every step is integer/md5 arithmetic, so the DuckDB oracle matches "
+    "the ESTIMATES bit-for-bit; the engine-native DataSketches twin "
+    "(events_distinct_sketch_native) stays pytest-only.",
 )
 def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    withday = events.select(
+        "event_type", F.date_trunc("day", col("ts")).alias("day"), "user_id"
+    )
+    daily = _hll_partial(withday, ["event_type", "day"], "user_id")
+    daily = daily.withColumn("week", F.date_trunc("week", col("day")))
+    daily = daily.localCheckpoint()  # feeds the bucket merge AND the day count
+    merged = daily.groupBy("event_type", "week", "bucket").agg(F.max("mz").alias("mz"))
+    days = daily.groupBy("event_type", "week").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    s = merged.groupBy("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr(_HLL_SUM_PRESENT)).cast("decimal(38,0)").alias("sum_present"),
+    ).join(broadcast(days), ["event_type", "week"])
+    return s.select(
+        "event_type",
+        "week",
+        col("n_days").cast("long").alias("n_days"),
+        _hll_estimate_expr("est_users"),
+    )
+
+
+def events_distinct_sketch_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native twin of events_distinct_sketch_rollup (pytest-only,
+    not registered): per-(day, type) Apache DataSketches HLL partials
+    union-merged per event_type (hll_sketch_agg / hll_union_agg, lgK=14).
+    Estimates are engine-specific — pytest bounds them against the exact
+    rollup; the registered portable form carries the oracle."""
     events = load_table(spark, sf_dir, "events")
     daily = (
         events.withColumn("day", F.date_trunc("day", col("ts")))
@@ -626,14 +805,14 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM events GROUP BY event_type
     """,
     survey_ops=("A3",),
-    doc="Exactness escape hatch for events_distinct_sketch_rollup: the same "
-    "per-event-type (n_days, distinct users) rollup computed EXACTLY with "
-    "count_distinct, oracle-anchored in DuckDB. Anchors the sketch query's "
-    "structure (grouping, day truncation, output shape) to an exact "
-    "contract even though the sketch's estimates are engine-specific; "
-    "tests/test_olap.py asserts |sketch - exact| within the HLL rsd bound. "
-    "At 100 TB you run the sketch form (map-side-combinable partials); "
-    "this exact form is the audit query you run on a slice.",
+    doc="Exactness escape hatch for the distinct-count sketch family "
+    "(events_hll_portable_rollup, events_distinct_sketch_rollup and its "
+    "pytest-only native twin): the per-event-type (n_days, distinct "
+    "users) rollup computed EXACTLY with count_distinct, oracle-anchored "
+    "in DuckDB. tests/test_olap.py asserts |sketch - exact| within each "
+    "sketch's rsd bound against this. At 100 TB you run the sketch forms "
+    "(map-side-combinable partials); this exact form is the audit query "
+    "you run on a slice.",
 )
 def events_distinct_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -1042,31 +1221,39 @@ _CMS_TOP = 20
 )
 def events_user_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
+    return (
+        cms_estimates(ev)
+        .orderBy(col("est_n").desc(), "user_id")
+        .limit(_CMS_TOP)
+    )
+
+
+def cms_estimates(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """(rows with ``key``) → (key, est_n, exact_n) count-min estimates for
+    every distinct key — the sketch core of events_user_cms_topk, factored
+    out so the regime-matrix accuracy suite can probe the overestimate
+    bound on controlled key-frequency distributions."""
     keyed = ev.select(
-        "user_id",
+        key,
         F.explode(
             F.expr(
                 f"""transform(sequence(0, {_CMS_D - 1}),
                     r -> struct(CAST(r AS BIGINT) AS r,
                       CAST(conv(substring(md5(concat(CAST(r AS STRING), ':',
-                                 CAST(user_id AS STRING))), 1, 8), 16, 10)
+                                 CAST({key} AS STRING))), 1, 8), 16, 10)
                            AS BIGINT) % {_CMS_W} AS bucket))"""
             )
         ).alias("p"),
-    ).select("user_id", col("p.r").alias("r"), col("p.bucket").alias("bucket"))
+    ).select(key, col("p.r").alias("r"), col("p.bucket").alias("bucket"))
     cms = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
     est = (
         keyed.distinct()
         .join(broadcast(cms), ["r", "bucket"])
-        .groupBy("user_id")
+        .groupBy(key)
         .agg(F.min("cell_n").alias("est_n"))
     )
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (
-        est.join(exact, ["user_id"])
-        .orderBy(col("est_n").desc(), "user_id")
-        .limit(_CMS_TOP)
-    )
+    exact = ev.groupBy(key).agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, [key])
 
 
 # --------------------------------------------------------------------------
@@ -1337,24 +1524,14 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Portable HLL — the third member of the distinct-count family: unlike
-# events_approx_stats / events_distinct_sketch_rollup (engine-native HLL++
-# and DataSketches, rows-only by necessity), this sketch is OUR OWN spec —
-# md5-derived buckets, integer leading-zero maxima, and a table-driven
-# linear-counting fallback — so the DuckDB oracle reproduces it BIT FOR
-# BIT and the driver hash-verifies an approximate algorithm end-to-end
-# (same move as events_user_cms_topk for heavy hitters).
+# Portable HLL whole-range rollup — the total-grain member of the
+# distinct-count family (events_approx_stats probes the ungrouped-by-time
+# form, events_distinct_sketch_rollup the weekly grain; all three share
+# functions/hll.py): md5-derived buckets, integer leading-zero maxima,
+# and a table-driven linear-counting fallback, so the DuckDB oracle
+# reproduces the estimate BIT FOR BIT and the driver hash-verifies an
+# approximate algorithm end-to-end (same move as events_user_cms_topk).
 # --------------------------------------------------------------------------
-# shared spec constants + expressions (functions/hll.py) — ONE
-# implementation for this batch query and the incremental
-# operators/hll_state.py, so stream ≡ batch can be asserted bit-for-bit
-from ..functions.hll import A_E3 as _HLL_A_E3
-from ..functions.hll import LC_TABLE as _HLL_LC
-from ..functions.hll import M as _HLL_M
-from ..functions.hll import estimate_expr as _hll_estimate_expr
-from ..functions.hll import partial as _hll_partial
-
-
 @register(
     "events_hll_portable_rollup",
     sql=f"""

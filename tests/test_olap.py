@@ -24,14 +24,15 @@ def test_pivot_total_counts_unlisted_event_types(spark):
     assert sum(got[2][f"n_{t}"] for t in _EVENT_TYPES) == 1
 
 
-def test_approx_stats_error_bounds(spark):
-    """The sketch query's estimates must sit within tight bounds of the
-    exact answers (rsd 2% HLL -> allow 5%; t-digest accuracy 1e4 -> 2%
-    of the value range)."""
-    from blockchain_etl_spark.plans.registry import get_queries
+def test_approx_stats_native_error_bounds(spark):
+    """The engine-native sketch twin's estimates must sit within tight
+    bounds of the exact answers (rsd 2% HLL++ -> allow 5%; t-digest
+    accuracy 1e4 -> 1% rank error). Pytest-only: native estimates are
+    engine-specific, so this twin is unregistered by design."""
+    from blockchain_etl_spark.plans.olap import events_approx_stats_native
 
     sf = "/root/testdata/sf0.001"
-    got = {r.event_type: r for r in get_queries()["events_approx_stats"](spark, sf).collect()}
+    got = {r.event_type: r for r in events_approx_stats_native(spark, sf).collect()}
 
     from blockchain_etl_spark.sources.testdata import load_table
     import pyspark.sql.functions as F
@@ -60,17 +61,18 @@ def test_approx_stats_error_bounds(spark):
             assert abs(frac - p) <= 0.01 + 2.0 / e.n, (et, p, frac)
 
 
-def test_distinct_sketch_rollup_error_bound(spark):
-    """Union-merged daily HLL partials must land within 5% of the exact
-    whole-range distinct count (lgK=14 standard error ~0.8%)."""
+def test_distinct_sketch_native_error_bound(spark):
+    """Union-merged daily DataSketches HLL partials (the pytest-only
+    native twin) must land within 5% of the exact whole-range distinct
+    count (lgK=14 standard error ~0.8%)."""
     import pyspark.sql.functions as F
-    from blockchain_etl_spark.plans.registry import get_queries
+    from blockchain_etl_spark.plans.olap import events_distinct_sketch_native
     from blockchain_etl_spark.sources.testdata import load_table
 
     sf = "/root/testdata/sf0.001"
     got = {
         r.event_type: r.approx_total_users
-        for r in get_queries()["events_distinct_sketch_rollup"](spark, sf).collect()
+        for r in events_distinct_sketch_native(spark, sf).collect()
     }
     exact = {
         r.event_type: r.u
@@ -85,20 +87,89 @@ def test_distinct_sketch_rollup_error_bound(spark):
 
 
 def test_distinct_rollup_exact_anchors_sketch(spark):
-    """The oracle-anchored exact rollup and the sketch rollup must agree on
-    shape (same event types, same n_days) and the sketch's estimate must
-    land within the HLL lgK=14 bound of the exact count."""
+    """The oracle-anchored exact rollup and the native sketch twin must
+    agree on shape (same event types, same n_days) and the sketch's
+    estimate must land within the HLL lgK=14 bound of the exact count."""
+    from blockchain_etl_spark.plans.olap import events_distinct_sketch_native
     from blockchain_etl_spark.plans.registry import get_queries
 
     sf = "/root/testdata/sf0.001"
     qs = get_queries()
-    sketch = {r.event_type: r for r in qs["events_distinct_sketch_rollup"](spark, sf).collect()}
+    sketch = {r.event_type: r for r in events_distinct_sketch_native(spark, sf).collect()}
     exact = {r.event_type: r for r in qs["events_distinct_rollup_exact"](spark, sf).collect()}
     assert set(sketch) == set(exact)
     for et in exact:
         assert sketch[et].n_days == exact[et].n_days, et
         u = exact[et].exact_total_users
         assert abs(sketch[et].approx_total_users - u) <= max(2, 0.05 * u), et
+
+
+def test_portable_approx_stats_bounds(spark):
+    """The REGISTERED events_approx_stats (portable HLL + fixed-point
+    histogram quantiles): distinct estimate within the m=256 band (15%
+    loose) of exact, and each qXX is a discrete percentile — the fraction
+    of values at or below it must be >= p and within bin resolution."""
+    import pyspark.sql.functions as F
+    from blockchain_etl_spark.plans.registry import get_queries
+    from blockchain_etl_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in get_queries()["events_approx_stats"](spark, sf).collect()}
+    events = load_table(spark, sf, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        assert g.n_events == e.n
+        assert abs(g.approx_users - e.users) <= max(2, 0.15 * e.users), (et, g, e)
+        for approx_q, p in zip((g.q50, g.q90, g.q99), (0.5, 0.9, 0.99)):
+            at_or_below = events.filter(
+                (F.col("event_type") == et) & (F.col("value") <= approx_q)
+            ).count()
+            strictly_below = events.filter(
+                (F.col("event_type") == et) & (F.col("value") < approx_q - 0.005)
+            ).count()
+            # discrete percentile: crossing point brackets ceil(p*n)
+            assert at_or_below >= p * e.n, (et, p, approx_q)
+            assert strictly_below < -(-p * e.n // 1), (et, p, approx_q)
+
+
+def test_portable_weekly_sketch_rollup_tracks_exact(spark):
+    """The REGISTERED events_distinct_sketch_rollup (weekly grain from
+    daily portable-HLL partials) must match exact weekly distinct counts
+    within the m=256 band and agree on the (week, n_days) structure."""
+    import pyspark.sql.functions as F
+    from blockchain_etl_spark.plans.registry import get_queries
+    from blockchain_etl_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.event_type, r.week): r
+        for r in get_queries()["events_distinct_sketch_rollup"](spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    exact = {
+        (r.event_type, r.week): r
+        for r in events.withColumn("week", F.date_trunc("week", F.col("day")))
+        .groupBy("event_type", "week")
+        .agg(
+            F.countDistinct("day").alias("n_days"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        g = got[k]
+        assert g.n_days == e.n_days, k
+        assert abs(g.est_users - e.users) <= max(2, 0.15 * e.users), (k, g, e)
 
 
 def test_cms_estimate_is_a_guaranteed_overestimate(spark):

@@ -310,11 +310,14 @@ def test_range_join_is_bucketed_equi_join_not_nested_loop(plan):
     assert any(k.startswith("bucket#") for k in joins), joins
 
 
-def test_sketch_rollup_two_small_aggregations(plan):
-    # daily partials then union-merge: two hash aggregates, both keyed on
-    # low-cardinality keys; no (day, user) row ever reshuffles twice.
+def test_sketch_rollup_small_aggregations_only(plan):
+    # portable weekly rollup: the (event_type, day, bucket) partial sits
+    # behind a localCheckpoint (computed once for the merge AND the day
+    # count); the visible plan is the bucket merge, the estimate
+    # aggregate, and the two-step day count — every key low-cardinality
+    # (types × weeks × ≤256 buckets). No (day, user) row reshuffles.
     p = plan("events_distinct_sketch_rollup")
-    assert n_exchanges(p) == 2, p
+    assert n_exchanges(p) == 4, p
 
 
 def test_geo_grid_density_single_aggregate(plan):
