@@ -463,10 +463,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def simhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """SimHash near-dup pairs over a caller-supplied (doc_id, text) frame —
-    the registered query runs it on the full table; the recall gate runs it
-    on the deterministic md5-bucket document sample."""
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash) 60-bit signatures — the vote
+    stage of the SimHash pipeline, factored out so the regime-matrix
+    accuracy suite (tests/test_estimator_regimes.py) can probe the
+    signature/Hamming relationship directly on controlled token-overlap
+    corpora, independent of the candidate band join and its Hamming
+    cutoff."""
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("tok"),
@@ -496,14 +499,20 @@ def simhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             out[i] = int((weights * (votes > 0)).sum())
         return pd.Series(out)
 
-    # tiny output (|docs| rows) with the full token pipeline as lineage —
-    # cache so the band self-join's two sides reuse one pass.
-    sig = (
+    return (
         toks.groupBy("doc_id")
         .agg(F.collect_list("v").alias("vs"))
         .select("doc_id", signature("vs").alias("simhash"))
-        .localCheckpoint()
     )
+
+
+def simhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs over a caller-supplied (doc_id, text) frame —
+    the registered query runs it on the full table; the recall gate runs it
+    on the deterministic md5-bucket document sample."""
+    # tiny output (|docs| rows) with the full token pipeline as lineage —
+    # cache so the band self-join's two sides reuse one pass.
+    sig = simhash_signatures(docs).localCheckpoint()
     band_structs = F.array(
         *[
             F.struct(
