@@ -153,6 +153,65 @@ class IVFIndex(GenerationalLayout):
         )
         return True
 
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the per-cell segment pile an upsert stream accumulates
+        into ONE consolidated segment per cell — the LSM merge for the
+        vector index. Every upsert appends a ``seg=N`` directory under
+        each touched cell, so at continuous-ingest rates a probe opens
+        O(upserts) small files per cell (classic LSM decay); previously
+        the only remedy was a full ``build()`` (which re-samples
+        centroids and restarts the upsert stream's watermarks).
+
+        Compaction instead materializes exactly the LIVE rows — data
+        joined to the inventory's latest (seg, cell) per vec_id, the
+        same filter ``query()`` serves — and rewrites them as ``seg=0``
+        in a FRESH generation: centroids copied unchanged (the frozen
+        coarse quantizer is not compaction's business), one data
+        directory per cell, and a fresh single-segment inventory
+        carrying the OLD watermark so the upsert stream resumes
+        transparently (replays still skip; the next upsert gets
+        ``seg=1 > 0``). The generation pointer flip is the single
+        commit point (GenerationalLayout): a crash anywhere mid-compact
+        leaves the previous generation fully intact and serving, and
+        query results are bit-identical before/after
+        (tests/test_ann_index.py)."""
+        old_gen = self._gen()
+        inv = self._inventory()
+        wm = inv.watermark()
+        data = spark.read.option("basePath", self._data).parquet(self._data)
+        live = data
+        inv_df = inv.read(spark)
+        if inv_df is not None and "seg" in data.columns:
+            latest = inv_df.select(
+                "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
+            )
+            live = (
+                data.join(latest, ["vec_id"])
+                .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
+                .drop("__lseg", "__lcell")
+            )
+        live = live.select(
+            "vec_id", "embedding", "nrm", "cell", F.lit(0).cast("long").alias("seg")
+        ).localCheckpoint()  # one pass feeds the data write AND the inventory
+        new_gen = old_gen + 1
+        gdir = self._gen_dir(new_gen)
+        spark.read.parquet(self._centroids).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gdir, "centroids"))
+        live.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell", "seg"
+        ).parquet(os.path.join(gdir, "data"))
+        ninv = ParquetMergeTarget(os.path.join(gdir, "id_inventory"))
+        ninv.merge(
+            spark,
+            live.select("vec_id", "seg", "cell"),
+            keys=["vec_id"],
+            order=["seg"],
+            watermark=wm if wm >= 0 else None,
+        )
+        self._publish_gen(new_gen)
+        self._retire_gen(old_gen, self._LEGACY_STORES)
+
     @staticmethod
     def _nearest_cells(
         vecs: DataFrame, cent: DataFrame, top: int, id_col: str = "vec_id"

@@ -350,3 +350,106 @@ def test_crashed_upsert_retried_with_changed_content_leaves_no_orphan(spark, tmp
             assert r.cosine > 0.999, r
         if r.neighbor_id == 500 and r.qid == a[0]:
             assert r.cosine < 0.999, r
+
+
+def _seg_dirs_per_cell(idx):
+    """{cell: #seg dirs} under the live generation's data store."""
+    import os
+
+    out = {}
+    base = idx._data
+    for cell_dir in os.listdir(base):
+        if not cell_dir.startswith("cell="):
+            continue
+        segs = [d for d in os.listdir(os.path.join(base, cell_dir)) if d.startswith("seg=")]
+        out[int(cell_dir.split("=")[1])] = len(segs)
+    return out
+
+
+def test_compact_folds_segments_bit_identical(spark, tmp_path):
+    """compact() must bound the per-cell file pile to ONE segment while
+    serving bit-identical query results, preserve the upsert watermark
+    (replays still skip), and let the upsert stream resume."""
+    emb = _emb(spark).cache()
+    idx = IVFIndex(str(tmp_path / "ivf_compact"))
+    idx.build(spark, emb.filter(col("vec_id") < 30), n_cells=N_CELLS)
+    # a pile of upsert batches, including a supersede (vec 3 re-crawled
+    # with vec 77's embedding → possibly different cell)
+    idx.upsert(spark, emb.filter((col("vec_id") >= 30) & (col("vec_id") < 60)), watermark=1)
+    idx.upsert(spark, emb.filter((col("vec_id") >= 60) & (col("vec_id") < 90)), watermark=2)
+    donor = emb.filter(col("vec_id") == 77).select(
+        F.lit(3).cast("long").alias("vec_id"), "embedding"
+    )
+    idx.upsert(spark, donor, watermark=3)
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    before = {
+        (r.qid, r.neighbor_id, r.rank, r.cosine)
+        for r in idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    }
+    assert any(n > 1 for n in _seg_dirs_per_cell(idx).values()), "no pile to compact"
+
+    idx.compact(spark)
+
+    after = {
+        (r.qid, r.neighbor_id, r.rank, r.cosine)
+        for r in idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    }
+    assert after == before
+    assert all(n == 1 for n in _seg_dirs_per_cell(idx).values()), _seg_dirs_per_cell(idx)
+
+    # replayed upsert batch still skips (watermark survived compaction)
+    assert not idx.upsert(spark, donor, watermark=3)
+    # and the stream resumes with fresh batches
+    assert idx.upsert(
+        spark,
+        emb.filter(col("vec_id") == 95).select("vec_id", "embedding"),
+        watermark=4,
+    )
+    got = idx.query(spark, queries, k=300, probes=N_CELLS).collect()
+    assert any(r.neighbor_id == 95 for r in got)
+
+
+def test_crashed_compact_keeps_old_generation_serving(spark, tmp_path):
+    """A crash before the generation pointer flip must leave the
+    pre-compaction index fully serving; a later compact() succeeds."""
+    emb = _emb(spark).cache()
+    idx = IVFIndex(str(tmp_path / "ivf_compact_crash"))
+    idx.build(spark, emb.filter(col("vec_id") < 40), n_cells=N_CELLS)
+    idx.upsert(spark, emb.filter((col("vec_id") >= 40) & (col("vec_id") < 70)), watermark=1)
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    before = {
+        (r.qid, r.neighbor_id, r.rank, r.cosine)
+        for r in idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    }
+
+    real_publish = IVFIndex._publish_gen
+    IVFIndex._publish_gen = lambda self, gen: (_ for _ in ()).throw(
+        RuntimeError("simulated crash before pointer flip")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            idx.compact(spark)
+    finally:
+        IVFIndex._publish_gen = real_publish
+
+    mid = {
+        (r.qid, r.neighbor_id, r.rank, r.cosine)
+        for r in idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    }
+    assert mid == before
+
+    idx.compact(spark)
+    after = {
+        (r.qid, r.neighbor_id, r.rank, r.cosine)
+        for r in idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    }
+    assert after == before
+    assert all(n == 1 for n in _seg_dirs_per_cell(idx).values())
