@@ -349,6 +349,32 @@ _IVF_SETUP_SQL = """
       GROUP BY vdim.vec_id, cdim.label)
 """
 
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer: per-label centroid vectors (exact-decimal means)
+    assembled into ordered arrays with fixed-point norms — (cell, cvec,
+    cnrm), tiny (|labels| rows) → broadcast. Shared by knn_cosine_ivf and
+    chunk_retrieval_ivf (same arithmetic as the oracle's cdim/cnorm)."""
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.round(col("v").cast("double") * F.lit(1e12)).cast("long")).cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s.centroid,
+            ).alias("cvec")
+        )
+    )
+    return _with_norm(cent.select(col("label").alias("cell"), "cvec"), "cvec", "cnrm")
+
+
 @register(
     "knn_cosine_ivf",
     sql=f"""
@@ -406,27 +432,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
 
-    # coarse quantizer: per-label centroid vectors (exact-decimal means),
-    # assembled into ordered arrays; tiny (|labels| rows) → broadcast.
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.round(col("v").cast("double") * F.lit(1e12)).cast("long")).cast("double")
-                / F.lit(1e12)
-                / F.count(F.lit(1))
-            ).alias("centroid")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
-                lambda s: s.centroid,
-            ).alias("cvec")
-        )
-    )
-    cent = _with_norm(cent.select(col("label").alias("cell"), "cvec"), "cvec", "cnrm")
+    cent = _label_centroids(emb)
 
     # score every (vector, cell) pair: fixed-point cosine. Centroid side is
     # broadcast; the corpus streams — no corpus shuffle for scoring.
@@ -463,6 +469,251 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored_pairs.withColumn("rank", F.row_number().over(wk).cast("long"))
         .filter(col("rank") <= _TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Chunk → embedding-plane linkage: the RAG retrieval shape. Documents are
+# chunked (text.py doc_chunk_overlap's exact windows), each chunk is
+# FINGERPRINTED into a sparse 64-dim vector by feature hashing its tokens
+# (md5 → dim, md5 nibble parity → ±1 sign — the deterministic stand-in
+# for a learned encoder, same stance as the multimodal decode stubs),
+# and the chunk vectors PROBE the IVF coarse-quantizer plane: top-2
+# nearest label-centroid cells, exact sparse-dense cosine against only
+# the corpus vectors assigned to those cells, top-k per chunk — with the
+# chunk's provenance (doc_id, chunk_seq, char_start) carried through to
+# the result, which is what a retrieval index must serve back.
+# --------------------------------------------------------------------------
+_CR_DOC_MOD = 25      # probe chunks from every 25th document
+_CR_MAX_CHUNKS = 2    # first two chunks per probed document
+_CR_DIMS = 64         # embeddings dim — the feature-hash target space
+
+# the exact chunk windows doc_chunk_overlap produces (text.py is imported
+# before this module by registry._load_all; no cycle — text never imports
+# similarity)
+from .text import _CHUNK_SIZE as _CR_SIZE
+from .text import _CHUNK_STRIDE as _CR_STRIDE
+
+
+@register(
+    "chunk_retrieval_ivf",
+    sql=f"""
+    WITH norms AS ({_NORMS_SQL}),
+    {_IVF_SETUP_SQL},
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell) AS rn
+        FROM scores) t WHERE rn = 1),
+    chunks AS (
+      SELECT doc_id, CAST(i + 1 AS BIGINT) AS chunk_seq,
+             CAST(i * {_CR_STRIDE} + 1 AS BIGINT) AS char_start,
+             substr(text, CAST(i * {_CR_STRIDE} + 1 AS INT), {_CR_SIZE}) AS ctext
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(floor((length(text) - 1) / {_CR_STRIDE}) AS BIGINT) + 1))
+                 AS i
+        FROM documents WHERE length(text) > 0)
+      WHERE doc_id % {_CR_DOC_MOD} = 0 AND i < {_CR_MAX_CHUNKS}),
+    toks AS (
+      SELECT doc_id, chunk_seq, char_start, tok
+      FROM (SELECT doc_id, chunk_seq, char_start,
+                   unnest(string_split(ctext, ' ')) AS tok
+            FROM chunks) t
+      WHERE length(tok) > 0),
+    feat AS (
+      SELECT doc_id, chunk_seq, char_start,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_CR_DIMS} AS dim,
+             CAST(SUM(CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS INT) % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS qw
+      FROM toks
+      GROUP BY doc_id, chunk_seq, char_start, dim
+      HAVING SUM(CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS INT) % 2 = 0
+                      THEN 1 ELSE -1 END) <> 0),
+    qnorm AS (
+      SELECT doc_id, chunk_seq, char_start,
+             sqrt(CAST(SUM(qw * qw) AS DOUBLE)) AS qnrm
+      FROM feat GROUP BY doc_id, chunk_seq, char_start),
+    qsc AS (
+      SELECT f.doc_id, f.chunk_seq, f.char_start, c.label AS cell,
+             CAST(SUM(CAST(ROUND(CAST(f.qw AS DOUBLE) * c.centroid * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS pdot,
+             MIN(cn.cnrm) AS cnrm
+      FROM feat f
+      JOIN cdim c ON c.dim = f.dim + 1
+      JOIN cnorm cn ON cn.label = c.label
+      GROUP BY f.doc_id, f.chunk_seq, f.char_start, c.label),
+    probes AS (
+      SELECT doc_id, chunk_seq, char_start, cell FROM (
+        SELECT q.doc_id, q.chunk_seq, q.char_start, q.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.doc_id, q.chunk_seq
+                 ORDER BY (q.pdot / (qn.qnrm * q.cnrm)) DESC, q.cell) AS rn
+        FROM qsc q
+        JOIN qnorm qn ON qn.doc_id = q.doc_id AND qn.chunk_seq = q.chunk_seq) t
+      WHERE rn <= {_IVF_PROBES}),
+    cand AS (
+      SELECT p.doc_id, p.chunk_seq, p.char_start, a.vec_id
+      FROM probes p JOIN assign a ON a.cell = p.cell),
+    dots AS (
+      SELECT c.doc_id, c.chunk_seq, c.char_start, c.vec_id,
+             CAST(SUM(CAST(ROUND(CAST(f.qw AS DOUBLE) * CAST(v.v AS DOUBLE) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+      FROM cand c
+      JOIN feat f ON f.doc_id = c.doc_id AND f.chunk_seq = c.chunk_seq
+      JOIN vdim v ON v.vec_id = c.vec_id AND v.dim = f.dim + 1
+      GROUP BY c.doc_id, c.chunk_seq, c.char_start, c.vec_id),
+    pc AS (
+      SELECT d.doc_id, d.chunk_seq, d.char_start, d.vec_id,
+             d.dot / (qn.qnrm * n.nrm) AS cosine
+      FROM dots d
+      JOIN qnorm qn ON qn.doc_id = d.doc_id AND qn.chunk_seq = d.chunk_seq
+      JOIN norms n ON n.vec_id = d.vec_id)
+    SELECT doc_id, chunk_seq, char_start, vec_id AS neighbor_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_seq
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM pc) r
+    WHERE rank <= {_TOP_K}
+    """,
+    survey_ops=(),
+    doc="RAG chunk retrieval with provenance: overlapping document chunks "
+    "(doc_chunk_overlap's exact windows) are feature-hashed into sparse "
+    "64-dim token vectors (md5 → dim, nibble parity → sign; the "
+    "deterministic encoder stand-in), probe the IVF coarse quantizer "
+    "(top-2 label-centroid cells), and rank an exact sparse-dense cosine "
+    "over ONLY the probed cells' vectors — (doc_id, chunk_seq, "
+    "char_start) ride through to the hit list, the provenance a "
+    "retrieval index must serve. Scale shape: the probe set is bounded "
+    "(sampled chunks), chunk features are broadcast, the corpus streams "
+    "once for assignment and only candidate (vec_id, dim) rows join the "
+    "sparse side — never an all-pairs or full-corpus-per-chunk pass; on "
+    "the persisted form (operators/ann_index.py) the probed cells are "
+    "physical partitions.",
+)
+def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = docs.filter(col("doc_id") % _CR_DOC_MOD == 0).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("i"),
+    ).filter(col("i") < _CR_MAX_CHUNKS)
+    chunk = F.expr(
+        f"substring(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE})"
+    )
+    chunks = d.select(
+        "doc_id",
+        (col("i") + 1).cast("long").alias("chunk_seq"),
+        (col("i") * _CHUNK_STRIDE + 1).cast("long").alias("char_start"),
+        chunk.alias("ctext"),
+    )
+    toks = chunks.select(
+        "doc_id",
+        "chunk_seq",
+        "char_start",
+        F.explode(F.expr("filter(split(ctext, ' '), w -> length(w) > 0)")).alias("tok"),
+    )
+    ck = ["doc_id", "chunk_seq", "char_start"]
+    sgn = F.expr(
+        "CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS INT) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    feat = (
+        toks.select(
+            *ck,
+            F.expr(
+                f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {_CR_DIMS}"
+            ).alias("dim"),
+            sgn.alias("sgn"),
+        )
+        .groupBy(*ck, "dim")
+        .agg(F.sum("sgn").cast("long").alias("qw"))
+        .filter(col("qw") != 0)
+    ).localCheckpoint()  # feeds qnorm, probe scoring, and the exact dots
+    qnorm = feat.groupBy(*ck).agg(
+        F.sqrt(F.sum(col("qw") * col("qw")).cast("double")).alias("qnrm")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
+    cent = _label_centroids(emb)
+
+    # corpus → top-1 cell assignment (broadcast centroids, corpus streams)
+    scored = corpus.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (_fx_dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).alias("score"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(col("score").desc(), col("cell"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+    # chunk → probe cells: sparse fixed-point dot vs the centroid dims
+    cdim = cent.select("cell", "cnrm", F.posexplode("cvec").alias("dim", "centroid"))
+    qsc = (
+        feat.join(F.broadcast(cdim), ["dim"])
+        .groupBy(*ck, "cell")
+        .agg(
+            (
+                F.sum(
+                    F.round(col("qw").cast("double") * col("centroid") * F.lit(1e12))
+                    .cast("long")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("pdot"),
+            F.min("cnrm").alias("cnrm"),
+        )
+    )
+    wq = Window.partitionBy("doc_id", "chunk_seq").orderBy(
+        (col("pdot") / (col("qnrm") * col("cnrm"))).desc(), col("cell")
+    )
+    probes = (
+        qsc.join(qnorm, ck)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(col("rn") <= _IVF_PROBES)
+        .select(*ck, "cell")
+    )
+    cand = probes.join(assign, ["cell"]).select(*ck, "vec_id")
+
+    # exact sparse-dense cosine over the probed cells only
+    vdim = corpus.select("vec_id", "nrm", F.posexplode("embedding").alias("dim", "v"))
+    dots = (
+        cand.join(F.broadcast(feat), ck)
+        .join(vdim, ["vec_id", "dim"])
+        .groupBy(*ck, "vec_id")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        col("qw").cast("double") * col("v").cast("double") * F.lit(1e12)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("dot"),
+            F.min("nrm").alias("nrm"),
+        )
+    )
+    pc = dots.join(qnorm, ck).select(
+        *ck,
+        col("vec_id").alias("neighbor_id"),
+        (col("dot") / (col("qnrm") * col("nrm"))).alias("cosine"),
+    )
+    wr = Window.partitionBy("doc_id", "chunk_seq").orderBy(
+        col("cosine").desc(), col("neighbor_id")
+    )
+    return pc.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        col("rank") <= _TOP_K
     )
 
 
