@@ -188,6 +188,22 @@ class ChangelogAggregateView:
         """(group_keys..., n_rows, sum_cols...) — the maintained aggregate."""
         return read_weighted_agg(self.target.read(spark), self.group_keys, self.sum_cols)
 
+    def read_derived(self, spark: SparkSession) -> DataFrame | None:
+        """read() plus the derived READ-SIDE metrics: ``avg_<c> = c /
+        n_rows`` for every sum column. Ratios of maintained aggregates are
+        computed at read time, never maintained as state — an average is
+        not group-commutative under retraction, but its numerator and
+        denominator both are, so the view stays counts+sums (the module
+        contract) and any derived ratio is exact by construction. Rates
+        follow the same recipe: maintain ``sum(indicator)`` or a
+        window-keyed count as a sum column and divide at read time."""
+        t = self.read(spark)
+        if t is None:
+            return None
+        for c in self.sum_cols:
+            t = t.withColumn(f"avg_{c}", col(c).cast("double") / col("n_rows"))
+        return t
+
 
 def follow(
     view: "ChangelogAggregateView",

@@ -186,6 +186,7 @@ class ParquetMergeTarget:
         first_col: str | None = None,
         last_col: str | None = None,
         watermark: int | None = None,
+        changelog_keys: Sequence[str] | None = None,
     ) -> DataFrame:
         return self.merge_with(
             spark,
@@ -194,6 +195,7 @@ class ParquetMergeTarget:
                 target, upd, keys, order, coalesce_cols, first_col, last_col
             ),
             watermark=watermark,
+            changelog_keys=changelog_keys,
         )
 
     def merge_with(

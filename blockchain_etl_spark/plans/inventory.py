@@ -238,3 +238,79 @@ def account_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("l.o_orderkey").alias("last_orderkey"),
         col("l.txn_amount").alias("last_amount"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained-view consumption through the driver gate: the query below
+# builds a REAL ChangelogAggregateView — a versioned merge target fed in
+# two batches (the first deliberately carrying wrong amounts that the
+# second batch's updates must retract), a per-priority count/sum view
+# folded from the CDC changelogs ALONE — and returns the view's derived
+# read-side metrics. The oracle is the plain GROUP BY recompute, so the
+# maintained ≡ recompute contract is hash-verified by the driver on every
+# window, not just property-tested in pytest.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_maintained_priority_stats",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
+             AS avg_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_ops=("T5", "T6", "J9"),
+    doc="Per-priority order stats SERVED FROM A MAINTAINED CDC VIEW: the "
+    "orders table is merged into a versioned target in two batches — the "
+    "first batch's even-key rows carry a deliberately wrong amount that "
+    "the second batch UPDATES back, so the changelog stream contains "
+    "inserts AND genuine before/after update retractions — and a "
+    "count/sum view folds those changelogs without ever reading the "
+    "source table. read_derived() adds the read-side average (ratios are "
+    "never maintained as state; numerator and denominator are, each "
+    "group-commutative under retraction). The oracle is the batch GROUP "
+    "BY recompute: hash equality IS the maintained ≡ recompute contract, "
+    "driver-checked per round. Scale: each fold costs O(changelog) + a "
+    "group-key merge; the view never rescans the source "
+    "(operators/cdc_view.py, the reference's trigger-maintained "
+    "stats_inventory generalized to real aggregates).",
+)
+def cdc_maintained_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.cdc_view import ChangelogAggregateView
+    from ..operators.merge import ParquetMergeTarget
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="cdc_view_gate_")
+    t = ParquetMergeTarget(os.path.join(base, "orders_target"))
+    # batch 1: even keys with a wrong amount (+100 cents) — the rows the
+    # second batch must retract via update before/after images
+    b1 = (
+        orders.filter(col("o_orderkey") % 2 == 0)
+        .withColumn("cents", col("cents") + F.lit(100))
+        .withColumn("v", F.lit(1))
+    )
+    b2 = orders.withColumn("v", F.lit(2))
+    for wm, b in ((1, b1), (2, b2)):
+        t.merge(
+            spark,
+            b,
+            keys=["o_orderkey"],
+            order=["v"],
+            watermark=wm,
+            changelog_keys=["o_orderkey"],
+        )
+    view = ChangelogAggregateView(
+        os.path.join(base, "priority_view"),
+        group_keys=("o_orderpriority",),
+        sum_cols=("cents",),
+    )
+    view.fold(spark, t)
+    return view.read_derived(spark)
