@@ -8,6 +8,7 @@ is their engine-side equivalent:
     python -m blockchain_etl_spark backfill {gateway_payer,missing_actors,burn_prices} --out DIR
     python -m blockchain_etl_spark query NAME [--sf-dir DIR] [--write DIR]
     python -m blockchain_etl_spark corpus --sf-dir DIR --out DIR
+    python -m blockchain_etl_spark follow --source DIR --view DIR [--group-keys K,..] [--sum-cols C,..]
 
 Backfills run over the ingested table directories and write their repaired
 output under <out>/_backfills/<name> (history tables are never mutated in
@@ -190,6 +191,38 @@ def cmd_materialize(args) -> int:
     return 0
 
 
+def cmd_follow(args) -> int:
+    """Run the T6 periodic-tick CDC follower as a user-facing entry point
+    (the reference's periodic workers — be_db_stats etc. — as a CLI):
+    poll a live merge target's published version, fold every new
+    changelog into the maintained count/sum view, exit once the writer
+    stays quiet for --max-idle polls. Crash-safe by construction: every
+    fold is watermarked, so a restarted follower resumes where it left
+    off; a view whose needed changelog segments predate CDC (or were
+    vacuumed) re-seeds from a snapshot instead of wedging."""
+    from .operators.cdc_view import ChangelogAggregateView, follow
+    from .operators.merge import ParquetMergeTarget
+
+    src = ParquetMergeTarget(args.source)
+    view = ChangelogAggregateView(
+        args.view,
+        group_keys=[k for k in args.group_keys.split(",") if k],
+        sum_cols=[c for c in args.sum_cols.split(",") if c],
+    )
+    spark = _spark()
+    # heal a missing-changelog gap once up front, then tail live folds
+    view.catch_up(spark, src)
+    folded = follow(
+        view, spark, src, poll_interval_s=args.interval, max_idle_polls=args.max_idle
+    )
+    print(f"folded {folded} versions; view at source v{view.folded_version()}")
+    df = view.read_derived(spark)
+    if df is not None:
+        for row in df.limit(args.limit).collect():
+            print(row.asDict())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blockchain_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -239,6 +272,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_materialize)
+
+    s = sub.add_parser("follow", help="poll a live merge target and keep a CDC count/sum view caught up")
+    s.add_argument("--source", required=True, help="ParquetMergeTarget dir of the watched table")
+    s.add_argument("--view", required=True, help="dir for the maintained view's state")
+    s.add_argument("--group-keys", default="", help="comma-separated group columns")
+    s.add_argument("--sum-cols", default="", help="comma-separated summed columns")
+    s.add_argument("--interval", type=float, default=1.0, help="poll interval seconds")
+    s.add_argument("--max-idle", type=int, default=3, help="quiet polls before exiting")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_follow)
 
     args = p.parse_args(argv)
     return args.fn(args)

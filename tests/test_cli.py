@@ -73,3 +73,66 @@ def test_cli_materialize_versions(tmp_path, capsys):
     assert main(["materialize", "pricing_summary", "--out", out]) == 0
     assert "pricing_summary v2:" in capsys.readouterr().out
     assert os.path.isdir(os.path.join(out, "_materialized", "pricing_summary", "v=2"))
+
+
+def test_cli_follow_tracks_live_writer(spark, tmp_path, capsys):
+    """End-to-end follower CLI: a writer merges versions into a live
+    target (some landing WHILE the follower polls); the follow command
+    catches the view up, prints the derived metrics, and a re-run after
+    more writes resumes from the stored watermark."""
+    import threading
+    import time
+
+    from blockchain_etl_spark.operators.merge import ParquetMergeTarget
+
+    src_dir = str(tmp_path / "live_src")
+    view_dir = str(tmp_path / "live_view")
+    t = ParquetMergeTarget(src_dir)
+
+    states = [
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)],
+        [(1, "a", 12), (2, "b", 5), (3, "b", 7), (4, "c", 1)],
+        [(1, "a", 12), (4, "c", 2)],
+    ]
+
+    def merge_state(i):
+        upd = spark.createDataFrame(states[i], ["id", "grp", "qty"])
+        t.merge_with(spark, upd, lambda _t, u: u, watermark=i, changelog_keys=("id",))
+
+    merge_state(0)
+
+    def writer():
+        for i in (1, 2):
+            time.sleep(0.4)
+            merge_state(i)
+
+    w = threading.Thread(target=writer)
+    w.start()
+    assert main([
+        "follow", "--source", src_dir, "--view", view_dir,
+        "--group-keys", "grp", "--sum-cols", "qty",
+        "--interval", "0.3", "--max-idle", "6",
+    ]) == 0
+    w.join()
+    out = capsys.readouterr().out
+    assert "folded" in out and "'grp'" in out
+
+    # final catch-up run (no writer): view must equal the recompute
+    assert main([
+        "follow", "--source", src_dir, "--view", view_dir,
+        "--group-keys", "grp", "--sum-cols", "qty",
+        "--interval", "0.05", "--max-idle", "1",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert f"view at source v{t.current_version()}" in out
+    from pyspark.sql import functions as F
+
+    expect = {
+        r.grp: (r.n, r.q)
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("q"))
+        .collect()
+    }
+    for grp, (n, q) in expect.items():
+        assert f"'grp': '{grp}', 'n_rows': {n}, 'qty': {q}" in out, (grp, out)

@@ -61,6 +61,11 @@ QUERIES = [
     "events_hll_portable_rollup",
     "knn_hard_negatives",
     "doc_chunk_overlap",
+    # round 6: portable histogram quantiles + per-type HLL, sparse
+    # feature-hash probe ranking, CDC-view fold ordering
+    "events_approx_stats",
+    "chunk_retrieval_ivf",
+    "cdc_maintained_priority_stats",
 ]
 
 
