@@ -8,10 +8,21 @@ cell-partitioned full-vector store serves the final exact rerank over the
 ADC shortlist only.
 
 Layout:
-  <path>/centroids/          coarse quantizer (k rows, driver-sized)
-  <path>/codebook/           per-subspace PQ codewords (M*K rows)
-  <path>/codes/cell=N/       (vec_id, codes) — the compressed corpus
-  <path>/vectors/cell=N/     (vec_id, vf) — fixed-point rerank store
+  <path>/centroids/              coarse quantizer (k rows, driver-sized)
+  <path>/codebook/               per-subspace PQ codewords (M*K rows)
+  <path>/codes/cell=N/seg=M/     (vec_id, codes) — the compressed corpus
+  <path>/vectors/cell=N/seg=M/   (vec_id, vf) — fixed-point rerank store
+  <path>/id_inventory/           vec_id → latest (seg, cell) staleness ledger
+
+Lifecycle mirrors operators/ann_index.py: ``build()`` writes everything
+as one ``seg=0`` generation; ``upsert()`` encodes a fresh batch against
+the FROZEN quantizers (coarse centroids + PQ codebook — codebook refresh
+is a rebuild decision, operators/kmeans.py's job), appends one new
+segment under each touched cell in BOTH row stores, and advances the
+inventory so queries drop superseded codes AND superseded rerank rows;
+``compact()`` folds the segment pile back to one segment per cell in a
+fresh generation. All three publish through a single atomic pointer
+flip.
 
 Build is deterministic (md5-sampled coarse centroids and codebook seeds —
 no RNG, same corpus in → byte-identical index out, the retrain contract the
@@ -57,13 +68,158 @@ class IVFPQIndex(GenerationalLayout):
     sequential store writes serves a hybrid index (new centroids against
     old codes), which is silently wrong rather than merely stale."""
 
-    _LEGACY_STORES = ("centroids", "codebook", "codes", "vectors")
+    _LEGACY_STORES = ("centroids", "codebook", "codes", "vectors", "id_inventory")
 
     def __init__(self, path: str):
         self.path = path
 
     def _p(self, name: str) -> str:
         return self._store(name)
+
+    def _inventory(self):
+        from .merge import ParquetMergeTarget
+
+        return ParquetMergeTarget(self._store("id_inventory"))
+
+    def _encode_assigned(self, spark: SparkSession, corpus: DataFrame, seg: int):
+        """Assign ``corpus`` (vec_id, embedding, nrm, vf) to cells against
+        the LIVE generation's coarse quantizer and PQ-encode against its
+        codebook: (assigned rows, packed code rows) — the upsert encode
+        kernel (build encodes against its not-yet-published generation's
+        stores, and compact never re-encodes)."""
+        cent = spark.read.parquet(self._p("centroids"))
+        codebook = spark.read.parquet(self._p("codebook"))
+        assigned = (
+            IVFIndex._nearest_cells(corpus, cent, 1)
+            .withColumn("vf", F.expr(_FP))
+            .select("vec_id", "vf", "cell", F.lit(seg).cast("long").alias("seg"))
+        ).localCheckpoint()  # feeds codes, vectors, and the inventory
+        codes = _pq_encode(
+            pq_subvectors_from(assigned.select("vec_id", "vf")), codebook
+        )
+        packed = codes.groupBy("vec_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        return assigned, packed
+
+    def upsert(
+        self, spark: SparkSession, vectors: DataFrame, watermark: int | None = None
+    ) -> bool:
+        """Fold fresh/updated vectors into the compressed index WITHOUT
+        rebuilding: encode against the FROZEN coarse quantizer and PQ
+        codebook, append one new segment's files under each touched cell
+        in BOTH stores (codes and the exact-rerank vectors — they must
+        stay row-for-row aligned or the rerank silently drops shortlist
+        hits), then advance the vec_id → (seg, cell) inventory. Work is
+        O(batch); the stored corpus is never rescanned. The inventory
+        merge is the single publish point — segment files written before
+        a crash are invisible until it commits, and a replayed batch
+        dynamically overwrites the same seg partitions (write-audit-
+        publish, exactly the operators/ann_index.py upsert contract).
+        Returns False on a watermark-replayed batch."""
+        inv = self._inventory()
+        if watermark is not None and watermark <= inv.watermark():
+            return False
+        seg = int(inv.current_version())
+        corpus = _with_norm(
+            vectors.select("vec_id", "embedding"), "embedding", "nrm"
+        ).withColumn("vf", F.expr(_FP))
+        assigned, packed = self._encode_assigned(spark, corpus, seg)
+        (
+            packed.join(assigned.select("vec_id", "cell", "seg"), ["vec_id"])
+            .repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "seg")
+            .parquet(self._p("codes"))
+        )
+        assigned.select("vec_id", "vf", "cell", "seg").repartition(
+            "cell"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell", "seg").parquet(self._p("vectors"))
+        inv.merge(
+            spark,
+            assigned.select("vec_id", "seg", "cell"),
+            keys=["vec_id"],
+            order=["seg"],
+            watermark=watermark,
+        )
+        return True
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the per-cell segment pile into ONE consolidated segment
+        per cell in a fresh generation — the LSM merge, PQ edition: the
+        LIVE rows of both row stores (codes and rerank vectors, selected
+        by the same inventory filter queries serve) are rewritten as
+        ``seg=0``; centroids and codebook copy unchanged (compaction
+        never re-encodes — the codes are already against the frozen
+        codebook). The fresh single-segment inventory carries the old
+        watermark so the upsert stream resumes transparently; the
+        generation pointer flip is the single commit point, so a crash
+        mid-compact leaves the old index serving."""
+        old_gen = self._gen()
+        inv = self._inventory()
+        wm = inv.watermark()
+        latest = inv.read(spark)
+        new_gen = old_gen + 1
+        gdir = self._gen_dir(new_gen)
+        for store in ("centroids", "codebook"):
+            spark.read.parquet(self._p(store)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(gdir, store))
+        live_ids = None
+        for store in ("codes", "vectors"):
+            data = spark.read.option("basePath", self._p(store)).parquet(self._p(store))
+            live = data
+            if latest is not None and "seg" in data.columns:
+                lt = latest.select(
+                    "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
+                )
+                live = (
+                    data.join(lt, ["vec_id"])
+                    .filter(
+                        (col("seg") == col("__lseg")) & (col("cell") == col("__lcell"))
+                    )
+                    .drop("__lseg", "__lcell")
+                )
+            live = live.withColumn("seg", F.lit(0).cast("long")).localCheckpoint()
+            live.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell", "seg"
+            ).parquet(os.path.join(gdir, store))
+            if store == "vectors":
+                live_ids = live.select("vec_id", "seg", "cell")
+        from .merge import ParquetMergeTarget
+
+        ninv = ParquetMergeTarget(os.path.join(gdir, "id_inventory"))
+        ninv.merge(
+            spark,
+            live_ids,
+            keys=["vec_id"],
+            order=["seg"],
+            watermark=wm if wm >= 0 else None,
+        )
+        self._publish_gen(new_gen)
+        self._retire_gen(old_gen, self._LEGACY_STORES)
+
+    def _stale_filtered(self, spark: SparkSession, data: DataFrame) -> DataFrame:
+        """Drop superseded rows: keep only rows matching the inventory's
+        latest (seg, cell) per vec_id — both coordinates, for the same
+        changed-content-retry orphan reason as IVFIndex.query."""
+        inv_df = self._inventory().read(spark)
+        if inv_df is None or "seg" not in data.columns:
+            return data
+        latest = inv_df.select(
+            "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
+        )
+        return (
+            data.join(latest, ["vec_id"])
+            .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
+            .drop("__lseg", "__lcell")
+        )
 
     def build(
         self, spark: SparkSession, vectors: DataFrame, n_cells: int = 8
@@ -107,12 +263,14 @@ class IVFPQIndex(GenerationalLayout):
         codebook_r = spark.read.parquet(_np("codebook"))
 
         # _nearest_cells projects the scoring columns only — re-derive the
-        # fixed-point vector from the surviving embedding column
+        # fixed-point vector from the surviving embedding column. seg=0:
+        # the rebuild is the consolidated base segment the upsert stream
+        # appends after (seg numbering restarts with the generation).
         assigned = (
             IVFIndex._nearest_cells(corpus, cent_r, 1)
             .withColumn("vf", F.expr(_FP))
-            .select("vec_id", "vf", "cell")
-        )
+            .select("vec_id", "vf", "cell", F.lit(0).cast("long").alias("seg"))
+        ).localCheckpoint()
         # encode against the stored codebook; pack one row per vector
         codes = _pq_encode(
             pq_subvectors_from(assigned.select("vec_id", "vf")), codebook_r
@@ -124,17 +282,25 @@ class IVFPQIndex(GenerationalLayout):
             ).alias("codes")
         )
         (
-            packed.join(assigned.select("vec_id", "cell"), ["vec_id"])
+            packed.join(assigned.select("vec_id", "cell", "seg"), ["vec_id"])
             .repartition("cell")
             .write.mode("overwrite")
-            .partitionBy("cell")
+            .partitionBy("cell", "seg")
             .parquet(_np("codes"))
         )
         # exact-rerank store: fixed-point vectors, same partitioning
-        assigned.select("vec_id", "vf", "cell").repartition("cell").write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(_np("vectors"))
-        self._publish_gen(old_gen + 1)  # all four stores flip together
+        assigned.select("vec_id", "vf", "cell", "seg").repartition(
+            "cell"
+        ).write.mode("overwrite").partitionBy("cell", "seg").parquet(_np("vectors"))
+        from .merge import ParquetMergeTarget
+
+        ParquetMergeTarget(os.path.join(gdir, "id_inventory")).merge(
+            spark,
+            assigned.select("vec_id", "seg", "cell"),
+            keys=["vec_id"],
+            order=["seg"],
+        )
+        self._publish_gen(old_gen + 1)  # all five stores flip together
         self._retire_gen(old_gen, self._LEGACY_STORES)
 
     def _pruned(self, spark: SparkSession, name: str, cells: "list[int]") -> DataFrame:
@@ -175,7 +341,7 @@ class IVFPQIndex(GenerationalLayout):
             )
             .localCheckpoint()  # tiny; avoids re-deriving under the broadcast
         )
-        codes = self._pruned(spark, "codes", cells)
+        codes = self._stale_filtered(spark, self._pruned(spark, "codes", cells))
         cand = (
             broadcast(probe_cells)
             .join(codes, ["cell"])
@@ -200,7 +366,9 @@ class IVFPQIndex(GenerationalLayout):
         )
 
         # exact rerank: pruned vector read, shortlist ids ride a broadcast
-        vecs = self._pruned(spark, "vectors", cells).select("vec_id", "vf")
+        vecs = self._stale_filtered(
+            spark, self._pruned(spark, "vectors", cells)
+        ).select("vec_id", "vf")
         qv = q.select(col("vec_id").alias("qid"), col("vf").alias("qvf"))
         exact = (
             vecs.join(broadcast(short), ["vec_id"])

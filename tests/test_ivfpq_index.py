@@ -139,3 +139,134 @@ def test_crashed_rebuild_serves_previous_generation(spark, tmp_path):
     idx.build(spark, emb, n_cells=4)
     got = idx.query(spark, queries, k=50, probes=4).collect()
     assert any(r.neighbor_id >= 40 for r in got)
+
+
+def _seg_dirs_per_cell(spark, idx, store):
+    import os
+
+    out = {}
+    base = idx._p(store)
+    for cell_dir in os.listdir(base):
+        if not cell_dir.startswith("cell="):
+            continue
+        segs = [
+            d
+            for d in os.listdir(os.path.join(base, cell_dir))
+            if d.startswith("seg=")
+        ]
+        out[int(cell_dir.split("=")[1])] = len(segs)
+    return out
+
+
+def test_upsert_folds_new_vectors_and_supersedes(spark, tmp_path):
+    """O(batch) upserts against the frozen quantizers: new ids become
+    servable, a re-crawled id's old codes AND old rerank rows are
+    staleness-filtered (one hit per (qid, neighbor)), and a replayed
+    watermark is a no-op."""
+    sf0 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf0}/embeddings.parquet").select("vec_id", "embedding").cache()
+    idx = IVFPQIndex(str(tmp_path / "pq_upsert"))
+    idx.build(spark, emb.filter(col("vec_id") < 60), n_cells=4)
+
+    assert idx.upsert(
+        spark, emb.filter((col("vec_id") >= 60) & (col("vec_id") < 120)), watermark=1
+    )
+    # re-crawl vec 7 with vec 90's embedding (plausibly another cell)
+    donor = emb.filter(col("vec_id") == 90).select(
+        F.lit(7).cast("long").alias("vec_id"), "embedding"
+    )
+    assert idx.upsert(spark, donor, watermark=2)
+    assert not idx.upsert(spark, donor, watermark=2)  # replay skips
+
+    queries = emb.filter(col("vec_id") < 5).union(
+        emb.filter(col("vec_id") == 90)
+    ).select(col("vec_id").alias("qid"), "embedding")
+    got = idx.query(spark, queries, k=100, probes=4, shortlist=500).collect()
+    from collections import Counter
+
+    dupes = {
+        k: v for k, v in Counter((r.qid, r.neighbor_id) for r in got).items() if v > 1
+    }
+    assert not dupes, dupes
+    assert any(r.neighbor_id >= 60 for r in got), "upserted batch not served"
+    # vec 7 now carries vec 90's embedding: exact-rerank distance to qid 90
+    # must be 0 (identical fixed-point vectors)
+    d7 = [r.d2_fp for r in got if r.qid == 90 and r.neighbor_id == 7]
+    assert d7 == [0], d7
+
+
+def test_pq_compact_folds_segments_bit_identical(spark, tmp_path):
+    sf0 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf0}/embeddings.parquet").select("vec_id", "embedding").cache()
+    idx = IVFPQIndex(str(tmp_path / "pq_compact"))
+    idx.build(spark, emb.filter(col("vec_id") < 50), n_cells=4)
+    idx.upsert(spark, emb.filter((col("vec_id") >= 50) & (col("vec_id") < 100)), watermark=1)
+    idx.upsert(spark, emb.filter((col("vec_id") >= 100) & (col("vec_id") < 150)), watermark=2)
+    donor = emb.filter(col("vec_id") == 120).select(
+        F.lit(3).cast("long").alias("vec_id"), "embedding"
+    )
+    idx.upsert(spark, donor, watermark=3)
+
+    queries = emb.filter(col("vec_id") < 8).select(col("vec_id").alias("qid"), "embedding")
+    before = {
+        (r.qid, r.neighbor_id, r.rank, r.d2_fp)
+        for r in idx.query(spark, queries, k=K, probes=4).collect()
+    }
+    assert any(n > 1 for n in _seg_dirs_per_cell(spark, idx, "codes").values())
+
+    idx.compact(spark)
+
+    after = {
+        (r.qid, r.neighbor_id, r.rank, r.d2_fp)
+        for r in idx.query(spark, queries, k=K, probes=4).collect()
+    }
+    assert after == before
+    for store in ("codes", "vectors"):
+        assert all(n == 1 for n in _seg_dirs_per_cell(spark, idx, store).values()), store
+    # replay skips; stream resumes post-compact
+    assert not idx.upsert(spark, donor, watermark=3)
+    assert idx.upsert(
+        spark,
+        emb.filter(col("vec_id") == 180).select("vec_id", "embedding"),
+        watermark=4,
+    )
+    got = idx.query(spark, queries, k=300, probes=4, shortlist=500).collect()
+    assert any(r.neighbor_id == 180 for r in got)
+
+
+def test_pq_crashed_compact_serves_old_generation(spark, tmp_path):
+    sf0 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf0}/embeddings.parquet").select("vec_id", "embedding").cache()
+    idx = IVFPQIndex(str(tmp_path / "pq_compact_crash"))
+    idx.build(spark, emb.filter(col("vec_id") < 50), n_cells=4)
+    idx.upsert(spark, emb.filter((col("vec_id") >= 50) & (col("vec_id") < 90)), watermark=1)
+
+    queries = emb.filter(col("vec_id") < 5).select(col("vec_id").alias("qid"), "embedding")
+    before = {
+        (r.qid, r.neighbor_id, r.rank, r.d2_fp)
+        for r in idx.query(spark, queries, k=3, probes=4).collect()
+    }
+
+    real = IVFPQIndex._publish_gen
+    IVFPQIndex._publish_gen = lambda self, gen: (_ for _ in ()).throw(
+        RuntimeError("simulated crash before pointer flip")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            idx.compact(spark)
+    finally:
+        IVFPQIndex._publish_gen = real
+
+    mid = {
+        (r.qid, r.neighbor_id, r.rank, r.d2_fp)
+        for r in idx.query(spark, queries, k=3, probes=4).collect()
+    }
+    assert mid == before
+    idx.compact(spark)
+    after = {
+        (r.qid, r.neighbor_id, r.rank, r.d2_fp)
+        for r in idx.query(spark, queries, k=3, probes=4).collect()
+    }
+    assert after == before
