@@ -649,7 +649,12 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(col("value").cast("decimal(25,6)") * 100).cast("long").alias("cb"),
     )
-    hist = binned.groupBy("event_type", "cb").agg(F.count(F.lit(1)).alias("n"))
+    # one corpus-sized aggregate, materialized once: it feeds BOTH the
+    # cumulative window and the per-type totals (without the checkpoint
+    # each branch re-scans and re-bins the raw events)
+    hist = binned.groupBy("event_type", "cb").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
     w = (
         Window.partitionBy("event_type")
         .orderBy("cb")

@@ -684,30 +684,34 @@ def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rn") <= _IVF_PROBES)
         .select(*ck, "cell")
     )
-    cand = probes.join(assign, ["cell"]).select(*ck, "vec_id")
-
-    # exact sparse-dense cosine over the probed cells only
-    vdim = corpus.select("vec_id", "nrm", F.posexplode("embedding").alias("dim", "v"))
-    dots = (
-        cand.join(F.broadcast(feat), ck)
-        .join(vdim, ["vec_id", "dim"])
-        .groupBy(*ck, "vec_id")
-        .agg(
-            (
-                F.sum(
-                    F.round(
-                        col("qw").cast("double") * col("v").cast("double") * F.lit(1e12)
-                    ).cast("long")
-                ).cast("double")
-                / F.lit(1e12)
-            ).alias("dot"),
-            F.min("nrm").alias("nrm"),
+    # exact cosine over the probed cells only. The chunk's sparse weights
+    # densify to a 64-slot double array (absent dims → 0.0: ROUND(0*v*1e12)
+    # contributes 0, so the dense fixed-point sum is bit-identical to the
+    # oracle's sparse sum) and ride a BROADCAST, so scoring is one streamed
+    # pass over the probed corpus rows with the Arrow _fx_dot kernel —
+    # never a (vec_id, dim)-grain shuffle of candidate × dimension rows.
+    qarr = (
+        feat.groupBy(*ck)
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "qw"))).alias("m"))
+        .select(
+            *ck,
+            F.expr(
+                f"transform(sequence(0, {_CR_DIMS - 1}),"
+                " d -> CAST(coalesce(m[CAST(d AS BIGINT)], 0) AS DOUBLE))"
+            ).alias("qarr"),
         )
+        .join(qnorm, ck)
     )
-    pc = dots.join(qnorm, ck).select(
-        *ck,
-        col("vec_id").alias("neighbor_id"),
-        (col("dot") / (col("qnrm") * col("nrm"))).alias("cosine"),
+    corpus_cells = corpus.join(assign, ["vec_id"])
+    pc = (
+        corpus_cells.join(F.broadcast(probes.join(qarr, ck)), ["cell"])
+        .select(
+            *ck,
+            col("vec_id").alias("neighbor_id"),
+            (_fx_dot("qarr", "embedding") / (col("qnrm") * col("nrm"))).alias(
+                "cosine"
+            ),
+        )
     )
     wr = Window.partitionBy("doc_id", "chunk_seq").orderBy(
         col("cosine").desc(), col("neighbor_id")
