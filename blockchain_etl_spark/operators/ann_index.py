@@ -248,6 +248,19 @@ class IVFIndex(GenerationalLayout):
             col("vec_id").alias("qid"), "cell"
         )
         cells = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+        # a probed cell may hold no LIVE vectors (every member re-crawled
+        # into other cells, then compact() dropped the emptied directory —
+        # the centroid outlives its population). Intersect with the
+        # inventory's live cells (metadata-sized, no filesystem probes)
+        # so the explicit-path pruned read never enumerates a missing dir.
+        inv_df = self._inventory().read(spark)
+        if inv_df is not None:
+            live = {r.cell for r in inv_df.select("cell").distinct().collect()}
+            cells = [c for c in cells if c in live]
+        if not cells:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, cosine double, rank long"
+            )
         data = spark.read.option("basePath", self._data).parquet(
             *[os.path.join(self._data, f"cell={c}") for c in sorted(cells)]
         )
@@ -258,7 +271,6 @@ class IVFIndex(GenerationalLayout):
         # argument in upsert() covers bit-identical retries only, so a
         # crashed batch retried with CHANGED content can leave an orphan
         # (old cell, same seg) row — a seg-only filter would serve it.
-        inv_df = self._inventory().read(spark)
         if inv_df is not None and "seg" in data.columns:
             latest = inv_df.select(
                 "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
@@ -283,8 +295,14 @@ class IVFIndex(GenerationalLayout):
         )
 
     def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
-        """How many data files a probe of ``cells`` opens (test hook)."""
-        data = spark.read.option("basePath", self._data).parquet(
-            *[os.path.join(self._data, f"cell={c}") for c in sorted(cells)]
-        )
+        """How many data files a probe of ``cells`` opens (test hook;
+        tolerates cells emptied by compaction)."""
+        paths = [
+            p
+            for c in sorted(cells)
+            if os.path.isdir(p := os.path.join(self._data, f"cell={c}"))
+        ]
+        if not paths:
+            return 0
+        data = spark.read.option("basePath", self._data).parquet(*paths)
         return len(data.inputFiles())

@@ -156,7 +156,12 @@ class ChangelogAggregateView:
         nxt = self.folded_version() + 1
         cur = source.current_version()
         if nxt <= cur and source.read_changelog(spark, nxt) is None:
-            self.seed(spark, source.read(spark), watermark=cur)
+            # PIN the snapshot to the captured version: a live writer can
+            # publish between the capture and the read, and an unpinned
+            # read would aggregate the newer state while the watermark
+            # says `cur` — the next fold would then re-apply that
+            # version's changelog and double-count it.
+            self.seed(spark, source.read(spark, cur), watermark=cur)
             return self.read(spark)
         return self.fold(spark, source)
 
@@ -228,9 +233,12 @@ def follow(
             # count from the view's own watermark, not the pre-fold gap:
             # fold() catches up to the source's CURRENT version at fold
             # time, so a writer advancing between the poll and the fold
-            # would otherwise be folded-but-uncounted.
+            # would otherwise be folded-but-uncounted. catch_up, not bare
+            # fold: a vacuum outrunning a lagging follower mid-run
+            # re-seeds from a pinned snapshot instead of killing the
+            # loop with a missing-changelog ValueError.
             before = view.folded_version()
-            view.fold(spark, source)
+            view.catch_up(spark, source)
             folded += view.folded_version() - before
             idle = 0
         else:

@@ -124,9 +124,12 @@ class IVFPQIndex(GenerationalLayout):
         if watermark is not None and watermark <= inv.watermark():
             return False
         seg = int(inv.current_version())
+        # no vf projection here: _nearest_cells keeps scoring columns
+        # only, and _encode_assigned re-derives vf from the surviving
+        # embedding column
         corpus = _with_norm(
             vectors.select("vec_id", "embedding"), "embedding", "nrm"
-        ).withColumn("vf", F.expr(_FP))
+        )
         assigned, packed = self._encode_assigned(spark, corpus, seg)
         (
             packed.join(assigned.select("vec_id", "cell", "seg"), ["vec_id"])
@@ -232,6 +235,9 @@ class IVFPQIndex(GenerationalLayout):
         def _np(name: str) -> str:  # store path in the NEW generation
             return os.path.join(gdir, name)
 
+        # corpus keeps vf here: the codebook SEEDS below take their
+        # subvectors straight from it (unlike upsert, where assignment
+        # re-derives vf)
         corpus = _with_norm(
             vectors.select("vec_id", "embedding"), "embedding", "nrm"
         ).withColumn("vf", F.expr(_FP))
@@ -327,6 +333,18 @@ class IVFPQIndex(GenerationalLayout):
             col("vec_id").alias("qid"), "cell"
         )
         cells = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+        # a probed cell may hold no LIVE vectors (fully superseded, then
+        # compacted away — the centroid outlives its population): keep
+        # only inventory-live cells so the explicit-path pruned reads
+        # never enumerate a missing directory.
+        inv_df = self._inventory().read(spark)
+        if inv_df is not None:
+            live_cells = {r.cell for r in inv_df.select("cell").distinct().collect()}
+            cells = [c for c in cells if c in live_cells]
+        if not cells:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, d2_fp long, rank long"
+            )
 
         # ADC over the probed, compressed partitions only
         qsubs = pq_subvectors_from(q.select("vec_id", "vf"))
@@ -387,5 +405,16 @@ class IVFPQIndex(GenerationalLayout):
         )
 
     def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
-        """How many code files a probe of ``cells`` opens (test hook)."""
-        return len(self._pruned(spark, "codes", cells).inputFiles())
+        """How many code files a probe of ``cells`` opens (test hook;
+        tolerates cells emptied by compaction)."""
+        base = self._p("codes")
+        paths = [
+            p
+            for c in sorted(cells)
+            if os.path.isdir(p := os.path.join(base, f"cell={c}"))
+        ]
+        if not paths:
+            return 0
+        return len(
+            spark.read.option("basePath", base).parquet(*paths).inputFiles()
+        )

@@ -258,7 +258,7 @@ def account_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
              AS avg_cents
-    FROM orders GROUP BY o_orderpriority
+    FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_orderpriority
     """,
     survey_ops=("T5", "T6", "J9"),
     doc="Per-priority order stats SERVED FROM A MAINTAINED CDC VIEW: the "
@@ -278,12 +278,19 @@ def account_activity_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_maintained_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     from ..operators.cdc_view import ChangelogAggregateView
     from ..operators.merge import ParquetMergeTarget
 
-    orders = load_table(spark, sf_dir, "orders").select(
+    # a deterministic quarter of the table: the maintained ≡ recompute
+    # contract is size-independent (the full-rate maintenance throughput
+    # number lives in bench.py's ivm_rows_per_sec, not here), so the gate
+    # demo keeps its merge/fold I/O proportionate to one query's budget.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        col("o_orderkey") % 4 == 0
+    ).select(
         "o_orderkey",
         "o_orderpriority",
         F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -313,4 +320,11 @@ def cdc_maintained_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         sum_cols=("cents",),
     )
     view.fold(spark, t)
-    return view.read_derived(spark)
+    # materialize the view read, then reclaim the scratch dir — the query
+    # runs every driver round and test sweep, and an un-deleted mkdtemp
+    # (two versioned table copies + changelogs + view state each call)
+    # grows /tmp without bound. localCheckpoint first: the returned frame
+    # must not lazily read the deleted path.
+    out = view.read_derived(spark).localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out

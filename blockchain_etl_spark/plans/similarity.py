@@ -593,8 +593,6 @@ from .text import _CHUNK_STRIDE as _CR_STRIDE
     "physical partitions.",
 )
 def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import _CHUNK_SIZE, _CHUNK_STRIDE
-
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     d = docs.filter(col("doc_id") % _CR_DOC_MOD == 0).select(
         "doc_id",
@@ -602,17 +600,17 @@ def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("long"),
+                F.floor((F.length("text") - 1) / _CR_STRIDE).cast("long"),
             )
         ).alias("i"),
     ).filter(col("i") < _CR_MAX_CHUNKS)
     chunk = F.expr(
-        f"substring(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE})"
+        f"substring(text, CAST(i * {_CR_STRIDE} + 1 AS INT), {_CR_SIZE})"
     )
     chunks = d.select(
         "doc_id",
         (col("i") + 1).cast("long").alias("chunk_seq"),
-        (col("i") * _CHUNK_STRIDE + 1).cast("long").alias("char_start"),
+        (col("i") * _CR_STRIDE + 1).cast("long").alias("char_start"),
         chunk.alias("ctext"),
     )
     toks = chunks.select(

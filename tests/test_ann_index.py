@@ -453,3 +453,47 @@ def test_crashed_compact_keeps_old_generation_serving(spark, tmp_path):
     }
     assert after == before
     assert all(n == 1 for n in _seg_dirs_per_cell(idx).values())
+
+
+def test_compact_with_fully_superseded_cell_still_serves(spark, tmp_path):
+    """Re-crawl EVERY member of one cell into other cells, then compact:
+    the emptied cell's directory is legitimately gone, and a probe that
+    ranks its (still-present) centroid highly must serve results instead
+    of crashing on the missing path."""
+    emb = _emb(spark).cache()
+    idx = IVFIndex(str(tmp_path / "ivf_emptycell"))
+    idx.build(spark, emb.filter(col("vec_id") < 40), n_cells=N_CELLS)
+
+    inv = idx._inventory().read(spark)
+    by_cell = {}
+    for r in inv.collect():
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    victim = min(by_cell, key=lambda c: len(by_cell[c]))
+    donor_cell = max(by_cell, key=lambda c: len(by_cell[c]))
+    donor_id = sorted(by_cell[donor_cell])[0]
+    donor_emb = emb.filter(col("vec_id") == donor_id)
+    moved = None
+    for vid in by_cell[victim]:
+        m = donor_emb.select(F.lit(vid).cast("long").alias("vec_id"), "embedding")
+        moved = m if moved is None else moved.unionByName(m)
+    assert idx.upsert(spark, moved, watermark=1)
+
+    idx.compact(spark)
+    import os
+
+    assert not os.path.isdir(os.path.join(idx._data, f"cell={victim}")), (
+        "test premise: the emptied cell dir must actually be gone"
+    )
+
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=K, probes=N_CELLS).collect()
+    assert {r.qid for r in got} == set(range(N_QUERIES))
+    # the moved ids are still served, from their NEW cell
+    got_all = idx.query(spark, queries, k=300, probes=N_CELLS).collect()
+    served = {r.neighbor_id for r in got_all}
+    for vid in by_cell[victim]:
+        if vid not in set(range(N_QUERIES)):  # self-hits excluded per qid
+            assert vid in served, vid
+    assert idx.pruned_files(spark, [victim]) == 0

@@ -186,3 +186,60 @@ def test_follow_counts_folds_from_view_state(spark, tmp_path):
     folded = follow(view, spark, t, poll_interval_s=0.05, max_idle_polls=1)
     assert folded == t.current_version()
     assert view.folded_version() == t.current_version()
+
+
+def test_follow_heals_vacuumed_gap_mid_run(spark, tmp_path):
+    """A vacuum that outruns a lagging follower must re-seed (pinned
+    snapshot) inside the follow loop, not kill it with a
+    missing-changelog ValueError."""
+    from blockchain_etl_spark.operators.cdc_view import follow
+
+    t = ParquetMergeTarget(str(tmp_path / "vacrun_src"))
+    view = ChangelogAggregateView(
+        str(tmp_path / "vacrun_view"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    _merge_state(t, spark, STATES[0], wm=0)
+    view.catch_up(spark, t)
+    for i, rows in enumerate(STATES[1:], start=1):
+        _merge_state(t, spark, rows, wm=i)
+    t.vacuum(keep_last=1)  # the follower's next segments are gone
+    folded = follow(view, spark, t, poll_interval_s=0.05, max_idle_polls=1)
+    assert folded == t.current_version() - 1
+    assert view.folded_version() == t.current_version()
+    assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())
+
+
+def test_catch_up_seed_is_pinned_to_captured_version(spark, tmp_path):
+    """catch_up must seed from the version it captured, not whatever the
+    source advances to between the capture and the read — otherwise the
+    next fold re-applies the racing version's changelog and
+    double-counts."""
+    t = ParquetMergeTarget(str(tmp_path / "pin_src"))
+    view = ChangelogAggregateView(
+        str(tmp_path / "pin_view"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    # v1 without CDC (forces the seed path), v2 with CDC
+    upd = spark.createDataFrame(STATES[0], ["id", "grp", "qty"])
+    t.merge_with(spark, upd, lambda _t, u: u, watermark=0)
+
+    real_read = ParquetMergeTarget.read
+    seen = []
+
+    def racing_read(self, spark_, version=None):
+        # the first pinned read during catch_up: a writer publishes v2
+        # BEFORE the snapshot is taken
+        if version is not None and not seen:
+            seen.append(version)
+            _merge_state(t, spark_, STATES[1], wm=1)
+        return real_read(self, spark_, version=version)
+
+    ParquetMergeTarget.read = racing_read
+    try:
+        view.catch_up(spark, t)
+    finally:
+        ParquetMergeTarget.read = real_read
+    assert seen == [1], "seed must read a PINNED version"
+    # the seed covered v1 only; fold v2's changelog and compare
+    view.catch_up(spark, t)
+    assert view.folded_version() == t.current_version()
+    assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())

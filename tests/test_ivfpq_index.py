@@ -270,3 +270,36 @@ def test_pq_crashed_compact_serves_old_generation(spark, tmp_path):
         for r in idx.query(spark, queries, k=3, probes=4).collect()
     }
     assert after == before
+
+
+def test_pq_compact_with_fully_superseded_cell_still_serves(spark, tmp_path):
+    """Same emptied-cell scenario as the IVF index: after every member of
+    a cell is re-crawled elsewhere and compact() drops the empty
+    directory, probes ranking that centroid must not crash."""
+    sf0 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf0}/embeddings.parquet").select("vec_id", "embedding").cache()
+    idx = IVFPQIndex(str(tmp_path / "pq_emptycell"))
+    idx.build(spark, emb.filter(col("vec_id") < 40), n_cells=4)
+
+    inv = idx._inventory().read(spark)
+    by_cell = {}
+    for r in inv.collect():
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    victim = min(by_cell, key=lambda c: len(by_cell[c]))
+    donor_cell = max(by_cell, key=lambda c: len(by_cell[c]))
+    donor_id = sorted(by_cell[donor_cell])[0]
+    donor_emb = emb.filter(col("vec_id") == donor_id)
+    moved = None
+    for vid in by_cell[victim]:
+        m = donor_emb.select(F.lit(vid).cast("long").alias("vec_id"), "embedding")
+        moved = m if moved is None else moved.unionByName(m)
+    assert idx.upsert(spark, moved, watermark=1)
+    idx.compact(spark)
+
+    import os
+
+    assert not os.path.isdir(os.path.join(idx._p("codes"), f"cell={victim}"))
+    queries = emb.filter(col("vec_id") < 5).select(col("vec_id").alias("qid"), "embedding")
+    got = idx.query(spark, queries, k=3, probes=4).collect()
+    assert {r.qid for r in got} == set(range(5))
+    assert idx.pruned_files(spark, [victim]) == 0
