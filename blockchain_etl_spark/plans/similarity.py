@@ -495,6 +495,98 @@ from .text import _CHUNK_SIZE as _CR_SIZE
 from .text import _CHUNK_STRIDE as _CR_STRIDE
 
 
+def _chunk_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → one row per overlapping chunk window (doc_id,
+    chunk_seq, char_start, ctext, i) — the exact windows
+    doc_chunk_overlap emits, with the raw index kept for callers that
+    cap chunks per doc. Map-side sequence+explode: zero shuffle."""
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / _CR_STRIDE).cast("long"),
+            )
+        ).alias("i"),
+    )
+    chunk = F.expr(f"substring(text, CAST(i * {_CR_STRIDE} + 1 AS INT), {_CR_SIZE})")
+    return d.select(
+        "doc_id",
+        (col("i") + 1).cast("long").alias("chunk_seq"),
+        (col("i") * _CR_STRIDE + 1).cast("long").alias("char_start"),
+        chunk.alias("ctext"),
+        "i",
+    )
+
+
+def _chunk_token_features(chunks: DataFrame) -> DataFrame:
+    """Chunk windows → sparse feature-hash weights (doc_id, chunk_seq,
+    char_start, dim, qw ≠ 0): md5 of each token picks one of the 64 dims,
+    a second md5 nibble's parity picks the ±1 sign. One batch-sized
+    shuffle on the chunk key; the SPEC here is single-sourced for the
+    registered oracle query (chunk_retrieval_ivf) and the streaming
+    index builder (chunk_vectors)."""
+    ck = ["doc_id", "chunk_seq", "char_start"]
+    toks = chunks.select(
+        *ck,
+        F.explode(F.expr("filter(split(ctext, ' '), w -> length(w) > 0)")).alias("tok"),
+    )
+    sgn = F.expr(
+        "CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS INT) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    return (
+        toks.select(
+            *ck,
+            F.expr(
+                f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {_CR_DIMS}"
+            ).alias("dim"),
+            sgn.alias("sgn"),
+        )
+        .groupBy(*ck, "dim")
+        .agg(F.sum("sgn").cast("long").alias("qw"))
+        .filter(col("qw") != 0)
+    )
+
+
+# provenance packing for indexed chunk vectors: vec_id = doc_id * SEQ_CAP
+# + chunk_seq, reversible without a side table as long as a document has
+# fewer than SEQ_CAP chunks (SEQ_CAP * stride = 15 MB of text per doc)
+_CR_SEQ_CAP = 100_000
+
+
+def chunk_vectors(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → one DENSE feature-hashed 64-dim double vector per
+    overlapping chunk, with provenance: (vec_id, embedding, doc_id,
+    chunk_seq, char_start). The dense form (absent dims = 0.0) is what
+    the persisted IVF indexes ingest — their fixed-point cosine treats
+    it exactly like a learned embedding — and the weights are the same
+    single-sourced feature-hash spec chunk_retrieval_ivf hash-verifies
+    against DuckDB. Chunks whose tokens fully cancel (or empty chunks)
+    produce no vector: a zero vector has no direction to index."""
+    feat = _chunk_token_features(_chunk_windows(docs).drop("i"))
+    ck = ["doc_id", "chunk_seq", "char_start"]
+    arr = (
+        feat.groupBy(*ck)
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "qw"))).alias("m"))
+        .select(
+            *ck,
+            F.expr(
+                f"transform(sequence(0, {_CR_DIMS - 1}),"
+                " d -> CAST(coalesce(m[CAST(d AS BIGINT)], 0) AS DOUBLE))"
+            ).alias("embedding"),
+        )
+    )
+    return arr.select(
+        (col("doc_id") * F.lit(_CR_SEQ_CAP) + col("chunk_seq"))
+        .cast("long")
+        .alias("vec_id"),
+        "embedding",
+        *ck,
+    )
+
+
 @register(
     "chunk_retrieval_ivf",
     sql=f"""
@@ -594,48 +686,12 @@ from .text import _CHUNK_STRIDE as _CR_STRIDE
 )
 def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    d = docs.filter(col("doc_id") % _CR_DOC_MOD == 0).select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.floor((F.length("text") - 1) / _CR_STRIDE).cast("long"),
-            )
-        ).alias("i"),
-    ).filter(col("i") < _CR_MAX_CHUNKS)
-    chunk = F.expr(
-        f"substring(text, CAST(i * {_CR_STRIDE} + 1 AS INT), {_CR_SIZE})"
-    )
-    chunks = d.select(
-        "doc_id",
-        (col("i") + 1).cast("long").alias("chunk_seq"),
-        (col("i") * _CR_STRIDE + 1).cast("long").alias("char_start"),
-        chunk.alias("ctext"),
-    )
-    toks = chunks.select(
-        "doc_id",
-        "chunk_seq",
-        "char_start",
-        F.explode(F.expr("filter(split(ctext, ' '), w -> length(w) > 0)")).alias("tok"),
+    chunks = _chunk_windows(docs.filter(col("doc_id") % _CR_DOC_MOD == 0)).filter(
+        col("i") < _CR_MAX_CHUNKS
     )
     ck = ["doc_id", "chunk_seq", "char_start"]
-    sgn = F.expr(
-        "CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS INT) % 2 = 0 "
-        "THEN 1 ELSE -1 END"
-    )
-    feat = (
-        toks.select(
-            *ck,
-            F.expr(
-                f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {_CR_DIMS}"
-            ).alias("dim"),
-            sgn.alias("sgn"),
-        )
-        .groupBy(*ck, "dim")
-        .agg(F.sum("sgn").cast("long").alias("qw"))
-        .filter(col("qw") != 0)
-    ).localCheckpoint()  # feeds qnorm, probe scoring, and the exact dots
+    feat = _chunk_token_features(chunks).localCheckpoint()
+    # ^ feeds qnorm, probe scoring, and the exact dots
     qnorm = feat.groupBy(*ck).agg(
         F.sqrt(F.sum(col("qw") * col("qw")).cast("double")).alias("qnrm")
     )

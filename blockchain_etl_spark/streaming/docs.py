@@ -53,13 +53,23 @@ class DocIngest:
     ``hash_inventory/`` (ParquetMergeTarget: text_hash → canonical doc),
     ``mh_index/`` (MinHashIndex signatures), ``chunk_df/`` (ChunkDFIndex —
     the boilerplate-span state doc_boilerplate_prune derives in batch,
-    maintained with delta work per crawl)."""
+    maintained with delta work per crawl), and optionally ``vec_index/``
+    (IVFIndex over feature-hashed chunk vectors — the streaming end of
+    the chunk_retrieval_ivf retrieval plane; vec_id packs the
+    (doc_id, chunk_seq) provenance)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, vector_index: bool = False):
         self.out_dir = out_dir
         self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
         self.index = MinHashIndex(os.path.join(out_dir, "mh_index"))
         self.chunk_df = ChunkDFIndex(os.path.join(out_dir, "chunk_df"))
+        # opt-in retrieval plane: chunk → feature-hash vector → IVF index
+        # (``vec_index/``), the streaming end of chunk_retrieval_ivf
+        from ..operators.ann_index import IVFIndex
+
+        self.vectors = (
+            IVFIndex(os.path.join(out_dir, "vec_index")) if vector_index else None
+        )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -94,6 +104,28 @@ class DocIngest:
         fresh.drop("h", "n_tokens", "distinct_fp").write.mode("overwrite").parquet(
             os.path.join(self.out_dir, "docs", f"chunk={batch_id}")
         )
+        self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        if self.vectors is not None:
+            # retrieval plane: every fresh doc's chunks feature-hashed to
+            # dense vectors and folded into the persisted IVF index —
+            # bootstrap builds on the first non-empty batch (frozen coarse
+            # quantizer thereafter; refresh = explicit rebuild/compact).
+            from ..plans.similarity import chunk_vectors
+
+            vecs = chunk_vectors(fresh.select("doc_id", "text")).select(
+                "vec_id", "embedding"
+            )
+            if not os.path.isdir(self.vectors._centroids):
+                if not vecs.isEmpty():
+                    self.vectors.build(spark, vecs, n_cells=8)
+            else:
+                self.vectors.upsert(spark, vecs, watermark=batch_id)
+        # the hash-inventory merge commits LAST: its watermark is the
+        # replay guard at the top, so every index upsert above must be
+        # durable before it advances — a crash anywhere in this method
+        # replays the whole batch (chunk overwrite + watermark-guarded
+        # upserts make that idempotent), never skips half of it.
         self.hashes.merge_with(
             spark,
             fresh.select(col("h").alias("text_hash"), col("doc_id").alias("canonical_doc_id")),
@@ -102,8 +134,6 @@ class DocIngest:
             ),
             watermark=batch_id,
         )
-        self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
-        self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
 
     def read_corpus(self, spark: SparkSession) -> DataFrame:
         import glob as _glob
