@@ -366,6 +366,64 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# Leakage-safe train/val/test splits: the split is a pure function of the
+# NEAR-DUP COMPONENT, not the document — hashing doc_ids would scatter a
+# cluster of near-identical documents across train and test, the classic
+# eval-leakage bug a 90/5/5 random split silently commits. Assigning by
+# md5(component) keeps every near-dup family atomic in one split while
+# the proportions stay ~90/5/5 (ppm-bucketed, RNG-free, re-runnable).
+# --------------------------------------------------------------------------
+@register(
+    "corpus_leakage_safe_splits",
+    sql=f"""
+    WITH RECURSIVE e AS ({_EDGES_SQL}),
+    edges AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT edges.dst, reach.label
+      FROM reach JOIN edges ON edges.src = reach.doc_id
+      WHERE reach.label < edges.dst),
+    comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, component_id,
+           CASE WHEN b < 900 THEN 'train'
+                WHEN b < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, component_id,
+                 CAST('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 6)
+                      AS BIGINT) % 1000 AS b
+          FROM comp) z
+    """,
+    survey_ops=("X2",),
+    doc="Cluster-atomic 90/5/5 corpus splits: every document labeled with "
+    "its near-dup component (min-label propagation over the candidate-"
+    "edge graph, singletons label themselves), then the COMPONENT id — "
+    "never the doc id — hashes into md5 ppm buckets that pick "
+    "train/val/test. Guarantees no near-dup pair straddles a split "
+    "boundary (the eval-leakage failure mode), keeps the assignment "
+    "deterministic under re-runs and corpus growth of other components, "
+    "and is hash-verified against a recursive-CTE oracle. Scale shape: "
+    "the propagation shuffles only the near-dup subgraph per round "
+    "(O(diameter) rounds); the split column is a map-side expression.",
+)
+def corpus_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    b = F.expr("CAST(conv(substring(md5(CAST(component_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 1000")
+    return (
+        labels.select("doc_id", col("label").alias("component_id"))
+        .withColumn("__b", b)
+        .select(
+            "doc_id",
+            "component_id",
+            F.when(col("__b") < 900, "train")
+            .when(col("__b") < 950, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Train/test contamination: word-5-gram containment of held-out documents
 # in the training split — the decontamination primitive every LLM data
 # pipeline runs before eval. Containment (not Jaccard): |test ∩ train| /

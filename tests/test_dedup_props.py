@@ -108,3 +108,55 @@ def test_lineage_include_set_equals_clean_corpus(spark):
     assert {r.doc_id for r in lineage if r.include} == kept
     for r in lineage:
         assert r.include == (r.drop_reason is None)
+
+
+def test_leakage_safe_splits_keep_components_atomic(spark, tmp_path):
+    """No candidate-edge pair (near-dup) may straddle a split boundary,
+    the assignment is a pure function of the component, and singleton
+    proportions stay ~90/5/5. The synthetic corpora carry no natural
+    near-dup edges, so the test writes its own documents table with an
+    exact-dup pair and a rare-token star family injected."""
+    from pyspark.sql import Row
+
+    from blockchain_etl_spark.plans.pipeline import _dedup_edges
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    rare = "extraordinarilyrare"  # >= 12 chars, df = 3 -> star edges
+    rows = [
+        Row(doc_id=i, text=f"plain document number {i} with words w{i} x{i} y{i}",
+            lang="en", source="src0", n_chars=40)
+        for i in range(200)
+    ]
+    rows += [
+        Row(doc_id=3001, text="identical twin text body alpha beta gamma",
+            lang="en", source="src0", n_chars=41),
+        Row(doc_id=3002, text="identical twin text body alpha beta gamma",
+            lang="en", source="src0", n_chars=41),
+        Row(doc_id=3003, text=f"star family one {rare} shared anchor token",
+            lang="en", source="src0", n_chars=42),
+        Row(doc_id=3004, text=f"star family two {rare} shared anchor token!",
+            lang="en", source="src0", n_chars=43),
+        Row(doc_id=3005, text=f"star family three {rare} shared anchor tok",
+            lang="en", source="src0", n_chars=44),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+
+    splits = {
+        r.doc_id: (r.component_id, r.split)
+        for r in get_queries()["corpus_leakage_safe_splits"](spark, sf).collect()
+    }
+    assert len(splits) == 205
+    edges = _dedup_edges(spark, sf).collect()
+    assert edges, "test premise: injected docs must produce near-dup edges"
+    for e in edges:
+        assert splits[e.src][1] == splits[e.dst][1], (e.src, e.dst)
+        assert splits[e.src][0] == splits[e.dst][0], (e.src, e.dst)
+    # the exact-dup pair and the star family each share one component
+    assert splits[3001][0] == splits[3002][0]
+    assert splits[3003][0] == splits[3004][0] == splits[3005][0]
+    from collections import Counter
+
+    by_split = Counter(s for _, s in splits.values())
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] > 0.8 * len(splits)

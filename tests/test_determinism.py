@@ -66,6 +66,7 @@ QUERIES = [
     "events_approx_stats",
     "chunk_retrieval_ivf",
     "cdc_maintained_priority_stats",
+    "corpus_leakage_safe_splits",
 ]
 
 
