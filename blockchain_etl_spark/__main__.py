@@ -9,6 +9,7 @@ is their engine-side equivalent:
     python -m blockchain_etl_spark query NAME [--sf-dir DIR] [--write DIR]
     python -m blockchain_etl_spark corpus --sf-dir DIR --out DIR
     python -m blockchain_etl_spark follow --source DIR --view DIR [--group-keys K,..] [--sum-cols C,..]
+    python -m blockchain_etl_spark vec-compact --path DIR [--kind ivf|ivfpq]
 
 Backfills run over the ingested table directories and write their repaired
 output under <out>/_backfills/<name> (history tables are never mutated in
@@ -223,6 +224,24 @@ def cmd_follow(args) -> int:
     return 0
 
 
+def cmd_vec_compact(args) -> int:
+    """Fold a persisted vector index's per-cell segment pile into one
+    consolidated segment per cell (the LSM merge) — the maintenance step
+    a continuous upsert stream needs periodically; crash-safe behind the
+    generation pointer flip, watermark-preserving for the writer."""
+    if args.kind == "ivfpq":
+        from .operators.ivfpq_index import IVFPQIndex as Index
+    else:
+        from .operators.ann_index import IVFIndex as Index
+
+    idx = Index(args.path)
+    spark = _spark()
+    gen_before = idx._gen()
+    idx.compact(spark)
+    print(f"compacted {args.kind} index at {args.path}: gen {gen_before} -> {idx._gen()}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blockchain_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -272,6 +291,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_materialize)
+
+    s = sub.add_parser("vec-compact", help="fold a vector index's upsert segments into one segment per cell")
+    s.add_argument("--path", required=True, help="index root directory")
+    s.add_argument("--kind", choices=["ivf", "ivfpq"], default="ivf")
+    s.set_defaults(fn=cmd_vec_compact)
 
     s = sub.add_parser("follow", help="poll a live merge target and keep a CDC count/sum view caught up")
     s.add_argument("--source", required=True, help="ParquetMergeTarget dir of the watched table")

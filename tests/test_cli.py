@@ -136,3 +136,28 @@ def test_cli_follow_tracks_live_writer(spark, tmp_path, capsys):
     }
     for grp, (n, q) in expect.items():
         assert f"'grp': '{grp}', 'n_rows': {n}, 'qty': {q}" in out, (grp, out)
+
+
+def test_cli_vec_compact(spark, tmp_path, capsys):
+    """vec-compact folds an upserted IVF index to one segment per cell
+    and serves identical results afterwards."""
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.operators.ann_index import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "vec")
+    idx = IVFIndex(path)
+    idx.build(spark, emb.filter(F.col("vec_id") < 40), n_cells=4)
+    idx.upsert(spark, emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)), watermark=1)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    before = {(r.qid, r.neighbor_id, r.rank) for r in idx.query(spark, queries, k=3, probes=4).collect()}
+
+    assert main(["vec-compact", "--path", path, "--kind", "ivf"]) == 0
+    out = capsys.readouterr().out
+    assert "gen 1 -> 2" in out
+    after = {(r.qid, r.neighbor_id, r.rank) for r in idx.query(spark, queries, k=3, probes=4).collect()}
+    assert after == before
