@@ -598,7 +598,7 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT event_type,
              CAST(FLOOR(CAST(value AS DECIMAL(25,6)) * 100) AS BIGINT) AS cb
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     hist AS (SELECT event_type, cb, COUNT(*) AS n FROM b GROUP BY event_type, cb),
     cum AS (
       SELECT event_type, cb,
@@ -645,7 +645,11 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimals, so the cast is exact on both engines); at coarser bin
     # widths the same plan is the classic approximate-histogram quantile,
     # still engine-exact.
-    binned = events.select(
+    # NULL values are excluded EXPLICITLY (none exist in this corpus, but
+    # a NULL cb would sort NULLS FIRST in Spark's cumulative window and
+    # NULLS LAST in DuckDB's — an unreachable-today divergence this
+    # filter keeps unreachable forever)
+    binned = events.filter(col("value").isNotNull()).select(
         "event_type",
         F.floor(col("value").cast("decimal(25,6)") * 100).cast("long").alias("cb"),
     )

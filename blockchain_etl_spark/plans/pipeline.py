@@ -719,6 +719,89 @@ def doc_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature-scaled mixture sampling — the multilingual/multi-source
+# mixing rule (sample source s ∝ p_s^α): α=1 is proportional (no
+# rebalance), α→0 is the full equalization doc_mixture_rebalance applies.
+# This query fixes α = 1/2, the common middle ground that upsamples rare
+# sources without letting the biggest ones drown — and the ONE exponent
+# whose power function (sqrt) is IEEE-correctly-rounded on every engine,
+# so the weights stay bit-exact cross-engine without transcendental libm
+# calls (general p^α needs exp/ln, whose last-ulp behavior differs).
+# --------------------------------------------------------------------------
+@register(
+    "doc_mixture_temperature",
+    sql="""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS w_fp
+          FROM s),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                 CAST(SUM(w_fp) AS BIGINT) AS total_w FROM w),
+    r AS (SELECT source, n_docs,
+                 (w_fp * 1000000) // total_w AS target_share_ppm,
+                 LEAST(1000000,
+                       (((total * ((w_fp * 1000000) // total_w)) // 1000000)
+                        * 1000000) // n_docs) AS rate_ppm
+          FROM w, t),
+    k AS (SELECT d.source, r.n_docs, r.target_share_ppm, r.rate_ppm,
+                 CAST('0x' || substr(md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 1000000 AS b
+          FROM documents d JOIN r ON r.source = d.source)
+    SELECT source, n_docs, target_share_ppm, rate_ppm,
+           CAST(SUM(CASE WHEN b < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM k GROUP BY source, n_docs, target_share_ppm, rate_ppm
+    """,
+    survey_ops=(),
+    doc="Temperature mixture sampling (α = 1/2): per-source weights "
+    "sqrt(n_s) in fixed point, target shares and per-source sampling "
+    "rates in integer ppm, and md5-salted ('t:' — decorrelated from the "
+    "other samplers) keep decisions. All arithmetic stays inside int64 "
+    "by deriving the target doc count from the ppm share (documented "
+    "rounding, deterministic). Plan shape: the rate table is one tiny "
+    "aggregate broadcast back over the corpus; the only corpus-wide "
+    "shuffle is the per-source report rollup, dropped when "
+    "materializing the sample itself.",
+)
+def doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = s.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(col("n_docs").cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("w_fp"),
+    )
+    t = w.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum("w_fp").cast("long").alias("total_w"),
+    )
+    r = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.expr("(w_fp * 1000000) div total_w").alias("target_share_ppm"),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                "(((total * ((w_fp * 1000000) div total_w)) div 1000000)"
+                " * 1000000) div n_docs"
+            ),
+        ).alias("rate_ppm"),
+    )
+    b = F.expr(
+        "CAST(conv(substring(md5(concat('t:', CAST(doc_id AS STRING))), 1, 12),"
+        " 16, 10) AS BIGINT) % 1000000"
+    )
+    k = docs.select("doc_id", "source", b.alias("b")).join(F.broadcast(r), ["source"])
+    return k.groupBy("source", "n_docs", "target_share_ppm", "rate_ppm").agg(
+        F.sum(F.when(col("b") < col("rate_ppm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sequence packing: assign documents to fixed token-budget bins — the
 # sample-packing step before training. Packing is PER SHARD (md5-derived),
 # so the cumulative-sum window parallelizes across shards instead of

@@ -67,6 +67,7 @@ QUERIES = [
     "chunk_retrieval_ivf",
     "cdc_maintained_priority_stats",
     "corpus_leakage_safe_splits",
+    "doc_mixture_temperature",
 ]
 
 

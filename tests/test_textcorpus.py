@@ -72,3 +72,42 @@ def test_jsonl_parallel_read_matches_single(spark, tmp_path):
     a, _ = split_corrupt(read_jsonl_documents(spark, str(one)))
     b, _ = split_corrupt(read_jsonl_documents(spark, str(many)))
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_temperature_mixture_sits_between_proportional_and_equalized(spark, tmp_path):
+    """On a SKEWED corpus (the registered corpora are uniform, so this
+    writes its own), alpha=1/2 temperature sampling must (a) keep every
+    rare source at full rate, (b) downsample the dominant source, and
+    (c) land the dominant source's target share strictly between the
+    equalized share (1/n_sources) and its proportional share."""
+    from pyspark.sql import Row
+
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    rows = []
+    did = 0
+    for src, n in (("big", 900), ("mid", 80), ("rare", 20)):
+        for _ in range(n):
+            rows.append(
+                Row(doc_id=did, text=f"document {did} body", lang="en",
+                    source=src, n_chars=20)
+            )
+            did += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r.source: r
+        for r in get_queries()["doc_mixture_temperature"](spark, sf).collect()
+    }
+    assert set(got) == {"big", "mid", "rare"}
+    # sqrt weights: 30 / 8.94 / 4.47 → shares ~0.692 / 0.206 / 0.103
+    big, mid, rare = got["big"], got["mid"], got["rare"]
+    assert rare.rate_ppm == 1_000_000 and rare.n_kept == 20
+    assert big.rate_ppm < 1_000_000, big
+    # dominant share: equalized (333333) < temperature < proportional (900000)
+    assert 333_333 < big.target_share_ppm < 900_000, big
+    # and rarer sources gain share relative to proportional
+    assert rare.target_share_ppm > 20_000, rare
+    # realized keeps roughly follow the rates (md5 buckets are uniform)
+    assert abs(big.n_kept - big.n_docs * big.rate_ppm / 1e6) <= 0.1 * big.n_docs
