@@ -32,6 +32,28 @@ from .generations import GenerationalLayout
 from .merge import ParquetMergeTarget
 
 
+def _tombstone_ids(inv, spark: SparkSession, ids: DataFrame, watermark: int | None) -> bool:
+    """Shared delete kernel for the inventory-backed vector indexes: fold
+    the inventory to target ∖ ids (anti-join on vec_id). The merge commit
+    is the single publish point, exactly like upserts."""
+    if watermark is not None and watermark <= inv.watermark():
+        return False
+    keys = ids.select("vec_id").localCheckpoint()
+
+    def drop(target: DataFrame | None, upd: DataFrame) -> DataFrame:
+        if target is None:
+            # nothing indexed yet: an empty state with the inventory schema
+            return upd.select(
+                "vec_id",
+                F.lit(0).cast("long").alias("seg"),
+                F.lit(0).cast("long").alias("cell"),
+            ).limit(0)
+        return target.join(upd, ["vec_id"], "left_anti")
+
+    inv.merge_with(spark, keys, drop, watermark=watermark)
+    return True
+
+
 class IVFIndex(GenerationalLayout):
     """cell-partitioned vector index: ``.../data/cell=N/`` parquet plus
     ``.../centroids`` parquet, grouped into GENERATIONS
@@ -152,6 +174,17 @@ class IVFIndex(GenerationalLayout):
             watermark=watermark,
         )
         return True
+
+    def delete(self, spark: SparkSession, ids: DataFrame, watermark: int | None = None) -> bool:
+        """Tombstone vectors: remove their inventory rows, which makes
+        every stored copy invisible to ``query()`` (the staleness join is
+        INNER on the inventory) — the delete path an upsert-only index
+        lacks, needed when an entity's vector count SHRINKS (a re-crawled
+        document with fewer chunks) rather than merely changes. Bytes are
+        reclaimed at the next ``compact()``; deleting absent ids is a
+        no-op, so replays are harmless. ``ids``: a frame with a vec_id
+        column. Returns False on a watermark-replayed batch."""
+        return _tombstone_ids(self._inventory(), spark, ids, watermark)
 
     def compact(self, spark: SparkSession) -> None:
         """Fold the per-cell segment pile an upsert stream accumulates

@@ -153,6 +153,14 @@ class IVFPQIndex(GenerationalLayout):
         )
         return True
 
+    def delete(self, spark: SparkSession, ids: DataFrame, watermark: int | None = None) -> bool:
+        """Tombstone vectors (see IVFIndex.delete): inventory rows go,
+        both stores' copies become invisible to the staleness filter,
+        compact() reclaims the bytes."""
+        from .ann_index import _tombstone_ids
+
+        return _tombstone_ids(self._inventory(), spark, ids, watermark)
+
     def compact(self, spark: SparkSession) -> None:
         """Fold the per-cell segment pile into ONE consolidated segment
         per cell in a fresh generation — the LSM merge, PQ edition: the

@@ -564,8 +564,14 @@ def chunk_vectors(docs: DataFrame) -> DataFrame:
     it exactly like a learned embedding — and the weights are the same
     single-sourced feature-hash spec chunk_retrieval_ivf hash-verifies
     against DuckDB. Chunks whose tokens fully cancel (or empty chunks)
-    produce no vector: a zero vector has no direction to index."""
-    feat = _chunk_token_features(_chunk_windows(docs).drop("i"))
+    produce no vector: a zero vector has no direction to index. Chunks
+    at/after _CR_SEQ_CAP are EXCLUDED (not silently collided): the
+    vec_id packing is only reversible below the cap, and a colliding id
+    would clobber the NEXT doc_id's chunk-1 vector in any
+    inventory-keyed index."""
+    feat = _chunk_token_features(
+        _chunk_windows(docs).filter(col("chunk_seq") < _CR_SEQ_CAP).drop("i")
+    )
     ck = ["doc_id", "chunk_seq", "char_start"]
     arr = (
         feat.groupBy(*ck)
@@ -685,7 +691,8 @@ def chunk_vectors(docs: DataFrame) -> DataFrame:
     "physical partitions.",
 )
 def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # _chunk_windows owns the empty-text invariant; no outer filter here
+    docs = load_table(spark, sf_dir, "documents")
     chunks = _chunk_windows(docs.filter(col("doc_id") % _CR_DOC_MOD == 0)).filter(
         col("i") < _CR_MAX_CHUNKS
     )

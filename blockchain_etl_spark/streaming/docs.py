@@ -111,16 +111,33 @@ class DocIngest:
             # dense vectors and folded into the persisted IVF index —
             # bootstrap builds on the first non-empty batch (frozen coarse
             # quantizer thereafter; refresh = explicit rebuild/compact).
-            from ..plans.similarity import chunk_vectors
+            # One materialization serves the emptiness probe, the
+            # build/upsert, and the shrink retraction below.
+            from ..plans.similarity import _CR_SEQ_CAP, chunk_vectors
 
             vecs = chunk_vectors(fresh.select("doc_id", "text")).select(
                 "vec_id", "embedding"
-            )
+            ).localCheckpoint()
             if not os.path.isdir(self.vectors._centroids):
-                if not vecs.isEmpty():
+                if vecs.take(1):
                     self.vectors.build(spark, vecs, n_cells=8)
             else:
                 self.vectors.upsert(spark, vecs, watermark=batch_id)
+                # a re-crawl that SHRANK a document supersedes only the
+                # overlapping chunk ids; its old tail chunks would stay
+                # live forever (stale hits with dangling provenance).
+                # Tombstone every inventory id owned by a fresh doc that
+                # the new chunk set no longer contains. Candidate-sized:
+                # inventory ⋈ broadcast(fresh doc ids).
+                inv = self.vectors._inventory().read(spark)
+                if inv is not None:
+                    owned = inv.join(
+                        F.broadcast(fresh.select("doc_id").distinct()),
+                        F.expr(f"vec_id div {_CR_SEQ_CAP} = doc_id"),
+                    ).select("vec_id")
+                    stale = owned.join(vecs.select("vec_id"), ["vec_id"], "left_anti")
+                    if stale.take(1):
+                        self.vectors.delete(spark, stale)
         # the hash-inventory merge commits LAST: its watermark is the
         # replay guard at the top, so every index upsert above must be
         # durable before it advances — a crash anywhere in this method

@@ -497,3 +497,36 @@ def test_compact_with_fully_superseded_cell_still_serves(spark, tmp_path):
         if vid not in set(range(N_QUERIES)):  # self-hits excluded per qid
             assert vid in served, vid
     assert idx.pruned_files(spark, [victim]) == 0
+
+
+def test_delete_tombstones_vectors(spark, tmp_path):
+    """delete() makes every copy of a vec_id invisible (inner staleness
+    join), replays are no-ops, compaction reclaims the rows, and the id
+    can be re-inserted afterwards."""
+    emb = _emb(spark).cache()
+    idx = IVFIndex(str(tmp_path / "ivf_delete"))
+    idx.build(spark, emb.filter(col("vec_id") < 40), n_cells=N_CELLS)
+
+    victims = spark.createDataFrame([(7,), (11,)], "vec_id long")
+    assert idx.delete(spark, victims)
+    queries = emb.filter(col("vec_id") < N_QUERIES).select(
+        col("vec_id").alias("qid"), "embedding"
+    )
+    got = idx.query(spark, queries, k=300, probes=N_CELLS).collect()
+    assert all(r.neighbor_id not in (7, 11) for r in got)
+    # deleting absent ids is a no-op (and idempotent)
+    assert idx.delete(spark, victims)
+    # compact drops the tombstoned rows from disk
+    idx.compact(spark)
+    import os
+
+    data = spark.read.option("basePath", idx._data).parquet(idx._data)
+    assert data.filter(col("vec_id").isin(7, 11)).count() == 0
+    # a later upsert can re-insert the id
+    assert idx.upsert(
+        spark,
+        emb.filter(col("vec_id") == 7).select("vec_id", "embedding"),
+        watermark=99,
+    )
+    got2 = idx.query(spark, queries, k=300, probes=N_CELLS).collect()
+    assert any(r.neighbor_id == 7 for r in got2)

@@ -144,8 +144,9 @@ def test_cli_vec_compact(spark, tmp_path, capsys):
     from pyspark.sql import functions as F
 
     from blockchain_etl_spark.operators.ann_index import IVFIndex
+    from tests.conftest import SF_DIR
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     path = str(tmp_path / "vec")

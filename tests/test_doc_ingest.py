@@ -152,13 +152,15 @@ def test_streamed_vector_index_serves_every_live_chunk(spark, tmp_path):
     n_probes = probes.count()
     assert n_probes > 5
     got = ing.vectors.query(spark, probes, k=3, probes=8).collect()
-    # query() excludes self-hits (vec_id != qid), so the direct probe only
-    # checks structure: hits come back and no (qid, neighbor) duplicates
-    # survive the staleness filter
+    # query() excludes self-hits (vec_id != qid), so the direct probe
+    # checks structure: EVERY probe comes back with hits and no
+    # (qid, neighbor) duplicates survive the staleness filter
     from collections import Counter
 
     by_q = Counter(r.qid for r in got)
-    assert set(by_q) == {r.qid for r in probes.collect()} & set(by_q.keys())
+    assert set(by_q) == {r.qid for r in probes.collect()}, (
+        "some probes returned no hits at all"
+    )
     dupes = {k: v for k, v in Counter((r.qid, r.neighbor_id) for r in got).items() if v > 1}
     assert not dupes, dupes
 
@@ -182,18 +184,52 @@ def test_streamed_vector_index_serves_every_live_chunk(spark, tmp_path):
     # the argmax for every probe (ties broken by id only on exact equals)
     assert matched == len(expect), (matched, len(expect))
 
-    # re-crawl: doc 3's text changes entirely; its chunk vectors must be
-    # superseded in-place
-    new_text = " ".join(f"fresh{i} token{i % 7} newsworthy" for i in range(60))
+    # re-crawl: doc 3's text changes entirely AND SHRINKS (fewer chunks);
+    # overlapping chunk ids must be superseded in-place and the old
+    # TAIL chunks tombstoned — an upsert-only path would keep serving
+    # stale vectors whose provenance points at text that no longer exists
+    from blockchain_etl_spark.plans.similarity import _CR_SEQ_CAP
+
+    # grow first (batch 3): a long re-crawl gives doc 3 many chunks...
+    big_text = " ".join(f"grown{i} token{i % 7} newsworthy" for i in range(140))
+    ing.process_batch(
+        spark.createDataFrame([(3, big_text, "en")], ["doc_id", "text", "lang"]), 3
+    )
+    old_chunks = {
+        r.vec_id
+        for r in chunk_vectors(
+            spark.createDataFrame([(3, big_text)], ["doc_id", "text"])
+        ).select("vec_id").collect()
+    }
+    # ...then shrink (batch 4): most of those chunk ids must be retired
+    new_text = " ".join(f"fresh{i} token{i % 7} newsworthy" for i in range(18))
     recrawl = spark.createDataFrame(
         [(3, new_text, "en")], ["doc_id", "text", "lang"]
     )
     # content hash differs, so the clean gate admits it as a fresh row
-    ing.process_batch(recrawl, 3)
-    new_vec = chunk_vectors(recrawl.select("doc_id", "text")).filter(
-        col("chunk_seq") == 1
-    )
+    ing.process_batch(recrawl, 4)
+    new_vecs = chunk_vectors(recrawl.select("doc_id", "text")).cache()
+    new_ids = {r.vec_id for r in new_vecs.select("vec_id").collect()}
+    assert len(new_ids) < len(old_chunks), "test premise: the re-crawl must shrink"
+
+    new_vec = new_vecs.filter(col("chunk_seq") == 1)
     probe = new_vec.select((col("vec_id") + 10**12).alias("qid"), "embedding")
     r = ing.vectors.query(spark, probe, k=1, probes=8).collect()
     assert r and r[0].cosine > 0.9999, r
     assert r[0].neighbor_id == new_vec.collect()[0].vec_id
+
+    # no hit anywhere may unpack to a retired doc-3 tail chunk
+    wide = ing.vectors.query(spark, probes, k=10**6, probes=8).collect()
+    doc3_hits = {
+        r.neighbor_id
+        for r in wide
+        if r.neighbor_id // _CR_SEQ_CAP == 3
+    }
+    assert doc3_hits <= new_ids, doc3_hits - new_ids
+    # and the tombstones are physically gone from the inventory
+    inv_ids = {
+        r.vec_id
+        for r in ing.vectors._inventory().read(spark).collect()
+        if r.vec_id // _CR_SEQ_CAP == 3
+    }
+    assert inv_ids == new_ids, inv_ids ^ new_ids
