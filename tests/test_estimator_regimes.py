@@ -203,3 +203,48 @@ def test_simhash_hamming_tracks_overlap_per_regime(spark):
     assert far >= 20, far
     # identical docs: exactly zero
     assert _simhash_mean_hamming(spark, 5, 200, 1.0) == 0.0
+
+
+# ------------------------------------------------- histogram quantile ----
+def _hist_quantile(spark, values, bin_width, q_num, q_den):
+    """The events_approx_stats quantile construction at a configurable
+    bin width: bin counts → cumulative → first bin whose cumulative count
+    crosses ceil(q*n) (integer cross-multiply), bin lower edge returned."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(float(v),) for v in values], "value double")
+    binned = df.select(
+        (F.floor(col("value").cast("decimal(25,6)") / bin_width) * bin_width)
+        .cast("long")
+        .alias("cb")
+    )
+    hist = binned.groupBy("cb").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        hist.groupBy().agg(F.sum("n").alias("tot"))
+    )
+    return cum.agg(
+        F.min(F.when(col("cum") * q_den >= col("tot") * q_num, col("cb"))).alias("q")
+    ).first().q
+
+
+@pytest.mark.parametrize("bin_width", [1, 10, 100])
+def test_histogram_quantile_rank_error_bounded_by_bin_mass(spark, bin_width):
+    """The approximate regime the registered cent-bin query never enters:
+    at coarser bins the returned edge's RANK error must stay within the
+    largest single bin's mass — the histogram-quantile guarantee — on a
+    heavy-tailed (Zipf-ish) distribution, per quantile level."""
+    values = []
+    for i in range(1, 400):
+        values += [i * 3.17] * max(1, 400 // i)  # heavy head, long tail
+    n = len(values)
+    values_sorted = sorted(values)
+    for q_num, q_den in ((1, 2), (9, 10), (99, 100)):
+        edge = _hist_quantile(spark, values, bin_width, q_num, q_den)
+        at_or_below = sum(1 for v in values_sorted if v <= edge + bin_width - 1e-9)
+        strictly_below = sum(1 for v in values_sorted if v < edge)
+        target = -(-q_num * n // q_den)  # ceil(q*n)
+        # the true quantile's rank lies inside the chosen bin
+        assert strictly_below < target <= at_or_below, (
+            bin_width, q_num, q_den, edge, strictly_below, target, at_or_below
+        )

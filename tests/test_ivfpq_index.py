@@ -303,3 +303,24 @@ def test_pq_compact_with_fully_superseded_cell_still_serves(spark, tmp_path):
     got = idx.query(spark, queries, k=3, probes=4).collect()
     assert {r.qid for r in got} == set(range(5))
     assert idx.pruned_files(spark, [victim]) == 0
+
+
+def test_pq_delete_tombstones_vectors(spark, tmp_path):
+    sf0 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf0}/embeddings.parquet").select("vec_id", "embedding").cache()
+    idx = IVFPQIndex(str(tmp_path / "pq_delete"))
+    idx.build(spark, emb.filter(col("vec_id") < 40), n_cells=4)
+
+    assert idx.delete(spark, spark.createDataFrame([(7,)], "vec_id long"))
+    queries = emb.filter(col("vec_id") < 5).select(col("vec_id").alias("qid"), "embedding")
+    got = idx.query(spark, queries, k=200, probes=4, shortlist=500).collect()
+    assert all(r.neighbor_id != 7 for r in got)
+    idx.compact(spark)
+    for store in ("codes", "vectors"):
+        d = spark.read.option("basePath", idx._p(store)).parquet(idx._p(store))
+        assert d.filter(col("vec_id") == 7).count() == 0, store
+    assert idx.upsert(
+        spark, emb.filter(col("vec_id") == 7).select("vec_id", "embedding"), watermark=50
+    )
+    got2 = idx.query(spark, queries, k=200, probes=4, shortlist=500).collect()
+    assert any(r.neighbor_id == 7 for r in got2)
