@@ -999,3 +999,60 @@ def _bind_simhash_calibration_sql() -> None:
 
 
 _bind_simhash_calibration_sql()
+
+
+# --------------------------------------------------------------------------
+# Prefix-duplication rate — the memorization-risk audit: documents that
+# share their opening characters verbatim (boilerplate headers, mirrored
+# articles, template spam) are the ones a model most readily memorizes,
+# and they evade whole-document hashing the moment anything after the
+# prefix differs. One md5-of-prefix aggregate; corpus-sized, single
+# shuffle on the prefix hash.
+# --------------------------------------------------------------------------
+_PREFIX_LEN = 100
+
+
+@register(
+    "doc_prefix_dup_rate",
+    sql=f"""
+    WITH p AS (
+      SELECT md5(substr(text, 1, {_PREFIX_LEN})) AS ph
+      FROM documents WHERE length(text) >= {_PREFIX_LEN}),
+    g AS (SELECT ph, COUNT(*) AS n FROM p GROUP BY ph)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_prefix_groups,
+           CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+             AS n_dup_docs,
+           CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) * 1000000
+                // SUM(n) AS BIGINT) AS dup_ppm,
+           CAST(MAX(n) AS BIGINT) AS largest_group
+    FROM g
+    """,
+    survey_ops=("X2",),
+    doc=f"Share of documents whose first {_PREFIX_LEN} characters are "
+    "duplicated verbatim elsewhere in the corpus — the memorization-risk "
+    "audit whole-document hashing misses (one changed byte after the "
+    "prefix defeats it). md5-of-prefix grouping: map-side hash, one "
+    "shuffle on the prefix hash, 1-row summary (docs, groups, dup docs, "
+    "ppm, largest clone family). Short documents (< prefix length) are "
+    "excluded on both engines.",
+)
+def doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _PREFIX_LEN
+    )
+    g = docs.select(
+        F.md5(F.expr(f"substring(text, 1, {_PREFIX_LEN})")).alias("ph")
+    ).groupBy("ph").agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefix_groups"),
+        F.coalesce(F.sum(F.when(col("n") > 1, col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.expr(
+            "CAST(coalesce(SUM(CASE WHEN n > 1 THEN n END), 0) * 1000000"
+            " div SUM(n) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.max("n").cast("long").alias("largest_group"),
+    )

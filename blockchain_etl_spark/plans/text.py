@@ -1240,3 +1240,81 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("long").alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve — the tokenizer-design metric: what share of
+# all corpus token OCCURRENCES does a top-k vocabulary cover? The knee of
+# this curve is where a vocab budget stops paying; the residual is the
+# UNK/byte-fallback rate a tokenizer of that size would eat. Token grain
+# only after the corpus-sized count aggregate — the window runs over the
+# VOCABULARY frame, never the corpus.
+# --------------------------------------------------------------------------
+_VOCAB_SIZES = (10, 100, 1000)
+
+
+@register(
+    "vocab_coverage_curve",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL.format(c='text')}) AS tok FROM documents),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_types FROM counts),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, tok ASC) AS cum
+      FROM counts)
+    SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+           t.n_types,
+           CAST(COALESCE(MAX(r.cum), t.total) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(MAX(r.cum), t.total) * 1000000 // t.total AS BIGINT)
+             AS coverage_ppm
+    FROM (SELECT unnest([{', '.join(str(v) for v in _VOCAB_SIZES)}]) AS vocab_size) v
+    CROSS JOIN tot t
+    LEFT JOIN ranked r ON r.rk <= v.vocab_size
+    GROUP BY CAST(v.vocab_size AS BIGINT), t.n_types, t.total
+    """,
+    survey_ops=("A2",),
+    doc="Coverage of corpus token occurrences by a top-k vocabulary at "
+    f"k ∈ {_VOCAB_SIZES} — the tokenizer-budget curve (the residual is "
+    "the UNK/byte-fallback rate). One corpus-sized count aggregate; the "
+    "rank/cumulative window runs over the VOCABULARY frame (types, not "
+    "occurrences) with a (count desc, token) total order so both "
+    "engines pick identical prefixes; shares in integer ppm. A k larger "
+    "than the type count covers everything (COALESCE to total).",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_TOKENS.format(c="text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.localCheckpoint()  # feeds totals AND the ranked window
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    w = Window.orderBy(col("c").desc(), col("tok").asc())
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    sizes = spark.range(0).sparkSession.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], "vocab_size long"
+    )
+    j = (
+        sizes.crossJoin(F.broadcast(tot))
+        .join(ranked, col("rk") <= col("vocab_size"), "left")
+        .groupBy("vocab_size", "n_types", "total")
+        .agg(F.max("cum").alias("mx"))
+    )
+    return j.select(
+        "vocab_size",
+        "n_types",
+        F.coalesce(col("mx"), col("total")).cast("long").alias("covered_tokens"),
+        F.expr("CAST(coalesce(mx, total) * 1000000 div total AS BIGINT)").alias(
+            "coverage_ppm"
+        ),
+    )

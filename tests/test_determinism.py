@@ -68,6 +68,8 @@ QUERIES = [
     "cdc_maintained_priority_stats",
     "corpus_leakage_safe_splits",
     "doc_mixture_temperature",
+    "vocab_coverage_curve",
+    "doc_prefix_dup_rate",
 ]
 
 
