@@ -211,6 +211,15 @@ class IVFIndex(GenerationalLayout):
         old_gen = self._gen()
         inv = self._inventory()
         wm = inv.watermark()
+        # Every vector tombstoned → zero live rows: compacting would write
+        # a data directory holding only _SUCCESS (no part files, no
+        # schema), and the NEXT compact's parquet read dies with
+        # unable-to-infer-schema. Skip instead — query() already returns
+        # empty via the inventory live-cell intersection, and the first
+        # post-delete upsert's segment compacts normally afterwards.
+        inv_probe = inv.read(spark)
+        if inv_probe is None or not inv_probe.take(1):
+            return
         data = spark.read.option("basePath", self._data).parquet(self._data)
         live = data
         inv_df = inv.read(spark)

@@ -176,6 +176,12 @@ class IVFPQIndex(GenerationalLayout):
         inv = self._inventory()
         wm = inv.watermark()
         latest = inv.read(spark)
+        # zero live rows → skip: an all-tombstoned compact would write
+        # part-file-less store directories the next compact cannot read
+        # (see IVFIndex.compact); queries are already empty via the
+        # live-cell intersection.
+        if latest is None or not latest.take(1):
+            return
         new_gen = old_gen + 1
         gdir = self._gen_dir(new_gen)
         for store in ("centroids", "codebook"):

@@ -244,6 +244,15 @@ class ParquetMergeTarget:
         meta = {"version": next_v}
         if watermark is not None:
             meta["watermark"] = watermark
+        else:
+            # an UNWATERMARKED merge (maintenance fold, tombstone sweep)
+            # must not ERASE the stored high-mark: dropping it would reset
+            # watermark() to -1 and silently disable the replay guard of
+            # every later watermarked merge (duplicate segments / double
+            # counting on crash replay). Carry the prior value forward.
+            prior = self._meta().get("watermark")
+            if prior is not None:
+                meta["watermark"] = prior
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._pointer)  # publish: atomic pointer flip

@@ -65,7 +65,8 @@ def register(
 #
 # The external driver verifies a prefix-sized sample of queries() per round
 # while local pytest (tests/test_oracle.py) checks ALL registered queries
-# every run. The ordering is a HYBRID of coverage-first and rotation:
+# every run. The ordering is a HYBRID of coverage-first and staleness-fair
+# rotation:
 #
 # 1. Queries with NO fully-verified driver row yet (no CORRECTNESS_r*.json
 #    entry with hash_match=true — i.e. brand-new queries) sort FIRST,
@@ -73,10 +74,19 @@ def register(
 #    within a round or two of being added, while previously-green queries
 #    keep guaranteed re-verification slots even when many new queries land
 #    at once.
-# 2. Within each group, names rotate by md5(f"{round}:{name}") where
-#    `round` is inferred from the number of CORRECTNESS_r*.json artifacts
-#    already written — previously-green queries keep re-entering the
-#    window uniformly, so regressions cannot hide behind a frozen order.
+# 2. The remaining window slots go to previously-green queries in
+#    STALENESS order — rounds since their last hash-verified driver row,
+#    most stale first (ties broken by the per-round md5 rotation hash).
+#    This is a round-robin over the green set: with G greens and S ≥
+#    window/2 guaranteed slots per round, no green query goes more than
+#    ceil(G / S) rounds without re-verification
+#    (tests/test_registry_order.py asserts the bound under simulated
+#    rounds). A query that FAILS re-verification gets no fresh
+#    hash_match=true row, so its staleness keeps growing and it re-enters
+#    the window every round until fixed.
+# 3. Everything past the window sorts by the rotation hash
+#    md5(f"{round}:{name}") where `round` is inferred from the number of
+#    CORRECTNESS_r*.json artifacts already written.
 #
 # Same round → same order (deterministic); the status input is the driver's
 # own past artifacts, never a locally-editable allowlist.
@@ -91,15 +101,21 @@ def _round_index() -> int:
     return len(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
 
 
-def _driver_verified() -> set[str]:
-    """Names with a full hash-verified driver row in ANY past round."""
+def _last_verified() -> dict[str, int]:
+    """name → LATEST round with a full hash-verified driver row (the
+    staleness clock for the rotation and the COVERAGE.md telemetry)."""
     import glob
     import json
     import os
+    import re
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    verified: set[str] = set()
+    last: dict[str, int] = {}
     for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(p) as f:
                 rows = json.load(f)
@@ -107,31 +123,61 @@ def _driver_verified() -> set[str]:
             continue
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
-                verified.add(name)
-    return verified
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
-# The driver verifies a ~50-query window; at most HALF of it is ceded to
-# the never-verified priority group, so previously-green queries are
-# guaranteed re-verification slots every round even when a large batch of
-# new queries lands at once (otherwise a big unverified group would fill
-# the whole window and regressions in greens could hide indefinitely).
+def _driver_verified() -> set[str]:
+    """Names with a full hash-verified driver row in ANY past round."""
+    return set(_last_verified())
+
+
+# The driver verifies a ~50-query window (an EXTERNAL harness setting this
+# constant mirrors — if the driver's window ever shrinks, shrink this with
+# it, or the never-verified head below could consume most of the real
+# window). At most HALF of the window is ceded to the never-verified
+# priority group, so previously-green queries are guaranteed
+# re-verification slots every round even when a large batch of new queries
+# lands at once (otherwise a big unverified group would fill the whole
+# window and regressions in greens could hide indefinitely).
 _WINDOW = 50
 
 
-def _ordered_names() -> list[str]:
+def order_names(
+    names: "list[str]", last_verified: "dict[str, int]", rnd: int, window: int = _WINDOW
+) -> "list[str]":
+    """The pure ordering rule (policy docstring above): never-verified
+    head capped at window/2, then greens by staleness-desc round-robin
+    filling the window, then the rotation tail. Pure so the staleness
+    bound is testable under simulated rounds."""
     import hashlib
-
-    rnd = _round_index()
-    verified = _driver_verified()
 
     def rot(n: str) -> str:
         return hashlib.md5(f"{rnd}:{n}".encode()).hexdigest()
 
-    unverified = sorted((n for n in QUERIES if n not in verified), key=rot)
-    head, overflow = unverified[: _WINDOW // 2], unverified[_WINDOW // 2 :]
-    rest = sorted([n for n in QUERIES if n in verified] + overflow, key=rot)
-    return head + rest
+    unverified = sorted((n for n in names if n not in last_verified), key=rot)
+    head, overflow = unverified[: window // 2], unverified[window // 2 :]
+    greens = sorted(
+        (n for n in names if n in last_verified),
+        key=lambda n: (last_verified[n] - rnd, rot(n)),  # most stale first
+    )
+    guaranteed = greens[: max(0, window - len(head))]
+    tail = sorted(overflow + greens[len(guaranteed):], key=rot)
+    return head + guaranteed + tail
+
+
+def staleness_report() -> "dict[str, int]":
+    """name → rounds since the last hash-verified driver row (0 = verified
+    in the newest artifact; never-verified names report the full round
+    count). Emitted into COVERAGE.md each round."""
+    _load_all()
+    rnd = _round_index()
+    last = _last_verified()
+    return {n: rnd - last.get(n, 0) for n in sorted(QUERIES)}
+
+
+def _ordered_names() -> list[str]:
+    return order_names(list(QUERIES), _last_verified(), _round_index())
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -530,3 +530,48 @@ def test_delete_tombstones_vectors(spark, tmp_path):
     )
     got2 = idx.query(spark, queries, k=300, probes=N_CELLS).collect()
     assert any(r.neighbor_id == 7 for r in got2)
+
+
+def test_compact_after_all_tombstoned_skips_and_recovers(spark, tmp_path):
+    """Tombstoning EVERY vector then compacting must not publish a
+    part-file-less generation (the next compact's parquet read would die
+    with unable-to-infer-schema): compact skips, queries stay empty, and
+    a later upsert + compact resumes a normal lifecycle."""
+    emb = _emb(spark)
+    small = emb.filter(col("vec_id") < 10)
+    idx = IVFIndex(str(tmp_path / "ivf_all_gone"))
+    idx.build(spark, small, n_cells=4)
+    gen = idx._gen()
+    assert idx.delete(spark, small.select("vec_id"))
+    queries = small.limit(3).select(col("vec_id").alias("qid"), "embedding")
+    idx.compact(spark)  # must skip (nothing live), not wedge the layout
+    assert idx._gen() == gen
+    idx.compact(spark)  # the ADVICE repro: the SECOND compact crashed
+    assert idx.query(spark, queries, k=3, probes=4).count() == 0
+    assert idx.upsert(spark, small.filter(col("vec_id") < 5), watermark=50)
+    idx.compact(spark)  # live rows again: compaction resumes normally
+    assert idx._gen() == gen + 1
+    got = idx.query(spark, queries, k=10, probes=4)
+    assert got.count() > 0
+
+
+def test_delete_does_not_erase_upsert_watermark(spark, tmp_path):
+    """delete() without a watermark must not wipe the inventory's stored
+    high-mark — a wiped watermark silently disables upsert()'s replay
+    guard (crash-replays re-append duplicate segments)."""
+    emb = _emb(spark)
+    idx = IVFIndex(str(tmp_path / "ivf_wm"))
+    idx.build(spark, emb.filter(col("vec_id") < 20), n_cells=4)
+    assert idx.upsert(
+        spark,
+        emb.filter((col("vec_id") >= 20) & (col("vec_id") < 30)),
+        watermark=7,
+    )
+    assert idx.delete(spark, spark.createDataFrame([(3,)], "vec_id long"))
+    assert idx._inventory().watermark() == 7
+    # the replay guard still holds: re-running batch 7 is a no-op
+    assert not idx.upsert(
+        spark,
+        emb.filter((col("vec_id") >= 20) & (col("vec_id") < 30)),
+        watermark=7,
+    )

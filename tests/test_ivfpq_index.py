@@ -324,3 +324,23 @@ def test_pq_delete_tombstones_vectors(spark, tmp_path):
     )
     got2 = idx.query(spark, queries, k=200, probes=4, shortlist=500).collect()
     assert any(r.neighbor_id == 7 for r in got2)
+
+
+def test_pq_compact_after_all_tombstoned_skips_and_recovers(spark, tmp_path):
+    """All-tombstoned compact must skip (see IVFIndex twin): no
+    part-file-less generation, empty queries, normal lifecycle after a
+    re-upsert."""
+    emb = _emb(spark)
+    small = emb.filter(col("vec_id") < 30)
+    idx = IVFPQIndex(str(tmp_path / "pq_all_gone"))
+    idx.build(spark, small, n_cells=4)
+    gen = idx._gen()
+    assert idx.delete(spark, small.select("vec_id"))
+    idx.compact(spark)
+    assert idx._gen() == gen
+    idx.compact(spark)  # second compact must not crash either
+    assert idx.query(spark, _queries(spark), k=3, probes=4).count() == 0
+    assert idx.upsert(spark, small.filter(col("vec_id") < 10), watermark=50)
+    idx.compact(spark)
+    assert idx._gen() == gen + 1
+    assert idx.query(spark, _queries(spark), k=5, probes=4).count() > 0

@@ -103,3 +103,21 @@ def test_merge_matches_model_under_any_chunking(spark, rows, n_chunks):
         for r in target.collect()
     }
     assert got == want
+
+
+def test_unwatermarked_merge_carries_watermark_forward(spark, tmp_path):
+    """A maintenance fold without a watermark (tombstone sweep, manual
+    compaction) must not reset the stored high-mark to -1 — that would
+    silently disable the replay guard of every later watermarked merge."""
+    from blockchain_etl_spark.operators.merge import ParquetMergeTarget
+
+    t = ParquetMergeTarget(str(tmp_path / "wm_carry"))
+    rows = spark.createDataFrame([(1, 5)], ["k", "v"])
+    t.merge(spark, rows, keys=["k"], order=["v"], watermark=3)
+    assert t.watermark() == 3
+    t.merge_with(spark, rows, lambda tgt, u: u)  # no watermark given
+    assert t.watermark() == 3, "carry the prior high-mark forward"
+    # replayed batch 3 is still skipped
+    before = t.current_version()
+    t.merge(spark, rows, keys=["k"], order=["v"], watermark=3)
+    assert t.current_version() == before
