@@ -23,12 +23,20 @@ key — never a source-table scan. Sum columns must be exact types (integer
 / decimal): float sums would drift between the incremental and batch forms
 under reordering, the same rule plans/registry.py applies to oracles.
 
-Only RETRACTABLE aggregates (count, sum — group-commutative) can be
-maintained from deltas alone: deleting the current MAX of a group cannot
-be folded without re-reading the group's surviving rows, so min/max
-views need either the source table (ContinuousAggregate's touched-bucket
-refold, operators/rollup.py) or a sketch that absorbs deletes. This
-class enforces the constraint by construction (counts + sums only).
+Counts and sums are maintainable from deltas ALONE (group-commutative
+under retraction). Min/max are monotone under inserts but NOT under
+retraction: deleting the current MAX of a group cannot be folded without
+re-reading the group's surviving rows. ``min_cols``/``max_cols`` therefore
+get the standard IVM treatment — inserts fold incrementally
+(least/greatest against the stored extremum), and a delete/update whose
+BEFORE image touches the stored extremum triggers a BOUNDED re-derivation
+of exactly the affected groups from the source snapshot PINNED at that
+changelog's version (a keyed lookup — broadcast of the risky group keys
+against one pruned read — never a full recompute; the reference's
+first_block/last_block bookkeeping,
+migrations/1590689602-gateway_inventory.sql:28-31, maintained honestly
+under deletes). Folds whose changelog retracts no extremum never read the
+source at all (tests/test_cdc_view.py counts the reads).
 """
 
 from __future__ import annotations
@@ -40,6 +48,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from .merge import ParquetMergeTarget, merge_accumulate
+
+
+class MissingChangelogError(ValueError):
+    """A changelog segment needed by fold() does not exist (merge ran
+    without changelog_keys, or vacuum dropped it). ValueError subclass so
+    existing callers' handlers keep working; catch_up() catches exactly
+    this — never the configuration ValueErrors (_delta_partial's sum-col
+    validation), which a snapshot re-seed would silently paper over."""
 
 
 def weighted_group_fold(group_keys: Sequence[str], sum_cols: Sequence[str]):
@@ -70,43 +86,68 @@ def read_weighted_agg(
 
 
 class ChangelogAggregateView:
-    """Maintained ``GROUP BY group_keys: count(*), sum(sum_cols...)`` over a
-    changelog-emitting merge target."""
+    """Maintained ``GROUP BY group_keys: count(*), sum(sum_cols...),
+    min(min_cols...), max(max_cols...)`` over a changelog-emitting merge
+    target. Counts/sums fold from CDC rows alone; extrema fold
+    incrementally under inserts and re-derive ONLY the retraction-hit
+    groups from the pinned source snapshot (module docstring)."""
 
-    def __init__(self, path: str, group_keys: Sequence[str], sum_cols: Sequence[str] = ()):
+    def __init__(
+        self,
+        path: str,
+        group_keys: Sequence[str],
+        sum_cols: Sequence[str] = (),
+        min_cols: Sequence[str] = (),
+        max_cols: Sequence[str] = (),
+    ):
         self.target = ParquetMergeTarget(path)
         self.group_keys = list(group_keys)
         self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols)
+        self.max_cols = list(max_cols)
 
     def folded_version(self) -> int:
         """Last source version folded into the view (0 = nothing yet)."""
         return max(0, self.target.watermark())
 
+    @property
+    def _ext_cols(self) -> "list[str]":
+        """Distinct columns carrying an extremum (a column may be in both
+        min_cols and max_cols)."""
+        return list(dict.fromkeys(self.min_cols + self.max_cols))
+
     def _delta_partial(self, log: DataFrame) -> DataFrame:
-        """Changelog rows → one weighted partial row per touched group."""
-        # Update retractions read sum values from the __before image, and
+        """Changelog rows → one weighted partial row per touched group.
+
+        Beside the count/sum deltas, extremum columns get per-group INSERT
+        candidates (``__ins(min|max)_<c>`` — the monotone fold side) and
+        RETRACTED boundaries (``__ret(min|max)_<c>`` — what the risky-group
+        detection compares against the stored extremum)."""
+        # Update retractions read values from the __before image, and
         # merge KEYS are never in it (they sit at top level and cannot
-        # change in an update) — so a sum_col that is also a merge key
-        # cannot be maintained. Fail with the real reason instead of an
-        # unresolved-column analysis error deep in the select.
-        bad = [c for c in self.sum_cols if c not in self._before_fields(log)]
+        # change in an update) — so a maintained column that is also a
+        # merge key cannot be maintained. Fail with the real reason
+        # instead of an unresolved-column analysis error in the select.
+        val_cols = list(dict.fromkeys(self.sum_cols + self._ext_cols))
+        bad = [c for c in val_cols if c not in self._before_fields(log)]
         if bad:
             raise ValueError(
-                f"sum_cols {bad} are changelog merge keys (absent from the "
-                "__before image) — a merge key identifies rows and cannot "
-                "be a maintained sum column; aggregate a data column instead"
+                f"maintained columns {bad} are changelog merge keys (absent "
+                "from the __before image) — a merge key identifies rows and "
+                "cannot be a maintained aggregate column; aggregate a data "
+                "column instead"
             )
         after = log.filter(col("__op").isin("insert", "update")).select(
             *[col(k) for k in self.group_keys],
             F.lit(1).cast("long").alias("__w"),
-            *[col(c) for c in self.sum_cols],
+            *[col(c) for c in val_cols],
         )
         # delete rows carry the before image flattened; update rows carry
         # the AFTER image flattened and the before image in __before.
         minus_del = log.filter(col("__op") == "delete").select(
             *[col(k) for k in self.group_keys],
             F.lit(-1).cast("long").alias("__w"),
-            *[col(c) for c in self.sum_cols],
+            *[col(c) for c in val_cols],
         )
         # group keys that are data columns come from the before image;
         # merge keys sit at top level and cannot change in an update.
@@ -114,17 +155,76 @@ class ChangelogAggregateView:
         minus_upd = log.filter(col("__op") == "update").select(
             *[(col(f"__before.{k}") if k in bf else col(k)).alias(k) for k in self.group_keys],
             F.lit(-1).cast("long").alias("__w"),
-            *[col(f"__before.{c}").alias(c) for c in self.sum_cols],
+            *[col(f"__before.{c}").alias(c) for c in val_cols],
         )
         rows = after.unionByName(minus_del).unionByName(minus_upd)
         aggs = [F.sum("__w").cast("long").alias("__n")] + [
             F.sum(col(c) * col("__w")).alias(c) for c in self.sum_cols
         ]
+        for c in self.min_cols:
+            aggs.append(F.min(F.when(col("__w") == 1, col(c))).alias(f"__insmin_{c}"))
+            aggs.append(F.min(F.when(col("__w") == -1, col(c))).alias(f"__retmin_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(F.when(col("__w") == 1, col(c))).alias(f"__insmax_{c}"))
+            aggs.append(F.max(F.when(col("__w") == -1, col(c))).alias(f"__retmax_{c}"))
         return rows.groupBy(*self.group_keys).agg(*aggs)
 
     def _before_fields(self, log: DataFrame) -> set:
         (f,) = [f for f in log.schema.fields if f.name == "__before"]
         return {sf.name for sf in f.dataType.fields}
+
+    def _with_rederive(
+        self, spark: SparkSession, source: ParquetMergeTarget, version: int, partial: DataFrame
+    ) -> DataFrame:
+        """Attach authoritative ``__authmin_/__authmax_`` columns for the
+        RETRACTION-HIT groups only: a group is risky when a retracted
+        value reaches its stored extremum (ret ≤ stored min / ret ≥ stored
+        max — the retraction may have removed the extremum row, which no
+        delta can repair). Risky groups re-derive from the source snapshot
+        PINNED at this changelog's version via one broadcast-keyed lookup;
+        a fold with no extremum retraction performs ZERO source reads."""
+        auth_aggs = [
+            F.min(col(c)).alias(f"__authmin_{c}") for c in self.min_cols
+        ] + [F.max(col(c)).alias(f"__authmax_{c}") for c in self.max_cols]
+        null_auth = [
+            F.lit(None).alias(f"__authmin_{c}") for c in self.min_cols
+        ] + [F.lit(None).alias(f"__authmax_{c}") for c in self.max_cols]
+        state = self.target.read(spark)
+        if state is None:
+            return partial.select("*", *null_auth)
+        risk = F.lit(False)
+        for c in self.min_cols:
+            risk = risk | (col(f"__retmin_{c}") <= col(f"__min_{c}"))
+        for c in self.max_cols:
+            risk = risk | (col(f"__retmax_{c}") >= col(f"__max_{c}"))
+        state_ext = state.select(
+            *self.group_keys,
+            *[col(f"__min_{c}") for c in self.min_cols],
+            *[col(f"__max_{c}") for c in self.max_cols],
+        )
+        risky_keys = (
+            partial.join(state_ext, self.group_keys)
+            .filter(risk)
+            .select(*self.group_keys)
+            .localCheckpoint()  # bounded: one row per retraction-hit group
+        )
+        if not risky_keys.take(1):
+            return partial.select("*", *null_auth)
+        try:
+            src = source.read(spark, version=version)
+        except FileNotFoundError as e:
+            # the pinned snapshot was vacuumed out from under a lagging
+            # follower — same healable condition as a missing changelog
+            raise MissingChangelogError(
+                f"source version {version} needed for extremum re-derivation "
+                f"is not retained ({e}); re-seed via catch_up()"
+            ) from e
+        rederived = (
+            src.join(F.broadcast(risky_keys), self.group_keys)
+            .groupBy(*self.group_keys)
+            .agg(*auth_aggs)
+        )
+        return partial.join(rederived, self.group_keys, "left")
 
     def seed(
         self, spark: SparkSession, snapshot: DataFrame | None, watermark: int
@@ -145,6 +245,8 @@ class ChangelogAggregateView:
         agg = snapshot.groupBy(*self.group_keys).agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
             *[F.sum(col(c)).alias(c) for c in self.sum_cols],
+            *[F.min(col(c)).alias(f"__min_{c}") for c in self.min_cols],
+            *[F.max(col(c)).alias(f"__max_{c}") for c in self.max_cols],
         )
         self.target.merge_with(spark, agg, lambda _t, u: u, watermark=watermark)
 
@@ -153,17 +255,22 @@ class ChangelogAggregateView:
         is missing (CDC enabled mid-life, or vacuumed past our lag),
         re-seed from the source's current snapshot instead of wedging the
         caller with a ValueError."""
-        nxt = self.folded_version() + 1
         cur = source.current_version()
-        if nxt <= cur and source.read_changelog(spark, nxt) is None:
-            # PIN the snapshot to the captured version: a live writer can
+        try:
+            return self.fold(spark, source, upto=cur)
+        except MissingChangelogError:
+            # a segment ANYWHERE in (folded_version, cur] is missing — not
+            # just the first one (e.g. one interleaved merge ran without
+            # changelog_keys, or vacuum raced us mid-fold). Re-seed from a
+            # snapshot PINNED to the captured version: a live writer can
             # publish between the capture and the read, and an unpinned
             # read would aggregate the newer state while the watermark
             # says `cur` — the next fold would then re-apply that
-            # version's changelog and double-count it.
+            # version's changelog and double-count it. Any versions fold()
+            # already committed before hitting the gap are harmlessly
+            # superseded by the seed (it replaces the whole view state).
             self.seed(spark, source.read(spark, cur), watermark=cur)
             return self.read(spark)
-        return self.fold(spark, source)
 
     def fold(self, spark: SparkSession, source: ParquetMergeTarget, upto: int | None = None) -> DataFrame | None:
         """Fold every unseen changelog version (folded_version, upto] into
@@ -175,23 +282,112 @@ class ChangelogAggregateView:
         for v in range(self.folded_version() + 1, upto + 1):
             log = source.read_changelog(spark, v)
             if log is None:
-                raise ValueError(
+                raise MissingChangelogError(
                     f"source version {v} has no changelog segment — the view "
                     "cannot be maintained from CDC alone (was the merge run "
                     "without changelog_keys, or the segment vacuumed?)"
                 )
             partial = self._delta_partial(log)
-            out = self.target.merge_with(
-                spark,
-                partial,
-                weighted_group_fold(self.group_keys, self.sum_cols),
-                watermark=v,
-            )
+            if self.min_cols or self.max_cols:
+                partial = self._with_rederive(spark, source, v, partial)
+                fold_fn = self._extremum_fold()
+            else:
+                fold_fn = weighted_group_fold(self.group_keys, self.sum_cols)
+            out = self.target.merge_with(spark, partial, fold_fn, watermark=v)
         return out if out is not None else self.read(spark)
 
+    def _extremum_fold(self):
+        """target ⊕ partial fold when extrema are maintained: counts/sums
+        accumulate; min/max fold monotonically against the stored value
+        through the INSERT candidates, except for retraction-hit groups,
+        whose authoritative re-derived values (``__authmin_/__authmax_``)
+        override. Key-grain full-outer join — one shuffle on the group
+        key, the same cost shape as the counts-only merge_accumulate."""
+        keys = self.group_keys
+
+        def fold(tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
+            if tgt is None:
+                out = upd.select(
+                    *keys,
+                    col("__n"),
+                    *[col(c) for c in self.sum_cols],
+                    *[
+                        F.coalesce(col(f"__authmin_{c}"), col(f"__insmin_{c}")).alias(
+                            f"__min_{c}"
+                        )
+                        for c in self.min_cols
+                    ],
+                    *[
+                        F.coalesce(col(f"__authmax_{c}"), col(f"__insmax_{c}")).alias(
+                            f"__max_{c}"
+                        )
+                        for c in self.max_cols
+                    ],
+                )
+                return out.filter(col("__n") != 0)
+            t = tgt.select(
+                *keys,
+                col("__n").alias("__t_n"),
+                *[col(c).alias(f"__t_{c}") for c in self.sum_cols],
+                *[col(f"__min_{c}").alias(f"__tmin_{c}") for c in self.min_cols],
+                *[col(f"__max_{c}").alias(f"__tmax_{c}") for c in self.max_cols],
+            )
+            j = t.join(upd, keys, "full_outer")
+            sums = []
+            for c in self.sum_cols:
+                # SUM-over-all-null groups stay NULL (the GROUP BY
+                # recompute contract); otherwise nulls count as 0
+                sums.append(
+                    F.when(
+                        col(f"__t_{c}").isNull() & col(c).isNull(), F.lit(None)
+                    )
+                    .otherwise(
+                        F.coalesce(col(f"__t_{c}"), F.lit(0))
+                        + F.coalesce(col(c), F.lit(0))
+                    )
+                    .alias(c)
+                )
+            mins = [
+                F.coalesce(
+                    col(f"__authmin_{c}"),
+                    F.least(col(f"__tmin_{c}"), col(f"__insmin_{c}")),
+                ).alias(f"__min_{c}")
+                for c in self.min_cols
+            ]
+            maxs = [
+                F.coalesce(
+                    col(f"__authmax_{c}"),
+                    F.greatest(col(f"__tmax_{c}"), col(f"__insmax_{c}")),
+                ).alias(f"__max_{c}")
+                for c in self.max_cols
+            ]
+            out = j.select(
+                *keys,
+                (
+                    F.coalesce(col("__t_n"), F.lit(0))
+                    + F.coalesce(col("__n"), F.lit(0))
+                ).alias("__n"),
+                *sums,
+                *mins,
+                *maxs,
+            )
+            return out.filter(col("__n") != 0)
+
+        return fold
+
     def read(self, spark: SparkSession) -> DataFrame | None:
-        """(group_keys..., n_rows, sum_cols...) — the maintained aggregate."""
-        return read_weighted_agg(self.target.read(spark), self.group_keys, self.sum_cols)
+        """(group_keys..., n_rows, sum_cols..., min_<c>..., max_<c>...) —
+        the maintained aggregate."""
+        t = self.target.read(spark)
+        if t is None:
+            return None
+        return t.select(
+            *self.group_keys,
+            col("__n").alias("n_rows"),
+            *[col(c) for c in self.sum_cols],
+            *[col(f"__min_{c}").alias(f"min_{c}") for c in self.min_cols],
+            *[col(f"__max_{c}").alias(f"max_{c}") for c in self.max_cols],
+        )
 
     def read_derived(self, spark: SparkSession) -> DataFrame | None:
         """read() plus the derived READ-SIDE metrics: ``avg_<c> = c /

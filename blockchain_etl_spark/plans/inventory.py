@@ -328,3 +328,78 @@ def cdc_maintained_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     out = view.read_derived(spark).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "cdc_maintained_extremum_stats",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders WHERE o_orderkey % 8 = 1 GROUP BY o_orderpriority
+    """,
+    survey_ops=("T5", "J9", "A5"),
+    doc="Per-priority (count, sum, MIN, MAX) SERVED FROM A MAINTAINED CDC "
+    "VIEW with RETRACTABLE extrema: batch 1 inserts half the rows with a "
+    "deliberately inflated amount (+1e6 cents — making them their groups' "
+    "stored maxima), batch 2 updates them back down and inserts the rest, "
+    "so folding batch 2's changelog RETRACTS the stored maximum of every "
+    "group. Counts/sums fold from deltas alone; the retraction-hit groups "
+    "re-derive min/max from the source snapshot PINNED at that changelog "
+    "version — one broadcast-keyed lookup of exactly the risky groups, "
+    "never a full recompute (operators/cdc_view.py min_cols/max_cols; the "
+    "reference's first_block/last_block bookkeeping, "
+    "migrations/1590689602-gateway_inventory.sql:28-31, maintained "
+    "honestly under deletes). Oracle = batch GROUP BY recompute: hash "
+    "equality IS the maintained ≡ recompute contract for extrema.",
+)
+def cdc_maintained_extremum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.cdc_view import ChangelogAggregateView
+    from ..operators.merge import ParquetMergeTarget
+
+    # an eighth of the table: the maintained ≡ recompute contract is
+    # size-independent (same scoping rationale as the count/sum gate).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        col("o_orderkey") % 8 == 1
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="cdc_ext_gate_")
+    t = ParquetMergeTarget(os.path.join(base, "orders_target"))
+    # batch 1: every other remaining key, inflated well past any real
+    # price — guaranteeing these rows are their groups' stored maxima
+    # when batch 2's updates retract them
+    b1 = (
+        orders.filter(F.expr("(o_orderkey div 8) % 2 = 0"))
+        .withColumn("cents", col("cents") + F.lit(1_000_000))
+        .withColumn("v", F.lit(1))
+    )
+    b2 = orders.withColumn("v", F.lit(2))
+    for wm, b in ((1, b1), (2, b2)):
+        t.merge(
+            spark,
+            b,
+            keys=["o_orderkey"],
+            order=["v"],
+            watermark=wm,
+            changelog_keys=["o_orderkey"],
+        )
+    view = ChangelogAggregateView(
+        os.path.join(base, "extremum_view"),
+        group_keys=("o_orderpriority",),
+        sum_cols=("cents",),
+        min_cols=("cents",),
+        max_cols=("cents",),
+    )
+    view.fold(spark, t)
+    out = view.read(spark).localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out

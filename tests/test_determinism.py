@@ -70,6 +70,8 @@ QUERIES = [
     "doc_mixture_temperature",
     "vocab_coverage_curve",
     "doc_prefix_dup_rate",
+    # round 7: extremum-retraction CDC fold (risky-group rescan ordering)
+    "cdc_maintained_extremum_stats",
 ]
 
 
