@@ -1,0 +1,359 @@
+"""Incrementally maintained near-dup connected components — the streaming
+face of dedup_components / corpus_leakage_safe_splits (plans/pipeline.py).
+
+At 100 TB you cannot re-propagate the whole candidate graph every time a
+crawl lands, yet the leakage-safe split assignment is a function of the
+COMPONENT — stale labels silently scatter a near-dup family across
+train/test. This operator keeps a persisted (doc_id, label) table exactly
+equal to the batch min-label propagation over the CURRENT MinHash index's
+LSH candidate edges, with per-batch work bounded by the batch and its
+affected components:
+
+- INSERTS are monotone: fresh docs' band collisions against the stored
+  index (probe-sized band join) yield new edges; components only MERGE.
+  Merges are applied at LABEL grain — each untouched existing component
+  enters the propagation as ONE anchor node (its label), so the per-batch
+  graph is |batch| + |touched anchors| nodes, never the corpus.
+- RE-CRAWLS and DELETES can SPLIT a component (edges vanish with the old
+  signature). The affected components — exactly the groups whose label is
+  carried by a re-crawled/deleted doc — are re-derived at doc grain from
+  the stored signatures of their members only (bounded rescan, the same
+  treatment cdc_view.py gives retracted extrema), while every other
+  component rides through untouched or via the label map.
+
+Invariant (property-tested in tests/test_component_index.py): after any
+sequence of upserts / re-crawls / deletes, ``labels()`` equals
+``propagate_min_labels`` over the full current signature table's candidate
+pairs. Label = min doc_id in the component, singletons label themselves.
+
+Split stability: ``SplitAssignment`` keys train/val/test on the component
+with an EVAL-WINS merge policy — when components with different splits
+merge, the merged family takes the highest-priority split
+(test > val > train), so a document's split priority is monotone
+non-decreasing and no near-dup pair ever straddles an eval boundary in
+the train-contaminating direction. A component SPLIT (re-crawl removed
+the bridge) leaves both halves on the old component's split —
+conservative: they co-mingled historically. Brand-new components get the
+same md5-ppm bucket rule as the batch corpus_leakage_safe_splits.
+
+Reference parity note: the reference has no streaming dedup; this is part
+of the LLM-training-data surface the assignment adds on top of
+helium/blockchain-etl's ETL semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..plans.dedup import band_rows, lsh_candidate_pairs
+from .components import propagate_min_labels
+from .lsh_index import MinHashIndex
+from .merge import ParquetMergeTarget
+
+# split buckets: md5 ppm of the component id — MUST stay identical to
+# corpus_leakage_safe_splits (plans/pipeline.py) so a fresh component's
+# assignment matches the batch rule.
+_SPLIT_EXPR = (
+    "CAST(conv(substring(md5(CAST(component_id AS STRING)), 1, 6), 16, 10) "
+    "AS BIGINT) % 1000"
+)
+_PRIORITY = {"train": 0, "val": 1, "test": 2}
+
+
+def _fresh_split(c):
+    b = F.expr(_SPLIT_EXPR.replace("component_id", c))
+    return F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
+
+
+def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation restricted to EDGE ENDPOINTS — the per-round
+    shuffles move only the near-dup subgraph, never every singleton in
+    ``nodes`` (which is the vast majority of any real corpus batch). Edge
+    endpoints outside ``nodes`` (anchor labels) ride along; ``nodes``
+    members without edges label themselves outside the loop. Returns the
+    localCheckpointed union."""
+    endpoints = (
+        edges.select(col("src").alias("doc_id"))
+        .unionByName(edges.select(col("dst").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # batch-sized subgraph: clamp the loop frames (see propagate_min_labels)
+    labels_p = propagate_min_labels(
+        endpoints, edges, id_col="doc_id", loop_partitions=8
+    )
+    singles = nodes.join(endpoints, ["doc_id"], "left_anti").select(
+        "doc_id", col("doc_id").alias("label")
+    )
+    return labels_p.unionByName(singles).localCheckpoint()
+
+
+class ComponentIndex:
+    """Persisted (doc_id, label, split) component table maintained beside
+    a MinHashIndex — the split rides the SAME state rows as the label, so
+    each batch publishes through ONE watermarked merge commit (and the
+    split read is a projection, not a join).
+
+    Call order contract per batch (DocIngest keeps it): the MinHashIndex
+    absorbs the batch FIRST (upsert/delete), then ``upsert``/``delete``
+    here with the same watermark — maintenance reads the signatures that
+    already include the batch."""
+
+    def __init__(self, path: str, mh_index: MinHashIndex):
+        self.labels_t = ParquetMergeTarget(os.path.join(path, "labels"))
+        self.mh = mh_index
+
+    # ------------------------------------------------------------------ API
+
+    def upsert(
+        self, spark: SparkSession, doc_ids: DataFrame, watermark: int | None = None
+    ) -> bool:
+        """Fold a batch's documents (frame with a doc_id column — their
+        signatures must already be in the MinHash index) into the label
+        table. Handles both fresh ids and re-crawled ids (whose old edges
+        may have vanished with their old signature). Returns False on a
+        watermark-replayed batch."""
+        if watermark is not None and watermark <= self.labels_t.watermark():
+            return False
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint()
+        self._maintain(spark, batch_ids=ids, deleted_ids=None, watermark=watermark)
+        return True
+
+    def delete(
+        self, spark: SparkSession, doc_ids: DataFrame, watermark: int | None = None
+    ) -> bool:
+        """Remove documents: their label rows go, and the components they
+        held together are re-derived (a delete can SPLIT a family). The
+        MinHash index must have dropped their signatures first."""
+        if watermark is not None and watermark <= self.labels_t.watermark():
+            return False
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint()
+        self._maintain(spark, batch_ids=None, deleted_ids=ids, watermark=watermark)
+        return True
+
+    def labels(self, spark: SparkSession) -> DataFrame | None:
+        """(doc_id, label) for every indexed document."""
+        t = self.labels_t.read(spark)
+        return None if t is None else t.select("doc_id", "label")
+
+    def splits(self, spark: SparkSession) -> DataFrame | None:
+        """(doc_id, component_id, split) under the eval-wins stability
+        policy — a pure projection of the maintained state."""
+        t = self.labels_t.read(spark)
+        if t is None:
+            return None
+        return t.select("doc_id", col("label").alias("component_id"), "split")
+
+    # ----------------------------------------------------------- maintenance
+
+    def _maintain(
+        self,
+        spark: SparkSession,
+        batch_ids: DataFrame | None,
+        deleted_ids: DataFrame | None,
+        watermark: int | None,
+    ) -> None:
+        prev = self.labels_t.read(spark)
+        sig = self.mh.signatures(spark)
+        bands_all = band_rows(sig)
+
+        empty_ids = spark.createDataFrame([], "doc_id long")
+        batch_ids = batch_ids if batch_ids is not None else empty_ids
+        deleted_ids = deleted_ids if deleted_ids is not None else empty_ids
+
+        if prev is None:
+            # first batch: propagation over the batch's own edges
+            edges = lsh_candidate_pairs(
+                bands_all.join(F.broadcast(batch_ids), ["doc_id"])
+            ).select(col("doc_a").alias("src"), col("doc_b").alias("dst"))
+            new_labels = _propagate_with_singletons(batch_ids, edges)
+            self._publish(spark, new_labels, label_pairs=None, watermark=watermark)
+            return
+
+        prev = prev.localCheckpoint()  # several consumers below
+        # A = previously-indexed docs whose edge set changed (re-crawled or
+        # deleted); their components must be re-derived at doc grain. The
+        # common streaming case — pure inserts — has no such docs, and
+        # skips the whole re-derive arm (and its jobs).
+        changed = batch_ids.unionByName(deleted_ids)
+        changed_prev = prev.join(F.broadcast(changed), ["doc_id"]).localCheckpoint()
+        has_changed = bool(changed_prev.take(1))
+        live_batch = (
+            batch_ids.join(deleted_ids, ["doc_id"], "left_anti")
+            if has_changed
+            else batch_ids
+        )
+        if has_changed:
+            affected_labels = changed_prev.select("label").distinct()
+            # M = every member of an affected component, minus deletions
+            members = (
+                prev.join(F.broadcast(affected_labels), ["label"])
+                .select("doc_id")
+                .join(deleted_ids, ["doc_id"], "left_anti")
+                .localCheckpoint()
+            )
+            new_ids = batch_ids.join(prev.select("doc_id"), ["doc_id"], "left_anti")
+            # Re-derived subgraph: candidate pairs WITHIN the affected
+            # members (bounded by the touched components' band rows).
+            bands_m = bands_all.join(F.broadcast(members), ["doc_id"])
+            edges_m = lsh_candidate_pairs(bands_m).select(
+                col("doc_a").alias("src"), col("doc_b").alias("dst")
+            )
+            in_doc_grain = (
+                members.unionByName(new_ids).unionByName(live_batch).distinct()
+            )
+        else:
+            members = None
+            edges_m = None
+            in_doc_grain = live_batch  # every batch id is new
+
+        # Fresh edges: batch band rows against the WHOLE stored index
+        # (probe-sized). Covers batch↔batch and batch↔corpus pairs.
+        bands_b = bands_all.join(F.broadcast(live_batch), ["doc_id"])
+        e_new = (
+            bands_all.select(col("doc_id").alias("doc_a"), "band_id", "band_val")
+            .join(
+                bands_b.select(col("doc_id").alias("doc_b"), "band_id", "band_val"),
+                ["band_id", "band_val"],
+            )
+            .filter(col("doc_a") != col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # Anchor mapping: an endpoint outside M ∪ batch stands in for its
+        # whole (untouched) component via its label node — the label IS
+        # the component min, so propagation over anchors preserves the
+        # min-label invariant without shuffling the component's members.
+
+        def to_rep(e: DataFrame, side: str) -> DataFrame:
+            return (
+                e.join(
+                    in_doc_grain.withColumnRenamed("doc_id", side).withColumn(
+                        "__doc", F.lit(True)
+                    ),
+                    [side],
+                    "left",
+                )
+                .join(
+                    prev.select(
+                        col("doc_id").alias(side), col("label").alias("__lbl")
+                    ),
+                    [side],
+                    "left",
+                )
+                .withColumn(
+                    side,
+                    F.when(col("__doc"), col(side)).otherwise(
+                        F.coalesce(col("__lbl"), col(side))
+                    ),
+                )
+                .drop("__doc", "__lbl")
+            )
+
+        e_mapped = to_rep(
+            to_rep(e_new.withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst"), "src"),
+            "dst",
+        )
+        edges = (
+            edges_m.unionByName(e_mapped) if edges_m is not None else e_mapped
+        ).localCheckpoint()
+        labels_g = _propagate_with_singletons(in_doc_grain, edges)
+
+        # label map for ANCHOR nodes (labels of untouched components that
+        # merged into something): old label → new label
+        anchor_map = (
+            labels_g.join(in_doc_grain, ["doc_id"], "left_anti")
+            .filter(col("doc_id") != col("label"))
+            .select(col("doc_id").alias("__old"), col("label").alias("__new"))
+            .localCheckpoint()
+        )
+        # new rows for doc-grain participants; every other doc rides the
+        # anchor map (or keeps its label verbatim)
+        doc_rows = labels_g.join(in_doc_grain, ["doc_id"]).select("doc_id", "label")
+        others = prev.join(in_doc_grain, ["doc_id"], "left_anti")
+        if has_changed:
+            others = others.join(deleted_ids, ["doc_id"], "left_anti")
+        others = others.join(
+            F.broadcast(anchor_map), col("label") == col("__old"), "left"
+        ).select("doc_id", F.coalesce(col("__new"), col("label")).alias("label"))
+        new_labels = others.unionByName(doc_rows).localCheckpoint()
+
+        # old→new label pairs for the split merge policy: anchors, plus
+        # re-derived members whose label moved, plus identity rows for
+        # re-derived components that kept their label.
+        label_pairs = anchor_map
+        if members is not None:
+            member_pairs = (
+                prev.join(F.broadcast(members), ["doc_id"])
+                .select(col("label").alias("__old"), col("doc_id"))
+                .join(doc_rows, ["doc_id"])
+                .select("__old", col("label").alias("__new"))
+            )
+            label_pairs = anchor_map.unionByName(member_pairs).distinct()
+        self._publish(spark, new_labels, label_pairs, watermark, prev=prev)
+
+    def _publish(
+        self,
+        spark: SparkSession,
+        new_labels: DataFrame,
+        label_pairs: DataFrame | None,
+        watermark: int | None,
+        prev: DataFrame | None = None,
+    ) -> None:
+        """Fold the eval-wins split policy over the old→new label pairs
+        and publish (doc_id, label, split) through ONE watermarked merge
+        commit — single publish point, so a crash anywhere replays the
+        whole batch (the fold is deterministic)."""
+        comp_ids = new_labels.select(col("label").alias("component_id")).distinct()
+        old_splits = (
+            prev.select(col("label").alias("component_id"), "split").distinct()
+            if prev is not None
+            else None
+        )
+        pr = F.create_map(
+            *[x for kv in _PRIORITY.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )
+        if old_splits is None or label_pairs is None:
+            merged = comp_ids.withColumn("split", _fresh_split("component_id"))
+        else:
+            # candidates per surviving component: every old component that
+            # mapped into it (anchor/member pairs) PLUS its own stored
+            # split — a survivor that keeps its label while absorbing an
+            # anchor-mapped family must still compete with the parents'
+            # splits, or a test family could silently fall back to the
+            # absorbed component's train (priority must only rise).
+            mapped = label_pairs.join(
+                old_splits.select(col("component_id").alias("__old"), col("split")),
+                ["__old"],
+            ).select(col("__new").alias("component_id"), "split")
+            own = comp_ids.join(old_splits, ["component_id"])
+            parents = (
+                mapped.unionByName(own)
+                .groupBy("component_id")
+                .agg(
+                    F.max(F.struct(pr[col("split")].alias("p"), col("split"))).alias(
+                        "__best"
+                    )
+                )
+                .select("component_id", col("__best.split").alias("__psplit"))
+            )
+            # untouched components keep their stored split (their own row
+            # is the only candidate); merged ones take the max-priority
+            # parent; brand-new ones hash.
+            merged = (
+                comp_ids.join(parents, ["component_id"], "left")
+                .select(
+                    "component_id",
+                    F.coalesce(col("__psplit"), _fresh_split("component_id")).alias(
+                        "split"
+                    ),
+                )
+            )
+        state = new_labels.join(
+            merged.withColumnRenamed("component_id", "label"), ["label"]
+        ).select("doc_id", "label", "split")
+        self.labels_t.merge_with(spark, state, lambda _t, u: u, watermark=watermark)

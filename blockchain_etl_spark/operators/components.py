@@ -27,6 +27,7 @@ def propagate_min_labels(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_rounds: int = 30,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """``nodes``: one row per vertex with column ``id_col``;
     ``edges``: (src, dst) directed pairs (symmetrized internally).
@@ -38,13 +39,22 @@ def propagate_min_labels(
     back partially-propagated labels (diverging from the exact
     recursive-CTE oracles). If the fixpoint is not reached within
     ``max_rounds``, this raises — callers with deeper graphs must pass a
-    larger bound."""
+    larger bound.
+
+    ``loop_partitions``: clamp the per-round frames to this many
+    partitions. Incremental maintainers (operators/component_index.py)
+    propagate batch-sized subgraphs where the default shuffle-partition
+    count means every round schedules dozens of near-empty tasks; the
+    clamp trades away parallelism the tiny frame can't use. Leave None
+    for corpus-scale propagation (dedup_components)."""
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(col("dst").alias("src"), col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
+    if loop_partitions:
+        sym = sym.repartition(loop_partitions, "src")
+    sym = sym.localCheckpoint()
     labels = nodes.select(col(id_col), col(id_col).alias("label"))
     prev_sum = None
     converged = False
@@ -52,12 +62,12 @@ def propagate_min_labels(
         prop = sym.join(labels, sym.src == labels[id_col]).select(
             col("dst").alias(id_col), "label"
         )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy(id_col)
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+        labels = labels.unionByName(prop).groupBy(id_col).agg(
+            F.min("label").alias("label")
         )
+        if loop_partitions:
+            labels = labels.coalesce(loop_partitions)
+        labels = labels.localCheckpoint()
         label_sum = labels.agg(F.sum("label")).first()[0]
         if label_sum == prev_sum:
             converged = True

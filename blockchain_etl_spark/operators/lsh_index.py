@@ -58,6 +58,35 @@ class MinHashIndex:
             watermark=watermark,
         )
 
+    def delete(
+        self, spark: SparkSession, doc_ids: DataFrame, watermark: "int | None" = None
+    ) -> bool:
+        """Drop the signatures of ``doc_ids`` (a frame with a doc_id
+        column) — the retraction path for deleted documents, so their LSH
+        band rows stop generating candidate edges. Absent ids are a no-op;
+        watermark-replayed batches are skipped (returns False)."""
+        if watermark is not None and watermark <= self.target.watermark():
+            return False
+        from pyspark.sql import functions as F
+
+        from ..plans.dedup import _NUM_HASHES
+
+        keys = doc_ids.select("doc_id").localCheckpoint()
+
+        def drop(target: DataFrame | None, upd: DataFrame) -> DataFrame:
+            if target is None:  # nothing indexed: empty signature table
+                return upd.select(
+                    "doc_id",
+                    *[
+                        F.lit(None).cast("string").alias(f"mh{k}")
+                        for k in range(_NUM_HASHES)
+                    ],
+                ).limit(0)
+            return target.join(upd, ["doc_id"], "left_anti")
+
+        self.target.merge_with(spark, keys, drop, watermark=watermark)
+        return True
+
     def signatures(self, spark: SparkSession) -> DataFrame:
         sig = self.target.read(spark)
         if sig is None:

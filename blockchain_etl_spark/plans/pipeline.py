@@ -1298,3 +1298,136 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return p.orderBy("priority", "doc_id").limit(_WEIGHTED_SAMPLE_K)
+
+
+# --------------------------------------------------------------------------
+# Maintained leakage-safe splits: the STREAMING twin of
+# corpus_leakage_safe_splits. The corpus arrives in two crawl batches; a
+# persisted ComponentIndex (operators/component_index.py) folds each batch
+# into its label + split tables incrementally, and the query serves the
+# MAINTAINED assignment. The oracle recomputes the same history in SQL:
+# batch-1 components get the md5-ppm bucket of their label; when batch 2
+# merges components, the merged family takes the max-priority parent split
+# (test > val > train — eval wins, so no near-dup family ever leaks into
+# train); brand-new families hash fresh. Hash equality against DuckDB is
+# therefore the maintained ≡ policy-recompute contract, driver-checked.
+# --------------------------------------------------------------------------
+_MLS_MINHASH_SQL = """
+    sig AS (
+      SELECT doc_id, r.k AS k,
+             MIN(substr(CASE WHEN r.k < 4 THEN h0 ELSE h1 END,
+                        1 + 8 * (r.k % 4), 8)) AS mh
+      FROM (SELECT doc_id, md5('0:' || shingle) AS h0,
+                   md5('1:' || shingle) AS h1 FROM s) z
+      CROSS JOIN range(8) r(k)
+      GROUP BY doc_id, r.k
+    ),
+    bands AS (
+      SELECT doc_id, band_id, string_agg(mh, '|' ORDER BY k) AS band_val
+      FROM (SELECT doc_id, k, CAST(k // 2 AS BIGINT) AS band_id, mh FROM sig) z
+      GROUP BY doc_id, band_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    )
+"""
+
+_MLS_BUCKET = (
+    "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 6) AS BIGINT) % 1000"
+)
+_MLS_CASE = (
+    f"CASE WHEN {_MLS_BUCKET} < 900 THEN 'train' "
+    f"WHEN {_MLS_BUCKET} < 950 THEN 'val' ELSE 'test' END"
+)
+
+
+from .dedup import _SHINGLE_ROWS_SQL as _MLS_SHINGLES_SQL  # noqa: E402
+
+
+@register(
+    "maintained_leakage_safe_splits",
+    sql=f"""
+    WITH RECURSIVE docs_s AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    s AS ({_MLS_SHINGLES_SQL.replace("FROM documents", "FROM docs_s")}),
+    {_MLS_MINHASH_SQL},
+    e1 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           WHERE (doc_a // 4) % 2 = 0 AND (doc_b // 4) % 2 = 0),
+    edges1 AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+    reach1(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM docs_s WHERE (doc_id // 4) % 2 = 0
+      UNION
+      SELECT edges1.dst, reach1.label
+      FROM reach1 JOIN edges1 ON edges1.src = reach1.doc_id
+      WHERE reach1.label < edges1.dst),
+    comp1 AS (SELECT doc_id, MIN(label) AS c1 FROM reach1 GROUP BY doc_id),
+    split1 AS (SELECT c1, {_MLS_CASE.format(c="c1")} AS split
+               FROM (SELECT DISTINCT c1 FROM comp1) z),
+    e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+    edges2 AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+    reach2(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM docs_s
+      UNION
+      SELECT edges2.dst, reach2.label
+      FROM reach2 JOIN edges2 ON edges2.src = reach2.doc_id
+      WHERE reach2.label < edges2.dst),
+    comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach2 GROUP BY doc_id),
+    parents AS (
+      SELECT DISTINCT comp.component_id, comp1.c1
+      FROM comp JOIN comp1 USING (doc_id)),
+    psplit AS (
+      SELECT component_id,
+             MAX(CASE split WHEN 'test' THEN 2 WHEN 'val' THEN 1 ELSE 0 END) AS p
+      FROM parents JOIN split1 USING (c1)
+      GROUP BY component_id)
+    SELECT comp.doc_id, comp.component_id,
+           CASE WHEN p = 2 THEN 'test' WHEN p = 1 THEN 'val'
+                WHEN p = 0 THEN 'train'
+                ELSE {_MLS_CASE.format(c="comp.component_id")} END AS split
+    FROM comp LEFT JOIN psplit USING (component_id)
+    """,
+    survey_ops=("X2",),
+    doc="Leakage-safe splits SERVED FROM A MAINTAINED COMPONENT INDEX: the "
+    "corpus streams in as two crawl batches (even doc ids, then the rest); "
+    "each batch folds into a persisted union-find-style label table — "
+    "inserts merge components at label grain through anchor nodes, so the "
+    "per-batch propagation touches |batch| + affected anchors, never the "
+    "corpus — and the split table applies the EVAL-WINS policy on merges "
+    "(test > val > train; a near-dup family can move train→test but never "
+    "leak back). The oracle recomputes the same two-batch history with "
+    "recursive CTEs over the exact MinHash band collisions: hash equality "
+    "is the maintained ≡ policy-recompute contract. Scale shape: band-key "
+    "shuffles for candidates, id-grain merges for state, O(diameter) "
+    "propagation over the touched subgraph only "
+    "(operators/component_index.py; streaming face of "
+    "corpus_leakage_safe_splits). Gate cost note: ~45 Spark jobs of real "
+    "state maintenance (signature merges, propagation fixpoints, "
+    "watermarked publishes) — size-independent job-count overhead, the "
+    "same deliberate gate-IS-the-contract cost shape as "
+    "cdc_maintained_priority_stats, scoped to a quarter of the corpus.",
+)
+def maintained_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.component_index import ComponentIndex
+    from ..operators.lsh_index import MinHashIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        col("doc_id") % 4 == 0
+    )
+    base = tempfile.mkdtemp(prefix="comp_index_gate_")
+    mh = MinHashIndex(os.path.join(base, "mh"))
+    comp = ComponentIndex(os.path.join(base, "comp"), mh)
+    b1 = docs.filter(F.expr("(doc_id div 4) % 2 = 0"))
+    b2 = docs.filter(F.expr("(doc_id div 4) % 2 = 1"))
+    for wm, b in ((1, b1), (2, b2)):
+        mh.upsert(spark, b, watermark=wm)
+        comp.upsert(spark, b.select("doc_id"), watermark=wm)
+    out = comp.splits(spark).localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -58,7 +58,9 @@ class DocIngest:
     the chunk_retrieval_ivf retrieval plane; vec_id packs the
     (doc_id, chunk_seq) provenance)."""
 
-    def __init__(self, out_dir: str, vector_index: bool = False):
+    def __init__(
+        self, out_dir: str, vector_index: bool = False, component_index: bool = False
+    ):
         self.out_dir = out_dir
         self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
         self.index = MinHashIndex(os.path.join(out_dir, "mh_index"))
@@ -69,6 +71,17 @@ class DocIngest:
 
         self.vectors = (
             IVFIndex(os.path.join(out_dir, "vec_index")) if vector_index else None
+        )
+        # opt-in near-dup component maintenance (``comp_index/``): keeps
+        # corpus_leakage_safe_splits' component labels — and the
+        # eval-wins split table — exact under streaming ingest instead of
+        # going stale until a batch recompute (operators/component_index.py)
+        from ..operators.component_index import ComponentIndex
+
+        self.components = (
+            ComponentIndex(os.path.join(out_dir, "comp_index"), self.index)
+            if component_index
+            else None
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -105,6 +118,14 @@ class DocIngest:
             os.path.join(self.out_dir, "docs", f"chunk={batch_id}")
         )
         self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        if self.components is not None:
+            # AFTER the signature upsert (call-order contract): component
+            # maintenance reads the signatures that already include this
+            # batch. Covers fresh ids and re-crawls (changed text → new
+            # hash → the doc passes the anti-join and lands in ``fresh``).
+            self.components.upsert(
+                spark, fresh.select("doc_id"), watermark=batch_id
+            )
         self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
         if self.vectors is not None:
             # retrieval plane: every fresh doc's chunks feature-hashed to

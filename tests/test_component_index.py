@@ -1,0 +1,324 @@
+"""Incrementally maintained near-dup components: after ANY sequence of
+upserts / re-crawls / deletes, the persisted labels must equal the batch
+min-label propagation over the full current signature table's LSH
+candidate pairs — and the split table must obey the eval-wins stability
+policy (priority monotone, no pair straddling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from blockchain_etl_spark.operators.component_index import ComponentIndex
+from blockchain_etl_spark.operators.components import propagate_min_labels
+from blockchain_etl_spark.operators.lsh_index import MinHashIndex
+from blockchain_etl_spark.plans.dedup import band_rows, lsh_candidate_pairs
+
+# Deterministic corpus: mutation families produce real LSH chains (shared
+# word-3-gram shingles → shared min-hashes → band collisions). Family A is
+# a chain of single-word mutations; family B a separate clique; bridges
+# and re-crawls are introduced per scenario below.
+_WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+
+
+def _text(seed: int, mutations: int = 0) -> str:
+    words = [_WORDS[(seed + i) % len(_WORDS)] + str((seed * 7 + i * 3) % 11) for i in range(20)]
+    for m in range(mutations):
+        words[(m * 5 + 2) % 20] = f"mut{seed}x{m}"
+    return " ".join(words)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _ground_truth(spark, mh):
+    sig = mh.signatures(spark)
+    pairs = lsh_candidate_pairs(band_rows(sig))
+    edges = pairs.select(col("doc_a").alias("src"), col("doc_b").alias("dst"))
+    labels = propagate_min_labels(sig.select("doc_id"), edges, id_col="doc_id")
+    return {(r.doc_id, r.label) for r in labels.collect()}
+
+
+def _maintained(spark, comp):
+    return {(r.doc_id, r.label) for r in comp.labels(spark).collect()}
+
+
+def _edges(spark, mh):
+    sig = mh.signatures(spark)
+    return {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(band_rows(sig)).collect()
+    }
+
+
+def _mk(tmp_path, name):
+    mh = MinHashIndex(str(tmp_path / f"{name}_mh"))
+    return mh, ComponentIndex(str(tmp_path / f"{name}_comp"), mh)
+
+
+def _ingest(spark, mh, comp, rows, wm):
+    docs = _batch(spark, rows)
+    mh.upsert(spark, docs, watermark=wm)
+    assert comp.upsert(spark, docs.select("doc_id"), watermark=wm)
+
+
+def test_incremental_equals_batch_under_inserts(spark, tmp_path):
+    mh, comp = _mk(tmp_path, "ins")
+    # batch 1: family A = chain of mutations of seed 0; family B = exact
+    # copies of seed 5
+    b1 = [(0, _text(0)), (1, _text(0, 1)), (2, _text(0, 2)), (10, _text(5)), (11, _text(5))]
+    _ingest(spark, mh, comp, b1, wm=1)
+    assert _maintained(spark, comp) == _ground_truth(spark, mh)
+    # batch 2: new members joining A (edge to doc 2's text) and a fresh
+    # singleton family
+    b2 = [(20, _text(0, 2)), (21, _text(9)), (22, _text(0))]
+    _ingest(spark, mh, comp, b2, wm=2)
+    assert _maintained(spark, comp) == _ground_truth(spark, mh)
+    # the fixture must actually exercise merges: A has ≥ 4 members
+    labels = dict(_maintained(spark, comp))
+    family = {d for d, l in labels.items() if l == labels[0]}
+    assert len(family) >= 4, family
+
+
+def test_new_smaller_doc_id_becomes_the_label(spark, tmp_path):
+    """Min-label invariant: a later batch's SMALLER doc id joining a
+    family must relabel the whole family (anchor-map path)."""
+    mh, comp = _mk(tmp_path, "minid")
+    _ingest(spark, mh, comp, [(100, _text(3)), (101, _text(3))], wm=1)
+    _ingest(spark, mh, comp, [(7, _text(3))], wm=2)
+    got = _maintained(spark, comp)
+    assert got == _ground_truth(spark, mh)
+    assert (100, 7) in got and (101, 7) in got and (7, 7) in got
+
+
+def test_recrawl_moves_doc_between_families(spark, tmp_path):
+    """A re-crawled doc whose new text belongs to ANOTHER family must
+    leave its old component (which re-derives without it) and join the
+    new one — the split-then-merge case."""
+    mh, comp = _mk(tmp_path, "move")
+    b1 = [(0, _text(0)), (1, _text(0)), (2, _text(0)), (10, _text(5)), (11, _text(5))]
+    _ingest(spark, mh, comp, b1, wm=1)
+    # doc 2 re-crawled into family B's text
+    _ingest(spark, mh, comp, [(2, _text(5))], wm=2)
+    got = _maintained(spark, comp)
+    assert got == _ground_truth(spark, mh)
+    labels = dict(got)
+    assert labels[2] == labels[10] and labels[2] != labels[0]
+
+
+def test_recrawl_of_the_label_holder_relabels_survivors(spark, tmp_path):
+    """Re-crawling the component's MIN doc (the label itself) away must
+    give the survivors a fresh label = their new min member."""
+    mh, comp = _mk(tmp_path, "labelmove")
+    _ingest(spark, mh, comp, [(0, _text(0)), (1, _text(0)), (2, _text(0))], wm=1)
+    _ingest(spark, mh, comp, [(0, _text(8))], wm=2)
+    got = _maintained(spark, comp)
+    assert got == _ground_truth(spark, mh)
+    labels = dict(got)
+    assert labels[1] == 1 and labels[2] == 1 and labels[0] == 0
+
+
+def test_delete_splits_a_bridged_component(spark, tmp_path):
+    """Deleting a BRIDGE doc must split its component — the bounded
+    re-derive at doc grain. Families A (seed 0) and B (seed 6) share NO
+    tokens (no direct band collisions possible); the bridge doc carries
+    BOTH texts concatenated, so its shingle set overlaps each family and
+    band-collides with both sides (verified by the one-component
+    precondition below)."""
+    mh, comp = _mk(tmp_path, "split")
+    b1 = [
+        (0, _text(0)),
+        (1, _text(0)),
+        (10, _text(6)),
+        (11, _text(6)),
+        (5, _text(0) + " " + _text(6)),  # the bridge
+    ]
+    _ingest(spark, mh, comp, b1, wm=1)
+    assert _maintained(spark, comp) == _ground_truth(spark, mh)
+    labels = dict(_maintained(spark, comp))
+    assert len({labels[d] for d in (0, 1, 5, 10, 11)}) == 1, (
+        f"fixture must start as ONE component: {labels}"
+    )
+    # delete the bridge: A and B can only reach each other through it
+    victims = spark.createDataFrame([(5,)], "doc_id long")
+    mh.delete(spark, victims, watermark=2)
+    assert comp.delete(spark, victims, watermark=2)
+    got = _maintained(spark, comp)
+    assert got == _ground_truth(spark, mh)
+    labels = dict(got)
+    assert 5 not in labels
+    assert labels[0] == labels[1] and labels[10] == labels[11]
+    assert labels[0] != labels[10], "the component must SPLIT"
+
+
+def test_upsert_replay_is_noop_and_deterministic(spark, tmp_path):
+    mh, comp = _mk(tmp_path, "replay")
+    b1 = [(0, _text(0)), (1, _text(0))]
+    _ingest(spark, mh, comp, b1, wm=1)
+    before = _maintained(spark, comp)
+    v = comp.labels_t.current_version()
+    docs = _batch(spark, b1)
+    mh.upsert(spark, docs, watermark=1)
+    assert not comp.upsert(spark, docs.select("doc_id"), watermark=1)
+    assert comp.labels_t.current_version() == v
+    assert _maintained(spark, comp) == before
+
+
+def test_random_history_incremental_equals_batch(spark, tmp_path):
+    """Torture: a multi-batch history mixing fresh inserts, family joins,
+    re-crawls across families, and deletes — incremental ≡ batch at every
+    step."""
+    mh, comp = _mk(tmp_path, "hist")
+    history = [
+        [(i, _text(i % 4, i % 3)) for i in range(8)],
+        [(i, _text(i % 4, i % 2)) for i in range(8, 14)] + [(3, _text(9))],
+        [(20, _text(9)), (21, _text(9, 1)), (4, _text(1, 1))],
+        "DELETE:2,9,20",
+        [(30, _text(0)), (2, _text(0, 1))],
+    ]
+    for wm, step in enumerate(history, start=1):
+        if isinstance(step, str):
+            ids = [(int(x),) for x in step.split(":")[1].split(",")]
+            victims = spark.createDataFrame(ids, "doc_id long")
+            mh.delete(spark, victims, watermark=wm)
+            assert comp.delete(spark, victims, watermark=wm)
+        else:
+            _ingest(spark, mh, comp, step, wm=wm)
+        assert _maintained(spark, comp) == _ground_truth(spark, mh), f"step {wm}"
+
+
+# --------------------------------------------------------------------- splits
+
+
+def test_splits_match_batch_rule_and_pairs_never_straddle(spark, tmp_path):
+    mh, comp = _mk(tmp_path, "sp")
+    _ingest(spark, mh, comp, [(i, _text(i % 3, i % 2)) for i in range(10)], wm=1)
+    _ingest(spark, mh, comp, [(10, _text(0)), (11, _text(7))], wm=2)
+    sp = {r.doc_id: (r.component_id, r.split) for r in comp.splits(spark).collect()}
+    # every candidate pair shares a component → shares a split
+    for a, b in _edges(spark, mh):
+        assert sp[a][1] == sp[b][1], (a, b)
+    # a never-merged component's split equals the batch md5 rule
+    from blockchain_etl_spark.operators.component_index import _fresh_split
+
+    comp_ids = {c for c, _ in sp.values()}
+    fresh = {
+        r.component_id: r.split
+        for r in spark.createDataFrame(
+            [(c,) for c in comp_ids], "component_id long"
+        ).select("component_id", _fresh_split("component_id").alias("split")).collect()
+    }
+    # with no cross-split merges in this fixture, all splits are the pure
+    # hash of the component id (trivially true when everything is train;
+    # the eval-wins override is exercised in the dedicated test below)
+    for doc, (c, s) in sp.items():
+        assert s == fresh[c] or s in ("val", "test"), (doc, c, s)
+
+
+def test_eval_wins_when_components_merge(spark, tmp_path):
+    """Merging a train-component with a test-component must relabel the
+    whole family test (never the reverse) — priority monotone."""
+    mh, comp = _mk(tmp_path, "evalwins")
+    _ingest(spark, mh, comp, [(100, _text(3)), (200, _text(6))], wm=1)
+    # force known stored splits for the two singleton components
+    forced = comp.labels_t.read(spark).withColumn(
+        "split", F.when(col("label") == 100, "train").otherwise("test")
+    )
+    comp.labels_t.merge_with(spark, forced, lambda _t, u: u)
+    # doc 50 bridges both families (exact text of one, re-crawled later
+    # to... a doc cannot carry two texts; instead add two bridges that
+    # are exact dups of each family and a third doc linking the bridges)
+    # simplest forced merge: new doc 50 with family-3 text, then re-crawl
+    # doc 100 to family-6 text — 100 stays linked to 50? No: 100 leaves.
+    # Use doc 50 = family-3 text (joins 100), then re-crawl 50 to
+    # family-6 text (joins 200) — the merge happens only if 50 keeps a
+    # foot in both, which a re-crawl forbids. The honest merge: a NEW doc
+    # whose text near-dups BOTH. Families 3 and 6 share no shingles, so
+    # instead merge via doc 100 itself: re-crawl 100 to family-6 text —
+    # component {100, 200}: parents = {100: train, 200: test} → test.
+    docs = _batch(spark, [(100, _text(6))])
+    mh.upsert(spark, docs, watermark=2)
+    assert comp.upsert(spark, docs.select("doc_id"), watermark=2)
+    sp = {r.doc_id: r.split for r in comp.splits(spark).collect()}
+    labels = dict(_maintained(spark, comp))
+    assert labels[100] == labels[200] == 100
+    assert sp[100] == "test" and sp[200] == "test"
+    # and the stored state row for the surviving component carries test
+    stored = {
+        r.component_id: r.split for r in comp.splits(spark).collect()
+    }
+    assert stored.get(100) == "test"
+
+
+def test_split_priority_monotone_over_history(spark, tmp_path):
+    """A document's split priority never decreases across an arbitrary
+    maintained history."""
+    from blockchain_etl_spark.operators.component_index import _PRIORITY
+
+    mh, comp = _mk(tmp_path, "mono")
+    seen: dict[int, int] = {}
+    history = [
+        [(i, _text(i % 3)) for i in range(9)],
+        [(20, _text(0, 1)), (21, _text(1, 1))],
+        [(1, _text(2))],  # re-crawl across families
+        [(30, _text(2)), (31, _text(0))],
+    ]
+    for wm, step in enumerate(history, start=1):
+        _ingest(spark, mh, comp, step, wm=wm)
+        for r in comp.splits(spark).collect():
+            p = _PRIORITY[r.split]
+            assert p >= seen.get(r.doc_id, 0), (wm, r.doc_id, r.split)
+            seen[r.doc_id] = p
+
+
+def test_docingest_hook_maintains_components(spark, tmp_path):
+    """DocIngest(component_index=True) keeps the labels equal to the batch
+    recompute across streamed batches incl. a re-crawl, and replays are
+    no-ops."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(str(tmp_path / "ingest"), component_index=True)
+    long_tail = " ".join(f"tail{i}word{i * 13 % 7}" for i in range(200))
+
+    def rows(specs):
+        # texts must clear DocIngest's quality gate (≥10 tokens, diverse)
+        return [(i, f"{_text(s, m)} {long_tail} uniq{i}") for i, s, m in specs]
+
+    b1 = rows([(0, 0, 0), (1, 0, 0), (2, 5, 0), (3, 5, 1)])
+    b2 = rows([(10, 0, 1), (11, 9, 0)])
+    ing.process_batch(_batch(spark, b1), batch_id=1)
+    ing.process_batch(_batch(spark, b2), batch_id=2)
+    assert _maintained(spark, ing.components) == _ground_truth(spark, ing.index)
+    # replay batch 2 — fully committed → guard returns before any work
+    before = ing.components.labels_t.current_version()
+    ing.process_batch(_batch(spark, b2), batch_id=2)
+    assert ing.components.labels_t.current_version() == before
+    # re-crawl doc 1 into family 9 (new text → new hash → passes dedup)
+    b3 = rows([(1, 9, 0)])
+    ing.process_batch(_batch(spark, b3), batch_id=3)
+    assert _maintained(spark, ing.components) == _ground_truth(spark, ing.index)
+    labels = dict(_maintained(spark, ing.components))
+    assert labels[1] == labels[11]
+
+
+def test_surviving_label_keeps_its_higher_priority_split(spark, tmp_path):
+    """A component that keeps its label while absorbing an anchor-mapped
+    family must not fall back to the absorbed family's lower-priority
+    split: candidates = mapped parents ∪ the survivor's OWN stored split."""
+    mh, comp = _mk(tmp_path, "ownwins")
+    # two disjoint-vocab singletons; 100 will keep the merged label
+    _ingest(spark, mh, comp, [(100, _text(0)), (200, _text(6))], wm=1)
+    forced = comp.labels_t.read(spark).withColumn(
+        "split", F.when(col("label") == 100, "test").otherwise("train")
+    )
+    comp.labels_t.merge_with(spark, forced, lambda _t, u: u)
+    # a NEW doc bridging both families (carries both texts): 200 enters
+    # the propagation as an anchor; 100's own component is untouched by
+    # any re-crawl, so no member pair carries its split — only the fix's
+    # "own" candidate does
+    _ingest(spark, mh, comp, [(300, _text(0) + " " + _text(6))], wm=2)
+    labels = dict(_maintained(spark, comp))
+    assert labels[100] == labels[200] == labels[300] == 100
+    sp = {r.doc_id: r.split for r in comp.splits(spark).collect()}
+    assert sp == {100: "test", 200: "test", 300: "test"}, sp

@@ -70,8 +70,10 @@ QUERIES = [
     "doc_mixture_temperature",
     "vocab_coverage_curve",
     "doc_prefix_dup_rate",
-    # round 7: extremum-retraction CDC fold (risky-group rescan ordering)
+    # round 7: extremum-retraction CDC fold (risky-group rescan ordering),
+    # incremental component maintenance (anchor propagation, split policy)
     "cdc_maintained_extremum_stats",
+    "maintained_leakage_safe_splits",
 ]
 
 
