@@ -336,6 +336,104 @@ class IVFIndex(GenerationalLayout):
             col("rank") <= k
         )
 
+    def _live(self, spark: SparkSession) -> DataFrame:
+        """LIVE corpus rows (vec_id, embedding, nrm): data joined to the
+        inventory's latest (seg, cell) — the same filter query() serves."""
+        data = spark.read.option("basePath", self._data).parquet(self._data)
+        inv_df = self._inventory().read(spark)
+        if inv_df is not None and "seg" in data.columns:
+            latest = inv_df.select(
+                "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
+            )
+            data = (
+                data.join(latest, ["vec_id"])
+                .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
+                .drop("__lseg", "__lcell")
+            )
+        return data.select("vec_id", "embedding", "nrm")
+
+    def recall_probe(
+        self, spark: SparkSession, k: int = 5, probes: int = 2, n_queries: int = 16
+    ) -> dict:
+        """Measured recall@k of the pruned probe against exact brute-force
+        cosine over the LIVE corpus, on a deterministic md5 sample of live
+        vectors — the drift monitor for a FROZEN coarse quantizer: upserts
+        keep arriving after build(), and once the data distribution drifts
+        from the codebook, probed cells stop containing the true
+        neighbors. Cost: one live-corpus stream against ``n_queries``
+        broadcast queries (metadata-bounded output) plus one index query —
+        cheap enough to run per compaction cycle."""
+        live = self._live(spark).localCheckpoint()
+        q = (
+            live.withColumn("__r", F.md5(col("vec_id").cast("string")))
+            .orderBy("__r")
+            .limit(n_queries)
+            .select(col("vec_id").alias("qid"), "embedding", col("nrm").alias("qnrm"))
+            .localCheckpoint()
+        )
+        qb = q.select("qid", col("embedding").alias("qe"), "qnrm")
+        exact = (
+            live.join(broadcast(qb))
+            .filter(col("vec_id") != col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                (_fx_dot("qe", "embedding") / (col("qnrm") * col("nrm"))).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(col("cos").desc(), col("vec_id"))
+        truth = {
+            (r.qid, r.vec_id)
+            for r in exact.withColumn("__rn", F.row_number().over(w))
+            .filter(col("__rn") <= k)
+            .collect()
+        }
+        got = {
+            (r.qid, r.neighbor_id)
+            for r in self.query(
+                spark, q.select("qid", "embedding"), k=k, probes=probes
+            ).collect()
+        }
+        recall = len(truth & got) / len(truth) if truth else 1.0
+        return {"recall": recall, "k": k, "probes": probes, "n_queries": n_queries}
+
+    def upserted_fraction(self, spark: SparkSession) -> float:
+        """Share of live vectors indexed AFTER the quantizer was frozen
+        (inventory rows with seg > 0) — the cheap structural drift proxy."""
+        inv_df = self._inventory().read(spark)
+        if inv_df is None:
+            return 0.0
+        row = inv_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((col("seg") > 0).cast("long")).alias("u"),
+        ).first()
+        return (row.u or 0) / row.n if row.n else 0.0
+
+    def needs_rebuild(
+        self,
+        spark: SparkSession,
+        recall_floor: float = 0.8,
+        max_upserted_frac: float = 0.5,
+        **probe_kw,
+    ) -> dict:
+        """The documented rebuild-trigger policy: rebuild when measured
+        recall@k sinks below ``recall_floor`` OR when more than
+        ``max_upserted_frac`` of the live corpus arrived after the
+        quantizer was frozen (the structural proxy — cheap to check every
+        batch, while the recall probe runs per compaction cycle). Returns
+        the decision plus both metrics; the caller rebuilds with
+        ``build(spark, <live corpus ∪ pending>)``, which re-samples the
+        quantizer from the current distribution
+        (tests/test_ann_index.py::test_recall_drift_lifecycle shows the
+        decay and the rebuild restoring recall)."""
+        frac = self.upserted_fraction(spark)
+        probe = self.recall_probe(spark, **probe_kw)
+        return {
+            "rebuild": probe["recall"] < recall_floor or frac > max_upserted_frac,
+            "upserted_frac": frac,
+            **probe,
+        }
+
     def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
         """How many data files a probe of ``cells`` opens (test hook;
         tolerates cells emptied by compaction)."""

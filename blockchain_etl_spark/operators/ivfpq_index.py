@@ -418,6 +418,96 @@ class IVFPQIndex(GenerationalLayout):
             .select("qid", col("vec_id").alias("neighbor_id"), "d2_fp", "rank")
         )
 
+    def recall_probe(
+        self,
+        spark: SparkSession,
+        k: int = 5,
+        probes: int = 2,
+        shortlist: int = 50,
+        n_queries: int = 16,
+    ) -> dict:
+        """Measured recall@k of the PQ probe (cells → ADC → exact rerank)
+        against exact brute-force fixed-point L2 over the LIVE rerank
+        store, on a deterministic md5 sample — the drift monitor for BOTH
+        frozen quantizers (coarse cells and the PQ codebook). See
+        IVFIndex.recall_probe for the cost shape and
+        needs_rebuild for the trigger policy."""
+        vecs = self._stale_filtered(
+            spark,
+            spark.read.option("basePath", self._p("vectors")).parquet(
+                self._p("vectors")
+            ),
+        ).select("vec_id", "vf").localCheckpoint()
+        q = (
+            vecs.withColumn("__r", F.md5(col("vec_id").cast("string")))
+            .orderBy("__r")
+            .limit(n_queries)
+            .select(col("vec_id").alias("qid"), col("vf").alias("qvf"))
+            .localCheckpoint()
+        )
+        exact = (
+            vecs.join(broadcast(q))
+            .filter(col("vec_id") != col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                F.expr(_PQ_SUB_D2.format(a="vf", b="qvf")).alias("d2"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+        truth = {
+            (r.qid, r.vec_id)
+            for r in exact.withColumn("__rn", F.row_number().over(w))
+            .filter(col("__rn") <= k)
+            .collect()
+        }
+        # queries need the float embedding for the probe path: reconstruct
+        # from the fixed-point grid (vf = round(x*1e6) — exact for the
+        # probe's own cosine/ADC purposes)
+        qf = q.select(
+            "qid",
+            F.expr("transform(qvf, x -> CAST(x AS DOUBLE) / 1000000.0)").alias(
+                "embedding"
+            ),
+        )
+        got = {
+            (r.qid, r.neighbor_id)
+            for r in self.query(
+                spark, qf, k=k, probes=probes, shortlist=shortlist
+            ).collect()
+        }
+        recall = len(truth & got) / len(truth) if truth else 1.0
+        return {"recall": recall, "k": k, "probes": probes, "n_queries": n_queries}
+
+    def upserted_fraction(self, spark: SparkSession) -> float:
+        """Share of live vectors encoded AFTER the quantizers froze."""
+        inv_df = self._inventory().read(spark)
+        if inv_df is None:
+            return 0.0
+        row = inv_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((col("seg") > 0).cast("long")).alias("u"),
+        ).first()
+        return (row.u or 0) / row.n if row.n else 0.0
+
+    def needs_rebuild(
+        self,
+        spark: SparkSession,
+        recall_floor: float = 0.8,
+        max_upserted_frac: float = 0.5,
+        **probe_kw,
+    ) -> dict:
+        """Rebuild-trigger policy — identical contract to
+        IVFIndex.needs_rebuild (recall floor OR upserted-fraction
+        threshold), with the PQ codebook refreshed by the rebuild too."""
+        frac = self.upserted_fraction(spark)
+        probe = self.recall_probe(spark, **probe_kw)
+        return {
+            "rebuild": probe["recall"] < recall_floor or frac > max_upserted_frac,
+            "upserted_frac": frac,
+            **probe,
+        }
+
     def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
         """How many code files a probe of ``cells`` opens (test hook;
         tolerates cells emptied by compaction)."""

@@ -575,3 +575,44 @@ def test_delete_does_not_erase_upsert_watermark(spark, tmp_path):
         emb.filter((col("vec_id") >= 20) & (col("vec_id") < 30)),
         watermark=7,
     )
+
+
+def _drifted(emb, n=300):
+    """A deterministic md5-derived pseudo-random distribution — unlike the
+    clustered build corpus, its neighbor structure is uncorrelated with
+    the FROZEN coarse cells, so probes miss true neighbors (the drift)."""
+    return emb.filter(col("vec_id") < n).select(
+        (col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0,63), d -> CAST(conv(substring(md5(concat("
+            "CAST(vec_id AS STRING),':',CAST(d AS STRING))),1,6),16,10) AS DOUBLE)"
+            "/16777216.0 - 0.5)"
+        ).cast("array<float>").alias("embedding"),
+    )
+
+
+def test_recall_drift_lifecycle(spark, tmp_path):
+    """The frozen-quantizer decay gate: recall measured on the live index
+    drops after a drifted distribution is upserted, needs_rebuild()
+    trips (recall floor OR upserted fraction), and a rebuild — which
+    re-samples the quantizer from the current distribution — restores
+    recall. All md5-deterministic: the numbers repeat run to run."""
+    emb = _emb(spark)
+    idx = IVFIndex(str(tmp_path / "ivf_drift"))
+    idx.build(spark, emb.filter(col("vec_id") < 300), n_cells=8)
+    built = idx.recall_probe(spark, k=5, probes=2, n_queries=12)["recall"]
+    assert built >= 0.8
+    assert not idx.needs_rebuild(spark, n_queries=12)["rebuild"]
+
+    assert idx.upsert(spark, _drifted(emb), watermark=1)
+    decision = idx.needs_rebuild(spark, n_queries=12)
+    drifted = decision["recall"]
+    assert drifted < built, (drifted, built)
+    assert decision["upserted_frac"] == 0.5
+    assert decision["rebuild"], decision
+
+    live = idx._live(spark).select("vec_id", "embedding").localCheckpoint()
+    idx.build(spark, live, n_cells=8)
+    restored = idx.recall_probe(spark, k=5, probes=2, n_queries=12)["recall"]
+    assert restored >= built, (restored, built)
+    assert not idx.needs_rebuild(spark, n_queries=12)["rebuild"]

@@ -344,3 +344,45 @@ def test_pq_compact_after_all_tombstoned_skips_and_recovers(spark, tmp_path):
     idx.compact(spark)
     assert idx._gen() == gen + 1
     assert idx.query(spark, _queries(spark), k=5, probes=4).count() > 0
+
+
+def test_pq_recall_drift_lifecycle(spark, tmp_path):
+    """Recall decay + rebuild trigger for the compressed index: both
+    frozen quantizers (coarse cells AND the PQ codebook) go stale under a
+    drifted upsert stream; rebuild refreshes both and restores recall."""
+    sf0 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf0}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).cache()
+    drifted_rows = emb.filter(col("vec_id") < 300).select(
+        (col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0,63), d -> CAST(conv(substring(md5(concat("
+            "CAST(vec_id AS STRING),':',CAST(d AS STRING))),1,6),16,10) AS DOUBLE)"
+            "/16777216.0 - 0.5)"
+        ).cast("array<float>").alias("embedding"),
+    )
+    idx = IVFPQIndex(str(tmp_path / "pq_drift"))
+    idx.build(spark, emb.filter(col("vec_id") < 300), n_cells=8)
+    built = idx.recall_probe(spark, k=5, probes=2, n_queries=12)["recall"]
+    assert not idx.needs_rebuild(spark, recall_floor=built - 0.01, n_queries=12)["rebuild"]
+
+    assert idx.upsert(spark, drifted_rows, watermark=1)
+    decision = idx.needs_rebuild(spark, recall_floor=built - 0.01, n_queries=12)
+    assert decision["recall"] < built, decision
+    assert decision["upserted_frac"] == 0.5
+    assert decision["rebuild"], decision
+
+    live = idx._stale_filtered(
+        spark,
+        spark.read.option("basePath", idx._p("vectors")).parquet(idx._p("vectors")),
+    ).select(
+        "vec_id",
+        F.expr("transform(vf, x -> CAST(x AS DOUBLE)/1000000.0)").cast(
+            "array<float>"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    idx.build(spark, live, n_cells=8)
+    restored = idx.recall_probe(spark, k=5, probes=2, n_queries=12)["recall"]
+    assert restored >= decision["recall"], (restored, decision)
+    assert not idx.needs_rebuild(spark, recall_floor=restored - 0.01, n_queries=12)["rebuild"]
