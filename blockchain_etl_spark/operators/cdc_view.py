@@ -189,9 +189,37 @@ class ChangelogAggregateView:
         null_auth = [
             F.lit(None).alias(f"__authmin_{c}") for c in self.min_cols
         ] + [F.lit(None).alias(f"__authmax_{c}") for c in self.max_cols]
+        # any retraction at all — for groups with NO stored state yet
+        # (first fold, or a coalesced range that creates-and-churns a
+        # group), the insert candidates may include retracted values, so
+        # any retraction forces the re-derive
+        any_ret = F.lit(False)
+        for c in self.min_cols:
+            any_ret = any_ret | col(f"__retmin_{c}").isNotNull()
+        for c in self.max_cols:
+            any_ret = any_ret | col(f"__retmax_{c}").isNotNull()
         state = self.target.read(spark)
         if state is None:
-            return partial.select("*", *null_auth)
+            risky_keys = (
+                partial.filter(any_ret).select(*self.group_keys).localCheckpoint()
+            )
+            if not risky_keys.take(1):
+                return partial.select("*", *null_auth)
+            try:
+                src = source.read(spark, version=version)
+            except FileNotFoundError as e:
+                raise MissingChangelogError(
+                    f"source version {version} needed for extremum "
+                    f"re-derivation is not retained ({e}); re-seed via catch_up()"
+                ) from e
+            rederived = (
+                src.join(F.broadcast(risky_keys), self.group_keys)
+                .groupBy(*self.group_keys)
+                .agg(*auth_aggs)
+            )
+            return partial.join(rederived, self.group_keys, "left")
+        # stored groups: risky when a retracted value reaches the stored
+        # extremum; groups ABSENT from state fall back to the any-ret rule
         risk = F.lit(False)
         for c in self.min_cols:
             risk = risk | (col(f"__retmin_{c}") <= col(f"__min_{c}"))
@@ -199,12 +227,15 @@ class ChangelogAggregateView:
             risk = risk | (col(f"__retmax_{c}") >= col(f"__max_{c}"))
         state_ext = state.select(
             *self.group_keys,
+            F.lit(True).alias("__has_state"),
             *[col(f"__min_{c}") for c in self.min_cols],
             *[col(f"__max_{c}") for c in self.max_cols],
         )
         risky_keys = (
-            partial.join(state_ext, self.group_keys)
-            .filter(risk)
+            partial.join(state_ext, self.group_keys, "left")
+            .filter(
+                F.when(col("__has_state").isNotNull(), risk).otherwise(any_ret)
+            )
             .select(*self.group_keys)
             .localCheckpoint()  # bounded: one row per retraction-hit group
         )
@@ -272,14 +303,38 @@ class ChangelogAggregateView:
             self.seed(spark, source.read(spark, cur), watermark=cur)
             return self.read(spark)
 
-    def fold(self, spark: SparkSession, source: ParquetMergeTarget, upto: int | None = None) -> DataFrame | None:
+    def fold(
+        self,
+        spark: SparkSession,
+        source: ParquetMergeTarget,
+        upto: int | None = None,
+        coalesce_versions: bool = False,
+    ) -> DataFrame | None:
         """Fold every unseen changelog version (folded_version, upto] into
-        the view — one versioned commit per source version, watermarked by
-        it, so replays and crash-recovery re-folds are no-ops and the view
-        can always catch back up to the source by calling fold() again."""
+        the view — by default one versioned commit per source version,
+        watermarked by it, so replays and crash-recovery re-folds are
+        no-ops and the view can always catch back up to the source by
+        calling fold() again.
+
+        ``coalesce_versions``: fold the WHOLE unseen range in ONE state
+        commit (union of the range's changelogs → one partial → one
+        merge, watermarked at ``upto``). Count/sum contributions are
+        linear, so the unioned fold is exactly the sequential fold.
+        Extremum retraction risk is still tested against the STORED
+        (range-start) extremum — sufficient: if the value binding
+        least(stored, range-inserts) was retracted anywhere in the range,
+        that retraction is ≤ the stored extremum and trips the test; an
+        intra-range non-binding retraction may trigger a spurious rescan,
+        never a wrong answer (the rescan re-derives from the snapshot
+        pinned at ``upto``, which is exact). Use for followers that fell
+        many versions behind: one commit instead of N (a crash mid-fold
+        replays the whole range — same contract, coarser grain)."""
         upto = source.current_version() if upto is None else int(upto)
-        out = None
-        for v in range(self.folded_version() + 1, upto + 1):
+        versions = list(range(self.folded_version() + 1, upto + 1))
+        if not versions:
+            return self.read(spark)
+        logs = []
+        for v in versions:
             log = source.read_changelog(spark, v)
             if log is None:
                 raise MissingChangelogError(
@@ -287,13 +342,28 @@ class ChangelogAggregateView:
                     "cannot be maintained from CDC alone (was the merge run "
                     "without changelog_keys, or the segment vacuumed?)"
                 )
+            logs.append(log)
+        out = None
+        if coalesce_versions:
+            log = logs[0]
+            for nxt in logs[1:]:
+                log = log.unionByName(nxt)
             partial = self._delta_partial(log)
             if self.min_cols or self.max_cols:
-                partial = self._with_rederive(spark, source, v, partial)
+                partial = self._with_rederive(spark, source, upto, partial)
                 fold_fn = self._extremum_fold()
             else:
                 fold_fn = weighted_group_fold(self.group_keys, self.sum_cols)
-            out = self.target.merge_with(spark, partial, fold_fn, watermark=v)
+            out = self.target.merge_with(spark, partial, fold_fn, watermark=upto)
+        else:
+            for v, log in zip(versions, logs):
+                partial = self._delta_partial(log)
+                if self.min_cols or self.max_cols:
+                    partial = self._with_rederive(spark, source, v, partial)
+                    fold_fn = self._extremum_fold()
+                else:
+                    fold_fn = weighted_group_fold(self.group_keys, self.sum_cols)
+                out = self.target.merge_with(spark, partial, fold_fn, watermark=v)
         return out if out is not None else self.read(spark)
 
     def _extremum_fold(self):

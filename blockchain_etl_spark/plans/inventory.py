@@ -294,7 +294,7 @@ def cdc_maintained_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey",
         "o_orderpriority",
         F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint()  # both batches below derive from this one scan
     base = tempfile.mkdtemp(prefix="cdc_view_gate_")
     t = ParquetMergeTarget(os.path.join(base, "orders_target"))
     # batch 1: even keys with a wrong amount (+100 cents) — the rows the
@@ -319,7 +319,9 @@ def cdc_maintained_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         group_keys=("o_orderpriority",),
         sum_cols=("cents",),
     )
-    view.fold(spark, t)
+    # one catch-up commit for the two-version backlog (linear
+    # contributions → identical to per-version folds, test-proven)
+    view.fold(spark, t, coalesce_versions=True)
     # materialize the view read, then reclaim the scratch dir — the query
     # runs every driver round and test sweep, and an un-deleted mkdtemp
     # (two versioned table copies + changelogs + view state each call)
@@ -371,7 +373,7 @@ def cdc_maintained_extremum_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey",
         "o_orderpriority",
         F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint()  # both batches below derive from this one scan
     base = tempfile.mkdtemp(prefix="cdc_ext_gate_")
     t = ParquetMergeTarget(os.path.join(base, "orders_target"))
     # batch 1: every other remaining key, inflated well past any real
@@ -399,7 +401,10 @@ def cdc_maintained_extremum_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         min_cols=("cents",),
         max_cols=("cents",),
     )
-    view.fold(spark, t)
+    # one catch-up commit; batch 2's updates still retract every group's
+    # stored maximum, so the risky-group rescan path runs (pinned at the
+    # range end)
+    view.fold(spark, t, coalesce_versions=True)
     out = view.read(spark).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out

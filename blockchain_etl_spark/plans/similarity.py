@@ -705,9 +705,14 @@ def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
-    cent = _label_centroids(emb)
+    # centroids feed THREE consumers (assignment scoring, the exploded
+    # probe dims, and nothing re-derives them lazily after this): one
+    # materialization instead of recomputing the label aggregate per use.
+    cent = _label_centroids(emb).localCheckpoint()
 
-    # corpus → top-1 cell assignment (broadcast centroids, corpus streams)
+    # corpus → top-1 cell assignment (broadcast centroids, corpus streams).
+    # NOT checkpointed: measured slower when materialized — the lazy
+    # recompute shares the final plan's corpus scan and cached codegen.
     scored = corpus.join(F.broadcast(cent)).select(
         "vec_id",
         "cell",

@@ -1318,3 +1318,141 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE trainer — closes the loop bpe_merge_candidates opens: N
+# greedy merge rounds over the frequency-weighted WORD table (never the
+# corpus), producing the ORDERED merge list a tokenizer ships. Each round:
+# count adjacent symbol pairs (weighted by word freq, overlaps counted —
+# the classic Sennrich statistics), pick argmax with deterministic
+# tie-breaks (count desc, then left/right symbol lexicographic), apply the
+# merge greedily left-to-right to every word, repeat.
+#
+# Cross-engine trick: a word's symbol sequence is ONE STRING with doubled
+# \x01 separators ("\x01a\x01\x01b\x01\x01c\x01"), so greedy left-to-right
+# merge application is plain replace("\x01x\x01\x01y\x01" → "\x01xy\x01")
+# — non-overlapping scan-forward semantics identical in Spark and DuckDB,
+# and the doubled separator means adjacent matches never share characters
+# ("x y x y" merges BOTH pairs) while merged symbols can never be matched
+# mid-symbol (every boundary is \x01\x01).
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 8
+_BPE_VOCAB = 2000
+_S = "chr(1)"  # the separator, engine-side
+
+
+def _bpe_train_sql() -> str:
+    sep2 = f"{_S} || {_S}"
+    ctes = [
+        f"""w_all AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKENS_SQL.format(c='text')}) AS word
+            FROM documents) t
+      WHERE strpos(word, {_S}) = 0
+      GROUP BY word)""",
+        f"""w_top AS (
+      SELECT word, freq FROM w_all ORDER BY freq DESC, word LIMIT {_BPE_VOCAB})""",
+        f"""w0 AS (
+      SELECT {_S} || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, CAST(i AS INTEGER), 1)),
+               {sep2}) || {_S} AS ws,
+             freq
+      FROM w_top)""",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{r} AS (
+      SELECT s[CAST(i AS INTEGER)] AS x, s[CAST(i AS INTEGER) + 1] AS y,
+             CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT string_split(trim(ws, {_S}), {sep2}) AS s, freq,
+                   unnest(range(1, len(string_split(trim(ws, {_S}), {sep2})))) AS i
+            FROM w{r - 1}) z
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{r} AS (SELECT x, y, c FROM p{r} ORDER BY c DESC, x, y LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+      SELECT CASE WHEN b.x IS NULL THEN ws
+                  ELSE replace(ws, {_S} || b.x || {sep2} || b.y || {_S},
+                               {_S} || b.x || b.y || {_S}) END AS ws,
+             freq
+      FROM w{r - 1} LEFT JOIN b{r} b ON TRUE)"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, x AS left_sym, "
+        f"y AS right_sym, c AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}"
+
+
+@register(
+    "bpe_train_merges",
+    sql=_bpe_train_sql(),
+    survey_ops=(),
+    doc=f"Iterative BPE training: {_BPE_ROUNDS} greedy merge rounds over "
+    f"the top-{_BPE_VOCAB} frequency-weighted words, emitting the ordered "
+    "merge list (rank, left symbol, right symbol, weighted pair count) — "
+    "the artifact a tokenizer actually ships, vs bpe_merge_candidates' "
+    "single round of statistics. Deterministic end to end: argmax ties "
+    "break on (count desc, pair lexicographic); merge application is "
+    "greedy left-to-right via non-overlapping string replace on a "
+    "doubled-separator symbol encoding, bit-identical in both engines. "
+    "Scale shape: the ONLY corpus-sized work is the word-frequency "
+    "aggregate; every round runs on the bounded vocab table (pair explode "
+    "+ one TakeOrdered row + a map-side replace), so 32k production "
+    "rounds cost 32k vocab-sized jobs, not corpus scans — the "
+    "supplier_pagerank iterate-on-the-small-table shape.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sep = "\x01"
+    words = (
+        docs.select(F.explode(F.expr(_TOKENS.format(c="text"))).alias("word"))
+        .filter(~col("word").contains(sep))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(col("freq").desc(), "word")
+        .limit(_BPE_VOCAB)
+    )
+    w = words.select(
+        F.expr(
+            f"concat({_S}, array_join(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), concat({_S}, {_S})), {_S})"
+        ).alias("ws"),
+        "freq",
+    ).localCheckpoint()
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        # sequence(1, 0) runs DESCENDING in Spark (see bpe_merge_candidates)
+        # — single-symbol words must emit an empty pair array
+        syms_sql = f"split(trim(BOTH {_S} FROM ws), concat({_S}, {_S}))"
+        pairs = w.select(
+            "freq", F.explode(
+                F.expr(
+                    f"IF(size({syms_sql}) < 2, array(),"
+                    f" transform(sequence(1, size({syms_sql}) - 1),"
+                    f" i -> struct(element_at({syms_sql}, i) AS x,"
+                    f" element_at({syms_sql}, i + 1) AS y)))"
+                )
+            ).alias("p"),
+        ).select("freq", col("p.x").alias("x"), col("p.y").alias("y"))
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(col("c").desc(), "x", "y")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((r, best.x, best.y, int(best.c)))
+        find = f"{sep}{best.x}{sep}{sep}{best.y}{sep}"
+        repl = f"{sep}{best.x}{best.y}{sep}"
+        w = w.withColumn("ws", F.replace(col("ws"), F.lit(find), F.lit(repl)))
+    return spark.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, pair_count long"
+    )

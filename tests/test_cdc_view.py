@@ -419,3 +419,57 @@ def test_minmax_catch_up_seeds_and_resumes(spark, tmp_path):
         _merge_state(t, spark, rows, wm=i)
         view.catch_up(spark, t)
         assert _mm_view_dict(view, spark) == _mm_recompute(spark, t, t.current_version()), i
+
+
+def test_coalesced_fold_equals_sequential(spark, tmp_path):
+    """fold(coalesce_versions=True) over a multi-version backlog must land
+    on exactly the per-version fold's state — counts/sums are linear."""
+    t = ParquetMergeTarget(str(tmp_path / "co_src"))
+    for i, rows in enumerate(STATES):
+        _merge_state(t, spark, rows, wm=i)
+    seq = ChangelogAggregateView(
+        str(tmp_path / "co_seq"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    seq.fold(spark, t)
+    co = ChangelogAggregateView(
+        str(tmp_path / "co_one"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    co.fold(spark, t, coalesce_versions=True)
+    assert co.folded_version() == t.current_version()
+    assert co.target.current_version() == 1, "ONE commit for the whole range"
+    assert _view_dict(co, spark) == _view_dict(seq, spark)
+    # a later per-version fold resumes normally after the coalesced one
+    _merge_state(t, spark, [(9, "z", 9)], wm=len(STATES))
+    co.fold(spark, t)
+    assert _view_dict(co, spark) == _recompute(spark, t, t.current_version())
+
+
+def test_coalesced_fold_minmax_with_intra_range_churn(spark, tmp_path):
+    """Coalesced extremum fold: a value inserted AND retracted inside the
+    range, plus retraction of the stored extremum — both must land on the
+    recompute (the conservative risk test may rescan, never miss)."""
+    t = ParquetMergeTarget(str(tmp_path / "comm_src"))
+    view = _mm_view(tmp_path, "comm_view")
+    _merge_state(t, spark, [(1, "a", 5), (2, "a", 8)], wm=0)
+    view.fold(spark, t)
+    # range: v2 inserts a transient min 1 (id 3) and a lasting 6; v3
+    # deletes the transient 1 AND the stored min 5 (id 1)
+    _merge_state(t, spark, [(1, "a", 5), (2, "a", 8), (3, "a", 1), (4, "a", 6)], wm=1)
+    _merge_state(t, spark, [(2, "a", 8), (4, "a", 6)], wm=2)
+    view.fold(spark, t, coalesce_versions=True)
+    assert view.folded_version() == t.current_version()
+    assert _mm_view_dict(view, spark) == _mm_recompute(spark, t, t.current_version())
+
+
+def test_coalesced_fold_minmax_from_empty_state(spark, tmp_path):
+    """Coalescing a range that CREATES a group and retracts some of its
+    values (no stored state yet — e.g. a brand-new follower catching up
+    in one commit) must not keep retracted values as extrema."""
+    t = ParquetMergeTarget(str(tmp_path / "coe_src"))
+    view = _mm_view(tmp_path, "coe_view")
+    # v1 inserts an inflated max 99 (id 3); v2 updates it down to 2
+    _merge_state(t, spark, [(1, "a", 5), (2, "a", 8), (3, "a", 99)], wm=0)
+    _merge_state(t, spark, [(1, "a", 5), (2, "a", 8), (3, "a", 2)], wm=1)
+    view.fold(spark, t, coalesce_versions=True)
+    assert view.target.current_version() == 1, "one commit"
+    assert _mm_view_dict(view, spark) == _mm_recompute(spark, t, t.current_version())

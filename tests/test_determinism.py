@@ -74,6 +74,7 @@ QUERIES = [
     # incremental component maintenance (anchor propagation, split policy)
     "cdc_maintained_extremum_stats",
     "maintained_leakage_safe_splits",
+    "bpe_train_merges",
 ]
 
 
