@@ -54,7 +54,92 @@ def _tombstone_ids(inv, spark: SparkSession, ids: DataFrame, watermark: int | No
     return True
 
 
-class IVFIndex(GenerationalLayout):
+class VectorIndexMaintenance:
+    """Shared drift-policy and staleness machinery for the inventory-backed
+    vector indexes (IVFIndex, IVFPQIndex). Expects ``_inventory()``,
+    ``recall_probe(spark, **kw)``, and inventory rows carrying an
+    ``upserted`` flag (0 = present when the quantizer was trained/frozen,
+    1 = arrived afterwards) — the flag survives compaction, unlike the
+    segment number (compact rewrites every live row as seg=0), so the
+    structural drift proxy keeps measuring distance from the FROZEN
+    quantizer, not from the last compaction."""
+
+    @staticmethod
+    def _upserted_col(inv_df: DataFrame):
+        """The post-freeze flag, tolerating pre-flag inventories (where
+        seg > 0 is the best available proxy until the next rebuild)."""
+        proxy = (col("seg") > 0).cast("long")
+        if "upserted" in inv_df.columns:
+            return F.coalesce(col("upserted"), proxy)
+        return proxy
+
+    def _stale_filtered(self, spark: SparkSession, data: DataFrame) -> DataFrame:
+        """Drop superseded rows: keep only rows matching the inventory's
+        latest (seg, cell) per vec_id. BOTH coordinates matter: the
+        dynamic-partition-overwrite replay argument in upsert() covers
+        bit-identical retries only, so a crashed batch retried with
+        CHANGED content can leave an orphan (old cell, same seg) row — a
+        seg-only filter would serve it."""
+        inv_df = self._inventory().read(spark)
+        if inv_df is None or "seg" not in data.columns:
+            return data
+        latest = inv_df.select(
+            "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
+        )
+        return (
+            data.join(latest, ["vec_id"])
+            .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
+            .drop("__lseg", "__lcell")
+        )
+
+    def upserted_fraction(self, spark: SparkSession) -> float:
+        """Share of live vectors indexed AFTER the quantizer was frozen —
+        the cheap structural drift proxy (compaction-proof via the
+        inventory's ``upserted`` flag)."""
+        inv_df = self._inventory().read(spark)
+        if inv_df is None:
+            return 0.0
+        row = inv_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(self._upserted_col(inv_df)).alias("u"),
+        ).first()
+        return (row.u or 0) / row.n if row.n else 0.0
+
+    def needs_rebuild(
+        self,
+        spark: SparkSession,
+        recall_floor: float = 0.8,
+        max_upserted_frac: float = 0.5,
+        **probe_kw,
+    ) -> dict:
+        """The documented rebuild-trigger policy: rebuild when more than
+        ``max_upserted_frac`` of the live corpus arrived after the
+        quantizer froze (checked FIRST — it is metadata-cheap and, when
+        it already decides the rebuild, the live-corpus recall probe is
+        skipped entirely), or when measured recall@k sinks below
+        ``recall_floor``. Returns the decision plus the metrics
+        (``recall`` is None when the probe was skipped); the caller
+        rebuilds with ``build(spark, <live corpus ∪ pending>)``, which
+        re-samples the quantizer from the current distribution
+        (tests/test_ann_index.py::test_recall_drift_lifecycle shows the
+        decay and the rebuild restoring recall)."""
+        frac = self.upserted_fraction(spark)
+        if frac > max_upserted_frac:
+            return {
+                "rebuild": True,
+                "upserted_frac": frac,
+                "recall": None,
+                "probe_skipped": True,
+            }
+        probe = self.recall_probe(spark, **probe_kw)
+        return {
+            "rebuild": probe["recall"] < recall_floor,
+            "upserted_frac": frac,
+            **probe,
+        }
+
+
+class IVFIndex(VectorIndexMaintenance, GenerationalLayout):
     """cell-partitioned vector index: ``.../data/cell=N/`` parquet plus
     ``.../centroids`` parquet, grouped into GENERATIONS
     (operators/generations.py): a full ``build()`` writes a complete new
@@ -120,7 +205,9 @@ class IVFIndex(GenerationalLayout):
         inv = ParquetMergeTarget(os.path.join(gdir, "id_inventory"))
         inv.merge(
             spark,
-            assigned.select("vec_id", "seg", "cell"),
+            assigned.select(
+                "vec_id", "seg", "cell", F.lit(0).cast("long").alias("upserted")
+            ),
             keys=["vec_id"],
             order=["seg"],
         )
@@ -168,7 +255,9 @@ class IVFIndex(GenerationalLayout):
         ).partitionBy("cell", "seg").parquet(self._data)
         inv.merge(
             spark,
-            assigned.select("vec_id", "seg", "cell"),
+            assigned.select(
+                "vec_id", "seg", "cell", F.lit(1).cast("long").alias("upserted")
+            ),
             keys=["vec_id"],
             order=["seg"],
             watermark=watermark,
@@ -217,24 +306,13 @@ class IVFIndex(GenerationalLayout):
         # unable-to-infer-schema. Skip instead — query() already returns
         # empty via the inventory live-cell intersection, and the first
         # post-delete upsert's segment compacts normally afterwards.
-        inv_probe = inv.read(spark)
-        if inv_probe is None or not inv_probe.take(1):
+        inv_df = inv.read(spark)
+        if inv_df is None or not inv_df.take(1):
             return
         data = spark.read.option("basePath", self._data).parquet(self._data)
-        live = data
-        inv_df = inv.read(spark)
-        if inv_df is not None and "seg" in data.columns:
-            latest = inv_df.select(
-                "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
-            )
-            live = (
-                data.join(latest, ["vec_id"])
-                .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
-                .drop("__lseg", "__lcell")
-            )
-        live = live.select(
+        live = self._stale_filtered(spark, data).select(
             "vec_id", "embedding", "nrm", "cell", F.lit(0).cast("long").alias("seg")
-        ).localCheckpoint()  # one pass feeds the data write AND the inventory
+        ).localCheckpoint()
         new_gen = old_gen + 1
         gdir = self._gen_dir(new_gen)
         spark.read.parquet(self._centroids).coalesce(1).write.mode(
@@ -244,9 +322,18 @@ class IVFIndex(GenerationalLayout):
             "cell", "seg"
         ).parquet(os.path.join(gdir, "data"))
         ninv = ParquetMergeTarget(os.path.join(gdir, "id_inventory"))
+        # the fresh single-segment inventory rows come straight from the
+        # old inventory (it IS the live-id truth): seg resets to 0, the
+        # ``upserted`` post-freeze flag carries forward so the drift proxy
+        # is compaction-proof (the quantizer copied unchanged above)
         ninv.merge(
             spark,
-            live.select("vec_id", "seg", "cell"),
+            inv_df.select(
+                "vec_id",
+                F.lit(0).cast("long").alias("seg"),
+                "cell",
+                self._upserted_col(inv_df).alias("upserted"),
+            ),
             keys=["vec_id"],
             order=["seg"],
             watermark=wm if wm >= 0 else None,
@@ -307,21 +394,9 @@ class IVFIndex(GenerationalLayout):
             *[os.path.join(self._data, f"cell={c}") for c in sorted(cells)]
         )
         # staleness filter: an upserted vector's older copies (possibly in
-        # other cells) are superseded — keep only rows matching the
-        # inventory's latest (seg, cell) per vec_id. Candidate-sized join.
-        # BOTH coordinates matter: the dynamic-partition-overwrite replay
-        # argument in upsert() covers bit-identical retries only, so a
-        # crashed batch retried with CHANGED content can leave an orphan
-        # (old cell, same seg) row — a seg-only filter would serve it.
-        if inv_df is not None and "seg" in data.columns:
-            latest = inv_df.select(
-                "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
-            )
-            data = (
-                data.join(latest, ["vec_id"])
-                .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
-                .drop("__lseg", "__lcell")
-            )
+        # other cells) are superseded — candidate-sized join on the
+        # inventory's latest (seg, cell) per id (VectorIndexMaintenance).
+        data = self._stale_filtered(spark, data)
         qside = q.select(
             col("vec_id").alias("qid"), col("embedding").alias("qe"), col("nrm").alias("qnrm")
         )
@@ -337,20 +412,10 @@ class IVFIndex(GenerationalLayout):
         )
 
     def _live(self, spark: SparkSession) -> DataFrame:
-        """LIVE corpus rows (vec_id, embedding, nrm): data joined to the
+        """LIVE corpus rows (vec_id, embedding, nrm): data filtered to the
         inventory's latest (seg, cell) — the same filter query() serves."""
         data = spark.read.option("basePath", self._data).parquet(self._data)
-        inv_df = self._inventory().read(spark)
-        if inv_df is not None and "seg" in data.columns:
-            latest = inv_df.select(
-                "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
-            )
-            data = (
-                data.join(latest, ["vec_id"])
-                .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
-                .drop("__lseg", "__lcell")
-            )
-        return data.select("vec_id", "embedding", "nrm")
+        return self._stale_filtered(spark, data).select("vec_id", "embedding", "nrm")
 
     def recall_probe(
         self, spark: SparkSession, k: int = 5, probes: int = 2, n_queries: int = 16
@@ -396,43 +461,6 @@ class IVFIndex(GenerationalLayout):
         }
         recall = len(truth & got) / len(truth) if truth else 1.0
         return {"recall": recall, "k": k, "probes": probes, "n_queries": n_queries}
-
-    def upserted_fraction(self, spark: SparkSession) -> float:
-        """Share of live vectors indexed AFTER the quantizer was frozen
-        (inventory rows with seg > 0) — the cheap structural drift proxy."""
-        inv_df = self._inventory().read(spark)
-        if inv_df is None:
-            return 0.0
-        row = inv_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((col("seg") > 0).cast("long")).alias("u"),
-        ).first()
-        return (row.u or 0) / row.n if row.n else 0.0
-
-    def needs_rebuild(
-        self,
-        spark: SparkSession,
-        recall_floor: float = 0.8,
-        max_upserted_frac: float = 0.5,
-        **probe_kw,
-    ) -> dict:
-        """The documented rebuild-trigger policy: rebuild when measured
-        recall@k sinks below ``recall_floor`` OR when more than
-        ``max_upserted_frac`` of the live corpus arrived after the
-        quantizer was frozen (the structural proxy — cheap to check every
-        batch, while the recall probe runs per compaction cycle). Returns
-        the decision plus both metrics; the caller rebuilds with
-        ``build(spark, <live corpus ∪ pending>)``, which re-samples the
-        quantizer from the current distribution
-        (tests/test_ann_index.py::test_recall_drift_lifecycle shows the
-        decay and the rebuild restoring recall)."""
-        frac = self.upserted_fraction(spark)
-        probe = self.recall_probe(spark, **probe_kw)
-        return {
-            "rebuild": probe["recall"] < recall_floor or frac > max_upserted_frac,
-            "upserted_frac": frac,
-            **probe,
-        }
 
     def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
         """How many data files a probe of ``cells`` opens (test hook;

@@ -58,15 +58,27 @@ class MissingChangelogError(ValueError):
     validation), which a snapshot re-seed would silently paper over."""
 
 
+def _nn(c: str) -> str:
+    """Per-sum-column NON-NULL counter name: ``sum(w·x)`` alone cannot
+    distinguish 'sum is 0' from 'every surviving value is NULL' once
+    retractions cancel the non-null contributions — SQL's SUM over an
+    all-null group is NULL, so the state tracks ``sum(w · [x IS NOT
+    NULL])`` beside each sum and the read maps count-0 back to NULL."""
+    return f"__nn_{c}"
+
+
 def weighted_group_fold(group_keys: Sequence[str], sum_cols: Sequence[str]):
     """target ⊕ weighted-partial fold shared by every maintained aggregate
     built on ±weighted contributions (this module's CDC views and
-    ivm.IncrementalJoinAggregate): accumulate ``__n``/sums per group, drop
-    groups whose membership cancelled to zero."""
+    ivm.IncrementalJoinAggregate): accumulate ``__n``/sums/non-null
+    counters per group, drop groups whose membership cancelled to zero."""
 
     def fold(tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
         merged = merge_accumulate(
-            tgt, upd, keys=list(group_keys), sum_cols=["__n", *sum_cols]
+            tgt,
+            upd,
+            keys=list(group_keys),
+            sum_cols=["__n", *sum_cols, *[_nn(c) for c in sum_cols]],
         )
         return merged.filter(col("__n") != 0)
 
@@ -77,11 +89,22 @@ def read_weighted_agg(
     t: DataFrame | None, group_keys: Sequence[str], sum_cols: Sequence[str]
 ) -> DataFrame | None:
     """(group_keys..., n_rows, sum_cols...) projection of a weighted-agg
-    state table (the ``__n`` bookkeeping column renamed for consumers)."""
+    state table (the ``__n`` bookkeeping column renamed for consumers; a
+    sum whose non-null counter cancelled to zero reads NULL — the GROUP BY
+    recompute semantics of SUM over an all-null group)."""
     if t is None:
         return None
     return t.select(
-        *group_keys, col("__n").alias("n_rows"), *[col(c) for c in sum_cols]
+        *group_keys,
+        col("__n").alias("n_rows"),
+        *[
+            F.when(F.coalesce(col(_nn(c)), F.lit(0)) == 0, F.lit(None))
+            .otherwise(col(c))
+            .alias(c)
+            if _nn(c) in t.columns
+            else col(c)
+            for c in sum_cols
+        ],
     )
 
 
@@ -160,6 +183,11 @@ class ChangelogAggregateView:
         rows = after.unionByName(minus_del).unionByName(minus_upd)
         aggs = [F.sum("__w").cast("long").alias("__n")] + [
             F.sum(col(c) * col("__w")).alias(c) for c in self.sum_cols
+        ] + [
+            F.sum(F.when(col(c).isNotNull(), col("__w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(_nn(c))
+            for c in self.sum_cols
         ]
         for c in self.min_cols:
             aggs.append(F.min(F.when(col("__w") == 1, col(c))).alias(f"__insmin_{c}"))
@@ -182,13 +210,21 @@ class ChangelogAggregateView:
         max — the retraction may have removed the extremum row, which no
         delta can repair). Risky groups re-derive from the source snapshot
         PINNED at this changelog's version via one broadcast-keyed lookup;
-        a fold with no extremum retraction performs ZERO source reads."""
-        auth_aggs = [
+        a fold with no extremum retraction performs ZERO source reads.
+
+        Re-derived rows also carry ``__has_auth = true`` — the fold keys
+        the override on the FLAG, never on the value, because a re-derived
+        extremum can legitimately be NULL (the group's surviving rows are
+        all null): coalescing on the value would silently fall back to the
+        stale stored extremum."""
+        auth_aggs = [F.max(F.lit(True)).alias("__has_auth")] + [
             F.min(col(c)).alias(f"__authmin_{c}") for c in self.min_cols
         ] + [F.max(col(c)).alias(f"__authmax_{c}") for c in self.max_cols]
-        null_auth = [
-            F.lit(None).alias(f"__authmin_{c}") for c in self.min_cols
-        ] + [F.lit(None).alias(f"__authmax_{c}") for c in self.max_cols]
+        null_auth = (
+            [F.lit(False).alias("__has_auth")]
+            + [F.lit(None).alias(f"__authmin_{c}") for c in self.min_cols]
+            + [F.lit(None).alias(f"__authmax_{c}") for c in self.max_cols]
+        )
         # any retraction at all — for groups with NO stored state yet
         # (first fold, or a coalesced range that creates-and-churns a
         # group), the insert candidates may include retracted values, so
@@ -200,45 +236,27 @@ class ChangelogAggregateView:
             any_ret = any_ret | col(f"__retmax_{c}").isNotNull()
         state = self.target.read(spark)
         if state is None:
-            risky_keys = (
-                partial.filter(any_ret).select(*self.group_keys).localCheckpoint()
+            risky = partial.filter(any_ret)
+        else:
+            # stored groups: risky when a retracted value reaches the
+            # stored extremum; groups ABSENT from state fall back to the
+            # any-retraction rule
+            risk = F.lit(False)
+            for c in self.min_cols:
+                risk = risk | (col(f"__retmin_{c}") <= col(f"__min_{c}"))
+            for c in self.max_cols:
+                risk = risk | (col(f"__retmax_{c}") >= col(f"__max_{c}"))
+            state_ext = state.select(
+                *self.group_keys,
+                F.lit(True).alias("__has_state"),
+                *[col(f"__min_{c}") for c in self.min_cols],
+                *[col(f"__max_{c}") for c in self.max_cols],
             )
-            if not risky_keys.take(1):
-                return partial.select("*", *null_auth)
-            try:
-                src = source.read(spark, version=version)
-            except FileNotFoundError as e:
-                raise MissingChangelogError(
-                    f"source version {version} needed for extremum "
-                    f"re-derivation is not retained ({e}); re-seed via catch_up()"
-                ) from e
-            rederived = (
-                src.join(F.broadcast(risky_keys), self.group_keys)
-                .groupBy(*self.group_keys)
-                .agg(*auth_aggs)
-            )
-            return partial.join(rederived, self.group_keys, "left")
-        # stored groups: risky when a retracted value reaches the stored
-        # extremum; groups ABSENT from state fall back to the any-ret rule
-        risk = F.lit(False)
-        for c in self.min_cols:
-            risk = risk | (col(f"__retmin_{c}") <= col(f"__min_{c}"))
-        for c in self.max_cols:
-            risk = risk | (col(f"__retmax_{c}") >= col(f"__max_{c}"))
-        state_ext = state.select(
-            *self.group_keys,
-            F.lit(True).alias("__has_state"),
-            *[col(f"__min_{c}") for c in self.min_cols],
-            *[col(f"__max_{c}") for c in self.max_cols],
-        )
-        risky_keys = (
-            partial.join(state_ext, self.group_keys, "left")
-            .filter(
+            risky = partial.join(state_ext, self.group_keys, "left").filter(
                 F.when(col("__has_state").isNotNull(), risk).otherwise(any_ret)
             )
-            .select(*self.group_keys)
-            .localCheckpoint()  # bounded: one row per retraction-hit group
-        )
+        # bounded: one row per retraction-hit group
+        risky_keys = risky.select(*self.group_keys).localCheckpoint()
         if not risky_keys.take(1):
             return partial.select("*", *null_auth)
         try:
@@ -255,7 +273,8 @@ class ChangelogAggregateView:
             .groupBy(*self.group_keys)
             .agg(*auth_aggs)
         )
-        return partial.join(rederived, self.group_keys, "left")
+        out = partial.join(rederived, self.group_keys, "left")
+        return out.withColumn("__has_auth", F.coalesce(col("__has_auth"), F.lit(False)))
 
     def seed(
         self, spark: SparkSession, snapshot: DataFrame | None, watermark: int
@@ -276,6 +295,7 @@ class ChangelogAggregateView:
         agg = snapshot.groupBy(*self.group_keys).agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
             *[F.sum(col(c)).alias(c) for c in self.sum_cols],
+            *[F.count(col(c)).cast("long").alias(_nn(c)) for c in self.sum_cols],
             *[F.min(col(c)).alias(f"__min_{c}") for c in self.min_cols],
             *[F.max(col(c)).alias(f"__max_{c}") for c in self.max_cols],
         )
@@ -374,23 +394,28 @@ class ChangelogAggregateView:
         override. Key-grain full-outer join — one shuffle on the group
         key, the same cost shape as the counts-only merge_accumulate."""
         keys = self.group_keys
+        add_cols = list(self.sum_cols) + [_nn(c) for c in self.sum_cols]
 
         def fold(tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
+            # the override keys on __has_auth, NOT on the auth value: a
+            # re-derived extremum over surviving all-null rows is
+            # legitimately NULL, and value-coalescing would resurrect the
+            # stale stored/insert extremum
             if tgt is None:
                 out = upd.select(
                     *keys,
                     col("__n"),
-                    *[col(c) for c in self.sum_cols],
+                    *[col(c) for c in add_cols],
                     *[
-                        F.coalesce(col(f"__authmin_{c}"), col(f"__insmin_{c}")).alias(
-                            f"__min_{c}"
-                        )
+                        F.when(col("__has_auth"), col(f"__authmin_{c}"))
+                        .otherwise(col(f"__insmin_{c}"))
+                        .alias(f"__min_{c}")
                         for c in self.min_cols
                     ],
                     *[
-                        F.coalesce(col(f"__authmax_{c}"), col(f"__insmax_{c}")).alias(
-                            f"__max_{c}"
-                        )
+                        F.when(col("__has_auth"), col(f"__authmax_{c}"))
+                        .otherwise(col(f"__insmax_{c}"))
+                        .alias(f"__max_{c}")
                         for c in self.max_cols
                     ],
                 )
@@ -398,13 +423,13 @@ class ChangelogAggregateView:
             t = tgt.select(
                 *keys,
                 col("__n").alias("__t_n"),
-                *[col(c).alias(f"__t_{c}") for c in self.sum_cols],
+                *[col(c).alias(f"__t_{c}") for c in add_cols],
                 *[col(f"__min_{c}").alias(f"__tmin_{c}") for c in self.min_cols],
                 *[col(f"__max_{c}").alias(f"__tmax_{c}") for c in self.max_cols],
             )
             j = t.join(upd, keys, "full_outer")
             sums = []
-            for c in self.sum_cols:
+            for c in add_cols:
                 # SUM-over-all-null groups stay NULL (the GROUP BY
                 # recompute contract); otherwise nulls count as 0
                 sums.append(
@@ -418,17 +443,15 @@ class ChangelogAggregateView:
                     .alias(c)
                 )
             mins = [
-                F.coalesce(
-                    col(f"__authmin_{c}"),
-                    F.least(col(f"__tmin_{c}"), col(f"__insmin_{c}")),
-                ).alias(f"__min_{c}")
+                F.when(col("__has_auth"), col(f"__authmin_{c}"))
+                .otherwise(F.least(col(f"__tmin_{c}"), col(f"__insmin_{c}")))
+                .alias(f"__min_{c}")
                 for c in self.min_cols
             ]
             maxs = [
-                F.coalesce(
-                    col(f"__authmax_{c}"),
-                    F.greatest(col(f"__tmax_{c}"), col(f"__insmax_{c}")),
-                ).alias(f"__max_{c}")
+                F.when(col("__has_auth"), col(f"__authmax_{c}"))
+                .otherwise(F.greatest(col(f"__tmax_{c}"), col(f"__insmax_{c}")))
+                .alias(f"__max_{c}")
                 for c in self.max_cols
             ]
             out = j.select(
@@ -454,7 +477,14 @@ class ChangelogAggregateView:
         return t.select(
             *self.group_keys,
             col("__n").alias("n_rows"),
-            *[col(c) for c in self.sum_cols],
+            *[
+                F.when(F.coalesce(col(_nn(c)), F.lit(0)) == 0, F.lit(None))
+                .otherwise(col(c))
+                .alias(c)
+                if _nn(c) in t.columns
+                else col(c)
+                for c in self.sum_cols
+            ],
             *[col(f"__min_{c}").alias(f"min_{c}") for c in self.min_cols],
             *[col(f"__max_{c}").alias(f"max_{c}") for c in self.max_cols],
         )

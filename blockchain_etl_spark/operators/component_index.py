@@ -166,7 +166,22 @@ class ComponentIndex:
         deleted_ids = deleted_ids if deleted_ids is not None else empty_ids
 
         if prev is None:
-            # first batch: propagation over the batch's own edges
+            # first batch: the signature table must contain ONLY this
+            # batch — attaching a fresh ComponentIndex to an ALREADY
+            # POPULATED MinHashIndex would silently drop every
+            # batch-to-corpus edge and leave the old corpus unlabeled
+            # (near-dup pairs could then straddle split boundaries with
+            # no error). Backfill by upserting the existing corpus ids as
+            # the first batch instead.
+            orphan = sig.select("doc_id").join(batch_ids, ["doc_id"], "left_anti")
+            if orphan.take(1):
+                raise ValueError(
+                    "ComponentIndex bootstrap: the MinHash index already "
+                    "holds documents outside this first batch — labels "
+                    "would silently omit them. Upsert the full existing "
+                    "corpus as the first component batch (or start both "
+                    "indexes together)."
+                )
             edges = lsh_candidate_pairs(
                 bands_all.join(F.broadcast(batch_ids), ["doc_id"])
             ).select(col("doc_a").alias("src"), col("doc_b").alias("dst"))

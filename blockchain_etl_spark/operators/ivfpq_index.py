@@ -53,13 +53,13 @@ from ..plans.similarity import (
     _with_norm,
     pq_subvectors_from,
 )
-from .ann_index import IVFIndex
+from .ann_index import IVFIndex, VectorIndexMaintenance
 from .generations import GenerationalLayout
 
 _FP = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
 
-class IVFPQIndex(GenerationalLayout):
+class IVFPQIndex(VectorIndexMaintenance, GenerationalLayout):
     """Cell-partitioned PQ-compressed ANN index with an exact-rerank store.
 
     The four stores (centroids, codebook, codes, vectors) are rebuilt
@@ -146,7 +146,9 @@ class IVFPQIndex(GenerationalLayout):
         ).partitionBy("cell", "seg").parquet(self._p("vectors"))
         inv.merge(
             spark,
-            assigned.select("vec_id", "seg", "cell"),
+            assigned.select(
+                "vec_id", "seg", "cell", F.lit(1).cast("long").alias("upserted")
+            ),
             keys=["vec_id"],
             order=["seg"],
             watermark=watermark,
@@ -188,55 +190,34 @@ class IVFPQIndex(GenerationalLayout):
             spark.read.parquet(self._p(store)).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(gdir, store))
-        live_ids = None
         for store in ("codes", "vectors"):
             data = spark.read.option("basePath", self._p(store)).parquet(self._p(store))
-            live = data
-            if latest is not None and "seg" in data.columns:
-                lt = latest.select(
-                    "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
-                )
-                live = (
-                    data.join(lt, ["vec_id"])
-                    .filter(
-                        (col("seg") == col("__lseg")) & (col("cell") == col("__lcell"))
-                    )
-                    .drop("__lseg", "__lcell")
-                )
-            live = live.withColumn("seg", F.lit(0).cast("long")).localCheckpoint()
+            live = self._stale_filtered(spark, data).withColumn(
+                "seg", F.lit(0).cast("long")
+            ).localCheckpoint()
             live.repartition("cell").write.mode("overwrite").partitionBy(
                 "cell", "seg"
             ).parquet(os.path.join(gdir, store))
-            if store == "vectors":
-                live_ids = live.select("vec_id", "seg", "cell")
         from .merge import ParquetMergeTarget
 
+        # fresh single-segment inventory straight from the old one (the
+        # live-id truth): seg resets, the post-freeze ``upserted`` flag
+        # carries forward (the quantizers copied frozen above)
         ninv = ParquetMergeTarget(os.path.join(gdir, "id_inventory"))
         ninv.merge(
             spark,
-            live_ids,
+            latest.select(
+                "vec_id",
+                F.lit(0).cast("long").alias("seg"),
+                "cell",
+                self._upserted_col(latest).alias("upserted"),
+            ),
             keys=["vec_id"],
             order=["seg"],
             watermark=wm if wm >= 0 else None,
         )
         self._publish_gen(new_gen)
         self._retire_gen(old_gen, self._LEGACY_STORES)
-
-    def _stale_filtered(self, spark: SparkSession, data: DataFrame) -> DataFrame:
-        """Drop superseded rows: keep only rows matching the inventory's
-        latest (seg, cell) per vec_id — both coordinates, for the same
-        changed-content-retry orphan reason as IVFIndex.query."""
-        inv_df = self._inventory().read(spark)
-        if inv_df is None or "seg" not in data.columns:
-            return data
-        latest = inv_df.select(
-            "vec_id", col("seg").alias("__lseg"), col("cell").alias("__lcell")
-        )
-        return (
-            data.join(latest, ["vec_id"])
-            .filter((col("seg") == col("__lseg")) & (col("cell") == col("__lcell")))
-            .drop("__lseg", "__lcell")
-        )
 
     def build(
         self, spark: SparkSession, vectors: DataFrame, n_cells: int = 8
@@ -316,7 +297,9 @@ class IVFPQIndex(GenerationalLayout):
 
         ParquetMergeTarget(os.path.join(gdir, "id_inventory")).merge(
             spark,
-            assigned.select("vec_id", "seg", "cell"),
+            assigned.select(
+                "vec_id", "seg", "cell", F.lit(0).cast("long").alias("upserted")
+            ),
             keys=["vec_id"],
             order=["seg"],
         )
@@ -478,35 +461,6 @@ class IVFPQIndex(GenerationalLayout):
         }
         recall = len(truth & got) / len(truth) if truth else 1.0
         return {"recall": recall, "k": k, "probes": probes, "n_queries": n_queries}
-
-    def upserted_fraction(self, spark: SparkSession) -> float:
-        """Share of live vectors encoded AFTER the quantizers froze."""
-        inv_df = self._inventory().read(spark)
-        if inv_df is None:
-            return 0.0
-        row = inv_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((col("seg") > 0).cast("long")).alias("u"),
-        ).first()
-        return (row.u or 0) / row.n if row.n else 0.0
-
-    def needs_rebuild(
-        self,
-        spark: SparkSession,
-        recall_floor: float = 0.8,
-        max_upserted_frac: float = 0.5,
-        **probe_kw,
-    ) -> dict:
-        """Rebuild-trigger policy — identical contract to
-        IVFIndex.needs_rebuild (recall floor OR upserted-fraction
-        threshold), with the PQ codebook refreshed by the rebuild too."""
-        frac = self.upserted_fraction(spark)
-        probe = self.recall_probe(spark, **probe_kw)
-        return {
-            "rebuild": probe["recall"] < recall_floor or frac > max_upserted_frac,
-            "upserted_frac": frac,
-            **probe,
-        }
 
     def pruned_files(self, spark: SparkSession, cells: "list[int]") -> int:
         """How many code files a probe of ``cells`` opens (test hook;

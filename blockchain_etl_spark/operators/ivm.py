@@ -532,6 +532,8 @@ class IncrementalJoinAggregate:
         pending = [int(s) for s in m["segments"]["view"] if int(s) > last]
         if not pending:
             return
+        from .cdc_view import _nn, weighted_group_fold
+
         raw = self.view._read_store(spark, "view", pending)
         partial = (
             raw.drop(_BUCKET)
@@ -539,9 +541,16 @@ class IncrementalJoinAggregate:
             .agg(
                 F.sum(_W).cast("long").alias("__n"),
                 *[F.sum(col(c) * col(_W)).alias(c) for c in self.sum_cols],
+                # non-null counters: the read maps a sum whose non-null
+                # contributions all retracted back to NULL (cdc_view._nn)
+                *[
+                    F.sum(F.when(col(c).isNotNull(), col(_W)).otherwise(F.lit(0)))
+                    .cast("long")
+                    .alias(_nn(c))
+                    for c in self.sum_cols
+                ],
             )
         )
-        from .cdc_view import weighted_group_fold
 
         self.agg.merge_with(
             spark,

@@ -616,3 +616,26 @@ def test_recall_drift_lifecycle(spark, tmp_path):
     restored = idx.recall_probe(spark, k=5, probes=2, n_queries=12)["recall"]
     assert restored >= built, (restored, built)
     assert not idx.needs_rebuild(spark, n_queries=12)["rebuild"]
+
+
+def test_upserted_fraction_survives_compaction(spark, tmp_path):
+    """compact() rewrites every live row as seg=0 while copying the FROZEN
+    quantizer unchanged — the post-freeze drift proxy must ride the
+    inventory's upserted flag, not the segment number, or routine
+    compaction silently disarms the cheap rebuild trigger."""
+    emb = _emb(spark)
+    idx = IVFIndex(str(tmp_path / "ivf_fracsurv"))
+    idx.build(spark, emb.filter(col("vec_id") < 100), n_cells=4)
+    assert idx.upserted_fraction(spark) == 0.0
+    assert idx.upsert(spark, _drifted(emb, n=100), watermark=1)
+    assert idx.upserted_fraction(spark) == 0.5
+    idx.compact(spark)
+    assert idx.upserted_fraction(spark) == 0.5, "compaction must not zero the proxy"
+    # the cheap arm decides alone — the expensive recall probe is skipped
+    decision = idx.needs_rebuild(spark, max_upserted_frac=0.4, n_queries=6)
+    assert decision["rebuild"] and decision.get("probe_skipped")
+    assert decision["recall"] is None
+    # a REBUILD (fresh quantizer) resets the proxy
+    live = idx._live(spark).select("vec_id", "embedding").localCheckpoint()
+    idx.build(spark, live, n_cells=4)
+    assert idx.upserted_fraction(spark) == 0.0

@@ -359,16 +359,13 @@ def test_minmax_fold_reads_source_only_on_extremum_retraction(spark, tmp_path):
         reads.clear()
         view.fold(spark, t)
         assert reads == [], "initial insert-only fold must not read the source"
-        # grow a value WITHOUT touching any stored extremum: update id 2
-        # (qty 5, strictly inside a's [5?, 10]... use 6 to stay inside)
+        # an extremum-retracting update (id 2's before = a's stored min)
+        # must rescan exactly once, PINNED at the changelog's version
         rows = [(1, "a", 10), (2, "a", 6), (3, "b", 7), (4, "b", 2)]
         _merge_state(t, spark, rows, wm=1)
         reads.clear()
         view.fold(spark, t)
-        # id2's before (5) was a's stored min → that IS a retraction hit;
-        # use a genuinely interior move instead: id3 7 → within b's (2,7)?
-        # 7 is b's max. Keep the assertion on the PINNED version below and
-        # assert interior moves separately with a 3-row group.
+        assert reads == [t.current_version()], reads
     finally:
         ParquetMergeTarget.read = real_read
     assert _mm_view_dict(view, spark) == _mm_recompute(spark, t, t.current_version())
@@ -473,3 +470,27 @@ def test_coalesced_fold_minmax_from_empty_state(spark, tmp_path):
     view.fold(spark, t, coalesce_versions=True)
     assert view.target.current_version() == 1, "one commit"
     assert _mm_view_dict(view, spark) == _mm_recompute(spark, t, t.current_version())
+
+
+def test_minmax_rederived_null_extremum_is_honored(spark, tmp_path):
+    """A re-derived extremum can legitimately be NULL (the group's
+    surviving rows are all null): the override must key on the re-derive
+    FLAG, not value-coalesce — else the retracted value survives as a
+    stale min/max (round-7 review live repro)."""
+    t = ParquetMergeTarget(str(tmp_path / "nullext_src"))
+    view = _mm_view(tmp_path, "nullext_view")
+
+    def merge_typed(rows, wm):  # all-null batches defeat schema inference
+        upd = spark.createDataFrame(rows, "id long, grp string, qty long")
+        t.merge_with(spark, upd, lambda _t, u: u, watermark=wm, changelog_keys=("id",))
+
+    merge_typed([(1, "a", None), (2, "a", 5)], wm=0)
+    view.fold(spark, t)
+    assert _mm_view_dict(view, spark) == _mm_recompute(spark, t, t.current_version())
+    # delete the only non-null row: the retraction hits the stored
+    # extremum, the rescan yields NULL over the surviving null-only row
+    merge_typed([(1, "a", None)], wm=1)
+    view.fold(spark, t)
+    got = _mm_view_dict(view, spark)
+    assert got == _mm_recompute(spark, t, t.current_version())
+    assert got["a"] == (1, None, None, None), got

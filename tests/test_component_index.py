@@ -322,3 +322,22 @@ def test_surviving_label_keeps_its_higher_priority_split(spark, tmp_path):
     assert labels[100] == labels[200] == labels[300] == 100
     sp = {r.doc_id: r.split for r in comp.splits(spark).collect()}
     assert sp == {100: "test", 200: "test", 300: "test"}, sp
+
+
+def test_bootstrap_on_populated_index_raises(spark, tmp_path):
+    """Attaching a fresh ComponentIndex to an already-populated MinHash
+    index must fail loudly — the prev-None bootstrap only links the
+    batch's own edges, so the pre-existing corpus would silently stay
+    unlabeled and near-dup pairs could straddle split boundaries."""
+    import pytest
+
+    mh, comp = _mk(tmp_path, "boot")
+    mh.upsert(spark, _batch(spark, [(0, _text(0)), (1, _text(0))]), watermark=1)
+    mh.upsert(spark, _batch(spark, [(2, _text(5))]), watermark=2)
+    late = _batch(spark, [(2, _text(5))])
+    with pytest.raises(ValueError, match="already[\\s\\S]*holds documents"):
+        comp.upsert(spark, late.select("doc_id"), watermark=2)
+    # backfilling the full corpus as the first batch works
+    all_ids = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    assert comp.upsert(spark, all_ids, watermark=2)
+    assert _maintained(spark, comp) == _ground_truth(spark, mh)
