@@ -242,6 +242,62 @@ def cmd_vec_compact(args) -> int:
     return 0
 
 
+def cmd_vec_health(args) -> int:
+    """Report a persisted vector index's drift health and the rebuild
+    decision: the cheap post-freeze upserted fraction (compaction-proof),
+    and — unless the fraction already trips — the measured recall@k vs
+    exact brute force over the live corpus. The operational face of the
+    quantizer-drift lifecycle (VectorIndexMaintenance.needs_rebuild)."""
+    if args.kind == "ivfpq":
+        from .operators.ivfpq_index import IVFPQIndex as Index
+    else:
+        from .operators.ann_index import IVFIndex as Index
+
+    idx = Index(args.path)
+    spark = _spark()
+    decision = idx.needs_rebuild(
+        spark,
+        recall_floor=args.recall_floor,
+        max_upserted_frac=args.max_upserted_frac,
+        k=args.k,
+        n_queries=args.n_queries,
+    )
+    for k, v in decision.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def cmd_splits(args) -> int:
+    """Read the MAINTAINED leakage-safe split assignment from a DocIngest
+    directory (component_index=True layout): every document with its
+    near-dup component and eval-wins train/val/test split, fresh as of
+    the last streamed batch — no recompute."""
+    import os
+
+    from .operators.component_index import ComponentIndex
+    from .operators.lsh_index import MinHashIndex
+
+    comp = ComponentIndex(
+        os.path.join(args.dir, "comp_index"),
+        MinHashIndex(os.path.join(args.dir, "mh_index")),
+    )
+    spark = _spark()
+    df = comp.splits(spark)
+    if df is None:
+        print("no maintained component state at", args.dir)
+        return 1
+    from pyspark.sql import functions as F
+
+    for row in df.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component_id").alias("n_components"),
+    ).orderBy("split").collect():
+        print(row.asDict())
+    for row in df.orderBy("doc_id").limit(args.limit).collect():
+        print(row.asDict())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blockchain_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -306,6 +362,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-idle", type=int, default=3, help="quiet polls before exiting")
     s.add_argument("--limit", type=int, default=20)
     s.set_defaults(fn=cmd_follow)
+
+    s = sub.add_parser("vec-health", help="drift health + rebuild decision for a vector index")
+    s.add_argument("--path", required=True, help="index root directory")
+    s.add_argument("--kind", choices=["ivf", "ivfpq"], default="ivf")
+    s.add_argument("--recall-floor", type=float, default=0.8)
+    s.add_argument("--max-upserted-frac", type=float, default=0.5)
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--n-queries", type=int, default=16)
+    s.set_defaults(fn=cmd_vec_health)
+
+    s = sub.add_parser("splits", help="maintained leakage-safe train/val/test splits from a DocIngest dir")
+    s.add_argument("--dir", required=True, help="DocIngest out_dir (component_index=True layout)")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_splits)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -162,3 +162,35 @@ def test_cli_vec_compact(spark, tmp_path, capsys):
     assert "gen 1 -> 2" in out
     after = {(r.qid, r.neighbor_id, r.rank) for r in idx.query(spark, queries, k=3, probes=4).collect()}
     assert after == before
+
+
+def test_cli_vec_health(spark, tmp_path, capsys):
+    """vec-health reports the drift metrics and the rebuild decision."""
+    from pyspark.sql import functions as F
+
+    from blockchain_etl_spark.operators.ann_index import IVFIndex
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "vech")
+    IVFIndex(path).build(spark, emb.filter(F.col("vec_id") < 60), n_cells=4)
+    assert main(["vec-health", "--path", path, "--kind", "ivf", "--n-queries", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "rebuild: " in out and "upserted_frac: 0.0" in out
+
+
+def test_cli_splits(spark, tmp_path, capsys):
+    """splits reads the MAINTAINED assignment from a DocIngest layout."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(str(tmp_path / "ing"), component_index=True)
+    tail = " ".join(f"w{i}x{i * 7 % 5}" for i in range(200))
+    rows = [(i, f"{tail} doc{i}") for i in range(4)]
+    ing.process_batch(spark.createDataFrame(rows, ["doc_id", "text"]), batch_id=1)
+    assert main(["splits", "--dir", str(tmp_path / "ing"), "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "'split':" in out and "n_components" in out
+    # empty layout → clear failure, not a stack trace
+    assert main(["splits", "--dir", str(tmp_path / "nothing")]) == 1
