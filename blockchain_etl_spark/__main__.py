@@ -255,6 +255,9 @@ def cmd_vec_health(args) -> int:
 
     idx = Index(args.path)
     spark = _spark()
+    if idx._inventory().read(spark) is None:
+        print(f"no built {args.kind} index at {args.path} (no id inventory)")
+        return 1
     decision = idx.needs_rebuild(
         spark,
         recall_floor=args.recall_floor,

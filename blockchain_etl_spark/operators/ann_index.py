@@ -135,6 +135,7 @@ class VectorIndexMaintenance:
         return {
             "rebuild": probe["recall"] < recall_floor,
             "upserted_frac": frac,
+            "probe_skipped": False,
             **probe,
         }
 
@@ -312,7 +313,7 @@ class IVFIndex(VectorIndexMaintenance, GenerationalLayout):
         data = spark.read.option("basePath", self._data).parquet(self._data)
         live = self._stale_filtered(spark, data).select(
             "vec_id", "embedding", "nrm", "cell", F.lit(0).cast("long").alias("seg")
-        ).localCheckpoint()
+        )  # single consumer (the data write) — the inventory comes from inv_df
         new_gen = old_gen + 1
         gdir = self._gen_dir(new_gen)
         spark.read.parquet(self._centroids).coalesce(1).write.mode(

@@ -67,6 +67,48 @@ def _nn(c: str) -> str:
     return f"__nn_{c}"
 
 
+def nn_partial_aggs(sum_cols: Sequence[str], w_col: str) -> "list":
+    """The non-null-counter aggregation expressions for a ±weighted
+    partial — single-sourced for _delta_partial and
+    ivm.IncrementalJoinAggregate.catch_up."""
+    return [
+        F.sum(F.when(col(c).isNotNull(), col(w_col)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(_nn(c))
+        for c in sum_cols
+    ]
+
+
+def nn_read_cols(t: DataFrame, sum_cols: Sequence[str]) -> "list":
+    """Read-side sum projections: a sum whose non-null counter cancelled
+    to zero reads NULL (the GROUP BY recompute semantics of SUM over an
+    all-null group); pre-upgrade states without the counter pass the sum
+    through unchanged."""
+    return [
+        F.when(F.coalesce(col(_nn(c)), F.lit(0)) == 0, F.lit(None))
+        .otherwise(col(c))
+        .alias(c)
+        if _nn(c) in t.columns
+        else col(c)
+        for c in sum_cols
+    ]
+
+
+def _with_nn_backfill(tgt: DataFrame | None, sum_cols: Sequence[str]) -> DataFrame | None:
+    """Upgrade a PRE-COUNTER state table in place: missing ``__nn_<c>``
+    columns backfill with ``__n`` — the old scheme's implicit assumption
+    (every row non-null), so legacy groups keep their old read semantics
+    and only post-upgrade retractions can map them to NULL. Without this,
+    the first fold after an upgrade dies in unionByName on the missing
+    counter columns."""
+    if tgt is None:
+        return None
+    for c in sum_cols:
+        if _nn(c) not in tgt.columns:
+            tgt = tgt.withColumn(_nn(c), col("__n"))
+    return tgt
+
+
 def weighted_group_fold(group_keys: Sequence[str], sum_cols: Sequence[str]):
     """target ⊕ weighted-partial fold shared by every maintained aggregate
     built on ±weighted contributions (this module's CDC views and
@@ -75,7 +117,7 @@ def weighted_group_fold(group_keys: Sequence[str], sum_cols: Sequence[str]):
 
     def fold(tgt: DataFrame | None, upd: DataFrame) -> DataFrame:
         merged = merge_accumulate(
-            tgt,
+            _with_nn_backfill(tgt, sum_cols),
             upd,
             keys=list(group_keys),
             sum_cols=["__n", *sum_cols, *[_nn(c) for c in sum_cols]],
@@ -89,22 +131,12 @@ def read_weighted_agg(
     t: DataFrame | None, group_keys: Sequence[str], sum_cols: Sequence[str]
 ) -> DataFrame | None:
     """(group_keys..., n_rows, sum_cols...) projection of a weighted-agg
-    state table (the ``__n`` bookkeeping column renamed for consumers; a
-    sum whose non-null counter cancelled to zero reads NULL — the GROUP BY
-    recompute semantics of SUM over an all-null group)."""
+    state table (the ``__n`` bookkeeping column renamed for consumers;
+    NULL-mapping per nn_read_cols)."""
     if t is None:
         return None
     return t.select(
-        *group_keys,
-        col("__n").alias("n_rows"),
-        *[
-            F.when(F.coalesce(col(_nn(c)), F.lit(0)) == 0, F.lit(None))
-            .otherwise(col(c))
-            .alias(c)
-            if _nn(c) in t.columns
-            else col(c)
-            for c in sum_cols
-        ],
+        *group_keys, col("__n").alias("n_rows"), *nn_read_cols(t, sum_cols)
     )
 
 
@@ -183,12 +215,7 @@ class ChangelogAggregateView:
         rows = after.unionByName(minus_del).unionByName(minus_upd)
         aggs = [F.sum("__w").cast("long").alias("__n")] + [
             F.sum(col(c) * col("__w")).alias(c) for c in self.sum_cols
-        ] + [
-            F.sum(F.when(col(c).isNotNull(), col("__w")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias(_nn(c))
-            for c in self.sum_cols
-        ]
+        ] + nn_partial_aggs(self.sum_cols, "__w")
         for c in self.min_cols:
             aggs.append(F.min(F.when(col("__w") == 1, col(c))).alias(f"__insmin_{c}"))
             aggs.append(F.min(F.when(col("__w") == -1, col(c))).alias(f"__retmin_{c}"))
@@ -239,13 +266,21 @@ class ChangelogAggregateView:
             risky = partial.filter(any_ret)
         else:
             # stored groups: risky when a retracted value reaches the
-            # stored extremum; groups ABSENT from state fall back to the
-            # any-retraction rule
+            # stored extremum. A NULL stored extremum (all-null group)
+            # cannot satisfy the comparison, but ANY non-null retraction
+            # against it must still re-derive: in a coalesced range the
+            # retracted value was inserted in-range and the naive
+            # least/greatest would fold it in. Groups ABSENT from state
+            # fall back to the any-retraction rule.
             risk = F.lit(False)
             for c in self.min_cols:
-                risk = risk | (col(f"__retmin_{c}") <= col(f"__min_{c}"))
+                risk = risk | F.when(
+                    col(f"__min_{c}").isNull(), col(f"__retmin_{c}").isNotNull()
+                ).otherwise(col(f"__retmin_{c}") <= col(f"__min_{c}"))
             for c in self.max_cols:
-                risk = risk | (col(f"__retmax_{c}") >= col(f"__max_{c}"))
+                risk = risk | F.when(
+                    col(f"__max_{c}").isNull(), col(f"__retmax_{c}").isNotNull()
+                ).otherwise(col(f"__retmax_{c}") >= col(f"__max_{c}"))
             state_ext = state.select(
                 *self.group_keys,
                 F.lit(True).alias("__has_state"),
@@ -420,6 +455,7 @@ class ChangelogAggregateView:
                     ],
                 )
                 return out.filter(col("__n") != 0)
+            tgt = _with_nn_backfill(tgt, self.sum_cols)
             t = tgt.select(
                 *keys,
                 col("__n").alias("__t_n"),
@@ -477,14 +513,7 @@ class ChangelogAggregateView:
         return t.select(
             *self.group_keys,
             col("__n").alias("n_rows"),
-            *[
-                F.when(F.coalesce(col(_nn(c)), F.lit(0)) == 0, F.lit(None))
-                .otherwise(col(c))
-                .alias(c)
-                if _nn(c) in t.columns
-                else col(c)
-                for c in self.sum_cols
-            ],
+            *nn_read_cols(t, self.sum_cols),
             *[col(f"__min_{c}").alias(f"min_{c}") for c in self.min_cols],
             *[col(f"__max_{c}").alias(f"max_{c}") for c in self.max_cols],
         )

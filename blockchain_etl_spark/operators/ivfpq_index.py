@@ -194,7 +194,7 @@ class IVFPQIndex(VectorIndexMaintenance, GenerationalLayout):
             data = spark.read.option("basePath", self._p(store)).parquet(self._p(store))
             live = self._stale_filtered(spark, data).withColumn(
                 "seg", F.lit(0).cast("long")
-            ).localCheckpoint()
+            )  # single consumer per store; the inventory comes from `latest`
             live.repartition("cell").write.mode("overwrite").partitionBy(
                 "cell", "seg"
             ).parquet(os.path.join(gdir, store))

@@ -532,7 +532,7 @@ class IncrementalJoinAggregate:
         pending = [int(s) for s in m["segments"]["view"] if int(s) > last]
         if not pending:
             return
-        from .cdc_view import _nn, weighted_group_fold
+        from .cdc_view import nn_partial_aggs, weighted_group_fold
 
         raw = self.view._read_store(spark, "view", pending)
         partial = (
@@ -543,12 +543,7 @@ class IncrementalJoinAggregate:
                 *[F.sum(col(c) * col(_W)).alias(c) for c in self.sum_cols],
                 # non-null counters: the read maps a sum whose non-null
                 # contributions all retracted back to NULL (cdc_view._nn)
-                *[
-                    F.sum(F.when(col(c).isNotNull(), col(_W)).otherwise(F.lit(0)))
-                    .cast("long")
-                    .alias(_nn(c))
-                    for c in self.sum_cols
-                ],
+                *nn_partial_aggs(self.sum_cols, _W),
             )
         )
 

@@ -494,3 +494,56 @@ def test_minmax_rederived_null_extremum_is_honored(spark, tmp_path):
     got = _mm_view_dict(view, spark)
     assert got == _mm_recompute(spark, t, t.current_version())
     assert got["a"] == (1, None, None, None), got
+
+
+def test_fold_upgrades_pre_counter_state_tables(spark, tmp_path):
+    """A state table persisted BEFORE the non-null counters existed
+    (no __nn_* columns) must keep folding: missing counters backfill with
+    __n (the old scheme's every-row-non-null assumption), so legacy
+    groups read unchanged and only post-upgrade retractions can map them
+    to NULL."""
+    from blockchain_etl_spark.operators.cdc_view import _nn
+
+    t = ParquetMergeTarget(str(tmp_path / "legacy_src"))
+    view = ChangelogAggregateView(
+        str(tmp_path / "legacy_view"), group_keys=("grp",), sum_cols=("qty",)
+    )
+    _merge_state(t, spark, STATES[0], wm=0)
+    view.fold(spark, t)
+    # simulate the pre-upgrade layout: strip the counter column in place
+    legacy = view.target.read(spark).drop(_nn("qty"))
+    view.target.merge_with(spark, legacy, lambda _t, u: u)
+    _merge_state(t, spark, STATES[1], wm=1)
+    view.fold(spark, t)  # must not die in unionByName
+    assert _view_dict(view, spark) == _recompute(spark, t, t.current_version())
+    # min/max views upgrade through the same backfill
+    mm = _mm_view(tmp_path, "legacy_mm")
+    _merge_state(t, spark, STATES[2], wm=2)
+    mm.catch_up(spark, t)
+    legacy_mm = mm.target.read(spark).drop(_nn("qty"))
+    mm.target.merge_with(spark, legacy_mm, lambda _t, u: u)
+    _merge_state(t, spark, STATES[3], wm=3)
+    mm.fold(spark, t)
+    assert _mm_view_dict(mm, spark) == _mm_recompute(spark, t, t.current_version())
+
+
+def test_coalesced_fold_retraction_against_null_stored_extremum(spark, tmp_path):
+    """Stored extremum NULL (all-null group), then a coalesced range that
+    inserts AND retracts a non-null value: the risk comparison against
+    NULL never trips, so the any-non-null-retraction arm must force the
+    re-derive — else the retracted value folds in as the new extremum."""
+    t = ParquetMergeTarget(str(tmp_path / "nullrisk_src"))
+    view = _mm_view(tmp_path, "nullrisk_view")
+
+    def merge_typed(rows, wm):
+        upd = spark.createDataFrame(rows, "id long, grp string, qty long")
+        t.merge_with(spark, upd, lambda _t, u: u, watermark=wm, changelog_keys=("id",))
+
+    merge_typed([(1, "a", None)], wm=0)  # stored min/max NULL
+    view.fold(spark, t)
+    merge_typed([(1, "a", None), (2, "a", 7)], wm=1)  # in-range insert 7
+    merge_typed([(1, "a", None)], wm=2)  # ...retracted in the same range
+    view.fold(spark, t, coalesce_versions=True)
+    got = _mm_view_dict(view, spark)
+    assert got == _mm_recompute(spark, t, t.current_version())
+    assert got["a"] == (1, None, None, None), got
