@@ -1342,7 +1342,10 @@ _BPE_VOCAB = 2000
 _S = "chr(1)"  # the separator, engine-side
 
 
-def _bpe_train_sql() -> str:
+def _bpe_train_ctes() -> list:
+    """The shared CTE chain (w_all … b{N}/w{N}) both BPE queries build on:
+    the trainer emits the b{r} rows; the encoder replays them over the
+    corpus vocabulary."""
     sep2 = f"{_S} || {_S}"
     ctes = [
         f"""w_all AS (
@@ -1382,6 +1385,11 @@ def _bpe_train_sql() -> str:
              freq
       FROM w{r - 1} LEFT JOIN b{r} b ON TRUE)"""
         )
+    return ctes
+
+
+def _bpe_train_sql() -> str:
+    ctes = _bpe_train_ctes()
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, x AS left_sym, "
         f"y AS right_sym, c AS pair_count FROM b{r}"
@@ -1409,6 +1417,17 @@ def _bpe_train_sql() -> str:
     "supplier_pagerank iterate-on-the-small-table shape.",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _bpe_trained_merges(spark, sf_dir),
+        "merge_rank long, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _bpe_trained_merges(spark: SparkSession, sf_dir: str) -> list:
+    """The trainer loop proper: [(rank, left, right, weighted_count), ...]
+    — driver-resident by design (a tokenizer's merge list is the small
+    shipped artifact, ≤ vocab-size rows; production 32k rounds is still
+    KB-scale)."""
     docs = load_table(spark, sf_dir, "documents")
     sep = "\x01"
     words = (
@@ -1453,6 +1472,107 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         find = f"{sep}{best.x}{sep}{sep}{best.y}{sep}"
         repl = f"{sep}{best.x}{best.y}{sep}"
         w = w.withColumn("ws", F.replace(col("ws"), F.lit(find), F.lit(repl)))
-    return spark.createDataFrame(
-        merges, "merge_rank long, left_sym string, right_sym string, pair_count long"
+    return merges
+
+
+def _bpe_encode_sql() -> str:
+    sep2 = f"{_S} || {_S}"
+    ctes = _bpe_train_ctes()
+    ctes.append(
+        f"""wd AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL.format(c='text')}) AS word
+            FROM documents) t
+      WHERE strpos(word, {_S}) = 0
+      GROUP BY doc_id, word)"""
+    )
+    ctes.append(
+        f"""enc0 AS (
+      SELECT word, {_S} || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, CAST(i AS INTEGER), 1)),
+               {sep2}) || {_S} AS ws
+      FROM (SELECT DISTINCT word FROM wd) dw)"""
+    )
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"""enc{r} AS (
+      SELECT word, CASE WHEN b.x IS NULL THEN ws
+                        ELSE replace(ws, {_S} || b.x || {sep2} || b.y || {_S},
+                                     {_S} || b.x || b.y || {_S}) END AS ws
+      FROM enc{r - 1} LEFT JOIN b{r} b ON TRUE)"""
+        )
+    ctes.append(
+        f"""tok AS (
+      SELECT word, CAST(len(string_split(trim(ws, {_S}), {sep2})) AS BIGINT)
+               AS ntok
+      FROM enc{_BPE_ROUNDS})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT wd.doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars
+    FROM wd JOIN tok USING (word)
+    GROUP BY wd.doc_id"""
+    )
+
+
+@register(
+    "bpe_encode_corpus",
+    sql=_bpe_encode_sql(),
+    survey_ops=(),
+    doc="Tokenizer APPLICATION — the other half of bpe_train_merges: "
+    "encode every document with the trained ordered merge list (same "
+    "greedy left-to-right doubled-separator replace as training) and emit "
+    "per-doc (n_words, n_tokens, n_chars) — the fertility/compression "
+    "numbers a data pipeline reports per corpus slice. Scale shape: the "
+    "merge chain applies to the DISTINCT-WORD table once (vocabulary "
+    "grain, map-side replace chain), then joins back to per-doc word "
+    "counts — corpus-sized work is one tokenize + one (doc, word) "
+    "aggregate; the encode itself never touches corpus positions. The "
+    "oracle replays training AND encoding through one chained-CTE "
+    "pipeline, so hash equality covers the full train→encode contract. "
+    "All-integer output.",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sep = "\x01"
+    wd = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_TOKENS.format(c="text"))).alias("word")
+        )
+        .filter(~col("word").contains(sep))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = wd.select("word").distinct().withColumn(
+        "ws",
+        F.expr(
+            f"concat({_S}, array_join(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), concat({_S}, {_S})), {_S})"
+        ),
+    )
+    for _r, x, y, _c in _bpe_trained_merges(spark, sf_dir):
+        enc = enc.withColumn(
+            "ws",
+            F.replace(
+                col("ws"),
+                F.lit(f"{sep}{x}{sep}{sep}{y}{sep}"),
+                F.lit(f"{sep}{x}{y}{sep}"),
+            ),
+        )
+    syms = f"split(trim(BOTH {_S} FROM ws), concat({_S}, {_S}))"
+    enc = enc.select("word", F.expr(f"CAST(size({syms}) AS BIGINT)").alias("ntok"))
+    return (
+        wd.join(enc, ["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(col("cnt") * col("ntok")).alias("n_tokens"),
+            F.sum(col("cnt") * F.length("word").cast("long")).alias("n_chars"),
+        )
     )

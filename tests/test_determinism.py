@@ -75,6 +75,7 @@ QUERIES = [
     "cdc_maintained_extremum_stats",
     "maintained_leakage_safe_splits",
     "bpe_train_merges",
+    "bpe_encode_corpus",
 ]
 
 
