@@ -1056,3 +1056,207 @@ def doc_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ppm"),
         F.max("n").cast("long").alias("largest_group"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (the SSJoin/PPJoin candidate
+# rule, Bayardo et al. 2007 / Xiao et al. 2008): order every document's
+# shingles by a global total order (df asc, shingle asc — rarest first)
+# and index only each doc's PREFIX of p = n - ceil(t*n) + 1 tokens. If
+# J(A,B) >= t, the smallest shared token in the global order provably
+# falls in BOTH prefixes, so joining prefixes loses no qualifying pair —
+# and because prefixes hold the RAREST tokens, per-token fan-out is small
+# by construction (the stop-shingle blowup prunes itself: frequent
+# shingles sort last and fall out of every prefix).
+# --------------------------------------------------------------------------
+_PREFIX_JACCARD_T = 0.5
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    sql=f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, intersection,
+           CAST(intersection AS DOUBLE) / (za.n + zb.n - intersection)
+             AS jaccard
+    FROM pairs
+    JOIN sz za ON za.doc_id = doc_a
+    JOIN sz zb ON zb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / (za.n + zb.n - intersection)
+          >= {_PREFIX_JACCARD_T}
+    """,
+    survey_ops=(),
+    doc="Exact set-similarity join via PREFIX FILTERING (SSJoin/PPJoin "
+    f"candidate rule) at Jaccard >= {_PREFIX_JACCARD_T}: shingles order "
+    "globally by (df asc, shingle) and each doc indexes only its "
+    "p = n - ceil(t*n) + 1 rarest shingles; candidates must collide "
+    "inside both prefixes (provably lossless — the smallest shared token "
+    "lands in both), then verify exactly over full shingle arrays with a "
+    "size filter (min >= t*max). THE ORACLE IS THE NAIVE ALL-PAIRS "
+    "GROUND TRUTH, so the hash match proves the filter's "
+    "no-false-negative guarantee, not just self-consistency. Scale "
+    "shape: frequent shingles sort LAST and drop out of every prefix, so "
+    "the candidate join fans out only on rare tokens — the third exact- "
+    "Jaccard strategy beside the naive self-join and the df-cap, and the "
+    "one that is both complete AND skew-safe at a high threshold. "
+    "Shuffles: shingle (df + prefix join), doc (window), pair (verify).",
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _PREFIX_JACCARD_T
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = docs.selectExpr(
+        "doc_id",
+        "filter(split(text, ' '), w -> length(w) > 0) AS toks",
+    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    arrays = arrays.localCheckpoint()  # consumers: explode, sizes, verify x2
+    s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = s.join(dfc, ["shingle"]).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    sz = arrays.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    # p = n - ceil(t*n) + 1; t = 0.5 → ceil(n/2) = (n+1) div 2, integer-only
+    prefix = (
+        ranked.join(sz, ["doc_id"])
+        .filter(F.expr("rn <= n - (n + 1) DIV 2 + 1"))
+        .select("doc_id", "shingle", "n")
+    )
+    cand = (
+        prefix.select(
+            col("doc_id").alias("doc_a"), "shingle", col("n").alias("na")
+        )
+        .join(
+            prefix.select(
+                col("doc_id").alias("doc_b"), "shingle", col("n").alias("nb")
+            ),
+            ["shingle"],
+        )
+        .filter(
+            (col("doc_a") < col("doc_b"))
+            # length filter: J >= t forces min(n) >= t * max(n)
+            & (col("na") * F.lit(int(t * 1000)) <= col("nb") * F.lit(1000))
+            & (col("nb") * F.lit(int(t * 1000)) <= col("na") * F.lit(1000))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    aa = arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sha"))
+    bb = arrays.select(col("doc_id").alias("doc_b"), col("shingles").alias("shb"))
+    verified = (
+        cand.join(aa, ["doc_a"])
+        .join(bb, ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias(
+                "intersection"
+            ),
+            F.size("sha").cast("long").alias("na"),
+            F.size("shb").cast("long").alias("nb"),
+        )
+    )
+    jac = col("intersection").cast("double") / (
+        col("na") + col("nb") - col("intersection")
+    )
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-span audit — position-level exact substring duplication (the
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" signal, k-gram-hash formulation): a character k-gram occurring
+# ≥2 times ANYWHERE in the corpus (across docs or repeated within one)
+# marks its start position duplicated. Per-doc duplicated-position ppm is
+# the span-level dup rate that document- and chunk-grain hashing both
+# miss (a copied paragraph inside an otherwise-unique doc).
+# --------------------------------------------------------------------------
+_SPAN_K = 24  # characters per gram — long enough that English collisions
+# are genuine copies, short enough to flag sub-sentence boilerplate
+
+
+@register(
+    "doc_dup_span_audit",
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             unnest(range(1, length(text) - {_SPAN_K} + 2)) AS i
+      FROM documents WHERE length(text) >= {_SPAN_K}),
+    gd AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), {_SPAN_K})) AS h,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g GROUP BY doc_id, h),
+    tot AS (SELECT h, CAST(SUM(k) AS BIGINT) AS c FROM gd GROUP BY h),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS total_grams,
+             CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN k END), 0) AS BIGINT)
+               AS dup_grams
+      FROM gd JOIN tot USING (h) GROUP BY doc_id)
+    SELECT doc_id, total_grams, dup_grams,
+           CAST(dup_grams * 1000000 // total_grams AS BIGINT) AS dup_ppm
+    FROM per
+    """,
+    survey_ops=("X2",),
+    doc=f"Per-document duplicated-span rate: every character {_SPAN_K}-gram "
+    "start position whose gram repeats anywhere in the corpus (cross-doc "
+    "OR intra-doc) counts as duplicated; output is (total_grams, "
+    "dup_grams, dup_ppm) per doc — the position-level signal behind "
+    "exact-substring dedup, which catches a copied paragraph inside an "
+    "otherwise-unique document where doc- and chunk-grain hashing see "
+    "nothing. Scale shape: grams collapse to (md5, doc) grain map-side "
+    "FIRST (intra-doc repeats combine before any shuffle), then one "
+    "gram-hash aggregate for corpus totals and one (md5, doc)-grain join "
+    "back — two linear shuffles on 16-byte keys, no position-grain join, "
+    "never all-pairs. Docs shorter than the gram are excluded on both "
+    "engines; integer ppm only.",
+)
+def doc_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _SPAN_K
+    )
+    gd = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {_SPAN_K} + 1),"
+                    f" i -> md5(substring(text, i, {_SPAN_K})))"
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    tot = gd.groupBy("h").agg(F.sum("k").alias("c"))
+    per = (
+        gd.join(tot, ["h"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("total_grams"),
+            F.coalesce(F.sum(F.when(col("c") >= 2, col("k"))), F.lit(0))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "total_grams",
+        "dup_grams",
+        F.expr("CAST(dup_grams * 1000000 DIV total_grams AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+    )

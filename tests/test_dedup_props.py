@@ -160,3 +160,84 @@ def test_leakage_safe_splits_keep_components_atomic(spark, tmp_path):
     by_split = Counter(s for _, s in splits.values())
     assert set(by_split) <= {"train", "val", "test"}
     assert by_split["train"] > 0.8 * len(splits)
+
+
+def test_prefix_filter_equals_exact_baseline(spark):
+    """Completeness AND soundness of the SSJoin prefix filter: its output
+    must equal the exact baseline's pairs at jaccard >= 0.5 — both
+    directions, since the oracle-style subset check alone would let a
+    lossy candidate rule pass."""
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    qs = get_queries()
+    truth = {
+        (r.doc_a, r.doc_b): (r.intersection, r.jaccard)
+        for r in qs["dedup_ngram_jaccard"](spark, SF).collect()
+        if r.jaccard >= 0.5
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.intersection, r.jaccard)
+        for r in qs["dedup_jaccard_prefix_filter"](spark, SF).collect()
+    }
+    assert truth, "no >=0.5 pairs at test SF — fixture drifted"
+    assert got == truth
+
+
+def test_prefix_filter_stop_shingle_only_overlap_is_silent(spark):
+    """Docs whose ONLY shared shingle is corpus-wide boilerplate must
+    produce no output (their jaccard is far below threshold) and must not
+    fan out: the boilerplate shingle's df makes it sort LAST in every
+    doc's global order, so it falls outside all prefixes. Verbatim
+    duplicates still surface with jaccard 1.0."""
+    import blockchain_etl_spark.plans.dedup as dedup_mod
+    from blockchain_etl_spark.plans.dedup import dedup_jaccard_prefix_filter
+
+    boiler = "terms of service"
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(10)
+    ]
+    rows.append((100, "dup one two three four five six seven"))
+    rows.append((101, "dup one two three four five six seven"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = dedup_mod.load_table
+    try:
+        dedup_mod.load_table = lambda spark, sf_dir, name: docs
+        out = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup_jaccard_prefix_filter(spark, "ignored").collect()
+        }
+    finally:
+        dedup_mod.load_table = orig
+    assert out == {(100, 101): 1.0}, out
+
+
+def test_dup_span_audit_flags_injected_copy(spark):
+    """A paragraph copied between two otherwise-unique docs marks exactly
+    its k-gram start positions duplicated in BOTH docs; a fully unique doc
+    reads zero. This is the signal doc/chunk-grain hashing misses."""
+    import blockchain_etl_spark.plans.dedup as dedup_mod
+    from blockchain_etl_spark.plans.dedup import _SPAN_K, doc_dup_span_audit
+
+    para = "this exact paragraph is copied verbatim between documents"
+    ua = " ".join(f"alpha{i}" for i in range(12))
+    ub = " ".join(f"beta{i}" for i in range(12))
+    uc = " ".join(f"gamma{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"{ua} {para}"), (2, f"{ub} {para}"), (3, uc)],
+        ["doc_id", "text"],
+    )
+    orig = dedup_mod.load_table
+    try:
+        dedup_mod.load_table = lambda spark, sf_dir, name: docs
+        got = {r.doc_id: r for r in doc_dup_span_audit(spark, "ignored").collect()}
+    finally:
+        dedup_mod.load_table = orig
+    assert got[3].dup_grams == 0 and got[3].dup_ppm == 0
+    # the copied paragraph contributes at least len(para) - K + 1 shared
+    # gram starts to each carrier (more if the space before it aligns)
+    floor = len(para) - _SPAN_K + 1
+    assert got[1].dup_grams >= floor > 0
+    assert got[2].dup_grams >= floor
+    for d in (1, 2):
+        assert got[d].total_grams > got[d].dup_grams
+        assert 0 < got[d].dup_ppm < 1000000

@@ -76,6 +76,8 @@ QUERIES = [
     "maintained_leakage_safe_splits",
     "bpe_train_merges",
     "bpe_encode_corpus",
+    "doc_dup_span_audit",
+    "dedup_jaccard_prefix_filter",
 ]
 
 
