@@ -1718,3 +1718,204 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         col("rank") <= _TOP_K
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion — the standard production
+# combiner for lexical + vector search (Cormack et al. 2009): each path
+# ranks independently, fused score = sum over paths of 1/(60 + rank).
+# Integer-only fusion (1e9 DIV (60 + rank)) so the oracle is exact; the
+# per-path ranks ride along COALESCEd to 0 so the output stays pure int64.
+# --------------------------------------------------------------------------
+_RRF_QMOD = 97      # query docs: doc_id % QMOD == 0 (known-item probes)
+_RRF_K_PATH = 10    # per-path candidate depth
+_RRF_K_OUT = 5      # fused top-k
+_RRF_C = 60         # the standard RRF constant
+
+# lexical terms are word-3-gram shingles (the dedup family's unit), not
+# unigrams: the synthetic corpus draws from a ~31-word vocabulary, so
+# unigram df carries no signal, while shingle df is discriminative — the
+# same reason the Jaccard family shingles first.
+from .dedup import _SHINGLE_ROWS_SQL as _RRF_SHINGLES_SQL  # noqa: E402
+from .dedup import _shingle_rows as _rrf_shingle_rows  # noqa: E402
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    sql=f"""
+    WITH t_all AS (
+      SELECT doc_id, shingle AS term FROM ({_RRF_SHINGLES_SQL}) sr),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM t_all GROUP BY term),
+    informative AS (
+      SELECT term, df FROM dfreq, nd WHERE df <= n_docs // 10 + 1),
+    qt AS (SELECT doc_id AS qid, term FROM t_all
+           WHERE doc_id % {_RRF_QMOD} = 0),
+    lex AS (
+      SELECT qid, t.doc_id,
+             CAST(SUM((n_docs * 1000000) // df) AS BIGINT) AS lex_score
+      FROM qt
+      JOIN informative USING (term)
+      JOIN t_all t USING (term)
+      CROSS JOIN nd
+      GROUP BY qid, t.doc_id),
+    lexr AS (
+      SELECT qid, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+      FROM lex QUALIFY lex_rank <= {_RRF_K_PATH}),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_CR_DIMS}
+               AS dim,
+             CAST(SUM(CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS INT)
+                                % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS w
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      w -> length(w) > 0)) AS tok
+            FROM documents) z
+      GROUP BY doc_id, dim
+      HAVING SUM(CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS INT)
+                           % 2 = 0
+                      THEN 1 ELSE -1 END) != 0),
+    dn AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+           FROM feat GROUP BY doc_id),
+    qf AS (SELECT doc_id AS qid, dim, w AS qw FROM feat
+           WHERE doc_id % {_RRF_QMOD} = 0),
+    vdot AS (
+      SELECT qid, f.doc_id, CAST(SUM(qw * w) AS BIGINT) AS dot
+      FROM qf JOIN feat f USING (dim)
+      GROUP BY qid, f.doc_id),
+    vecr AS (
+      SELECT qid, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+                             DESC, doc_id) AS BIGINT) AS vec_rank
+      FROM vdot JOIN dn USING (doc_id)
+      QUALIFY vec_rank <= {_RRF_K_PATH}),
+    fused AS (
+      SELECT COALESCE(l.qid, v.qid) AS qid,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(v.vec_rank, 0) AS vec_rank,
+             CAST(COALESCE(1000000000 // ({_RRF_C} + l.lex_rank), 0)
+                  + COALESCE(1000000000 // ({_RRF_C} + v.vec_rank), 0)
+               AS BIGINT) AS rrf_fp
+      FROM lexr l FULL OUTER JOIN vecr v USING (qid, doc_id))
+    SELECT qid, doc_id, lex_rank, vec_rank, rrf_fp,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS fused_rank
+    FROM fused QUALIFY fused_rank <= {_RRF_K_OUT}
+    """,
+    survey_ops=(),
+    doc="Hybrid retrieval: a lexical shingle-IDF path (word-3-gram terms "
+    "— unigram df carries no signal on this corpus — sparse term join, "
+    f"stop-shingles with df > n/10 excluded from candidate generation, "
+    "the same rare-first pruning as the SSJoin prefix filter) and a "
+    "feature-hash vector path (the chunk_retrieval 64-dim md5 spec at doc "
+    "grain, length-normalized) each rank top-10 per query; reciprocal-"
+    f"rank fusion (1e9 DIV ({_RRF_C} + rank), the Cormack et al. "
+    "constant) combines them and keeps the fused top-5. Pure-integer "
+    "output incl. the fused score, so hash equality covers both paths' "
+    "orderings AND the fusion arithmetic. Scale shape: query frames are "
+    "probe-sized broadcasts; the corpus contributes one term aggregate "
+    "and one (doc, dim) aggregate, both map-side combinable; no path "
+    "ever materializes query x corpus pairs beyond df-bounded term "
+    "collisions.",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), w -> length(w) > 0)")
+        ).alias("term"),
+    )
+    t_all = _rrf_shingle_rows(spark, sf_dir).select(
+        "doc_id", col("shingle").alias("term")
+    )
+    t_all = t_all.localCheckpoint()  # consumers: df, query side, corpus side
+    n_docs = docs.count()
+    dfreq = t_all.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    informative = dfreq.filter(col("df") <= F.lit(n_docs // 10 + 1))
+    qt = t_all.filter(col("doc_id") % _RRF_QMOD == 0).select(
+        col("doc_id").alias("qid"), "term"
+    )
+    lex = (
+        qt.join(informative, ["term"])
+        .join(t_all, ["term"])
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.expr(f"({n_docs} * 1000000) DIV df"))
+            .cast("long")
+            .alias("lex_score")
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(col("lex_score").desc(), "doc_id")
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .filter(col("lex_rank") <= _RRF_K_PATH)
+        .select("qid", "doc_id", "lex_rank")
+    )
+    sgn = F.expr(
+        "CASE WHEN CAST(conv(substring(md5(term), 9, 1), 16, 10) AS INT) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    feat = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT)"
+                f" % {_CR_DIMS}"
+            ).alias("dim"),
+            sgn.alias("sgn"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("w"))
+        .filter(col("w") != 0)
+    )
+    feat = feat.localCheckpoint()  # consumers: norms, query side, corpus side
+    dn = feat.groupBy("doc_id").agg(F.sum(col("w") * col("w")).alias("n2"))
+    qf = feat.filter(col("doc_id") % _RRF_QMOD == 0).select(
+        col("doc_id").alias("qid"), "dim", col("w").alias("qw")
+    )
+    vdot = (
+        feat.join(F.broadcast(qf), ["dim"])
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(col("qw") * col("w")).cast("long").alias("dot"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        (col("dot").cast("double") / F.sqrt(col("n2").cast("double"))).desc(),
+        "doc_id",
+    )
+    vecr = (
+        vdot.join(dn, ["doc_id"])
+        .withColumn("vec_rank", F.row_number().over(wv).cast("long"))
+        .filter(col("vec_rank") <= _RRF_K_PATH)
+        .select("qid", "doc_id", "vec_rank")
+    )
+    fused = (
+        lexr.join(vecr, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 DIV ({_RRF_C} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 DIV ({_RRF_C} + vec_rank)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_fp"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(col("rrf_fp").desc(), "doc_id")
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(wf).cast("long")
+    ).filter(col("fused_rank") <= _RRF_K_OUT)

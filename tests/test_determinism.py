@@ -78,6 +78,7 @@ QUERIES = [
     "bpe_encode_corpus",
     "doc_dup_span_audit",
     "dedup_jaccard_prefix_filter",
+    "retrieval_hybrid_rrf",
 ]
 
 
