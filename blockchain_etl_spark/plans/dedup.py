@@ -1260,3 +1260,168 @@ def doc_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ppm"
         ),
     )
+
+
+def _doc_dup_span_prune_sql() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             unnest(range(1, length(text) - {k} + 2)) AS i
+      FROM documents WHERE length(text) >= {k}),
+    gr AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             md5(substr(text, CAST(i AS INTEGER), {k})) AS h
+      FROM g),
+    dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) >= 2),
+    pos AS (SELECT doc_id, p FROM gr JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN LAG(p) OVER w IS NULL OR p - LAG(p) OVER w > {k}
+                  THEN 1 ELSE 0 END AS ni
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    grps AS (
+      SELECT doc_id, p,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS grp
+      FROM isl),
+    iv AS (
+      SELECT doc_id, MIN(p) AS s, MAX(p) + {k} - 1 AS e
+      FROM grps GROUP BY doc_id, grp),
+    ivl AS (
+      SELECT iv.doc_id, s, e, length(d.text) AS L, d.text
+      FROM iv JOIN documents d USING (doc_id)),
+    segs AS (
+      SELECT doc_id, text, e + 1 AS ks,
+             COALESCE(LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) - 1, L)
+               AS ke
+      FROM ivl
+      UNION ALL
+      SELECT doc_id, text, 1 AS ks, MIN(s) - 1 AS ke
+      FROM ivl GROUP BY doc_id, text),
+    kept AS (
+      SELECT doc_id, ks,
+             substr(text, CAST(ks AS INTEGER), CAST(ke - ks + 1 AS INTEGER))
+               AS frag
+      FROM segs WHERE ks <= ke),
+    rebuilt AS (
+      SELECT doc_id, string_agg(frag, '' ORDER BY ks) AS clean_text
+      FROM kept GROUP BY doc_id),
+    stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_intervals,
+             CAST(SUM(e - s + 1) AS BIGINT) AS chars_cut
+      FROM iv GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(st.n_cut_intervals, 0) AS n_cut_intervals,
+           COALESCE(st.chars_cut, 0) AS chars_cut,
+           CASE WHEN st.doc_id IS NULL THEN d.text
+                ELSE COALESCE(r.clean_text, '') END AS clean_text
+    FROM documents d
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+@register(
+    "doc_dup_span_prune",
+    sql=_doc_dup_span_prune_sql(),
+    survey_ops=("X2", "F9"),
+    doc="The ACTION half of doc_dup_span_audit (boilerplate_prune's span-"
+    "grain sibling): duplicated gram start positions merge into maximal "
+    "cut intervals (gaps-and-islands — a new island opens when the next "
+    f"position is > {_SPAN_K} past the previous, else the spans overlap "
+    "or touch), and the document text is rebuilt from the complement "
+    "segments in order. Emits per-doc (n_cut_intervals, chars_cut, "
+    "clean_text) over ALL documents — untouched docs pass through "
+    "verbatim, fully-duplicated docs come back empty (distinguished from "
+    "no-intervals via the stats join, not a text coalesce). Scale shape: "
+    "the interval merge and rebuild are doc-partitioned windows (one "
+    "shuffle on doc_id after the dup-hash join); interval and segment "
+    "counts are bounded by text length. The keep-one-copy policy is the "
+    "pipeline layer's call (as with dedup representatives) — this "
+    "operator cuts every duplicated occurrence deterministically.",
+)
+def doc_dup_span_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.localCheckpoint()  # consumers: grams, interval join, final
+    gr = docs.filter(F.length("text") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {k} + 1),"
+                f" i -> md5(substring(text, i, {k})))"
+            )
+        ).alias("i0", "h"),
+    ).select("doc_id", (col("i0") + 1).cast("long").alias("p"), "h")
+    dup = gr.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        col("c") >= 2
+    ).select("h")
+    pos = gr.join(dup, ["h"]).select("doc_id", "p")
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    isl = pos.withColumn(
+        "ni",
+        F.when(
+            F.lag("p").over(wp).isNull() | (col("p") - F.lag("p").over(wp) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grps = isl.withColumn(
+        "grp",
+        F.sum("ni").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = grps.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("s"), (F.max("p") + k - 1).alias("e")
+    )
+    ivl = iv.join(
+        docs.select("doc_id", "text", F.length("text").cast("long").alias("L")),
+        ["doc_id"],
+    )
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    gaps = ivl.select(
+        "doc_id",
+        "text",
+        (col("e") + 1).alias("ks"),
+        F.coalesce(F.lead("s").over(ws) - 1, col("L")).alias("ke"),
+    )
+    heads = ivl.groupBy("doc_id", "text").agg(
+        F.lit(1).cast("long").alias("ks"), (F.min("s") - 1).alias("ke")
+    )
+    kept = (
+        gaps.unionByName(heads)
+        .filter(col("ks") <= col("ke"))
+        .select(
+            "doc_id",
+            "ks",
+            F.expr("substring(text, CAST(ks AS INT), CAST(ke - ks + 1 AS INT))")
+            .alias("frag"),
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(ks, frag))),"
+                   " x -> x.frag)"),
+            "",
+        ).alias("clean_text")
+    )
+    stats = iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cut_intervals"),
+        F.sum(col("e") - col("s") + 1).cast("long").alias("chars_cut"),
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(stats, ["doc_id"], "left")
+        .join(rebuilt, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cut_intervals", F.lit(0)).cast("long").alias(
+                "n_cut_intervals"
+            ),
+            F.coalesce("chars_cut", F.lit(0)).cast("long").alias("chars_cut"),
+            F.when(col("n_cut_intervals").isNull(), col("text"))
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
+        )
+    )

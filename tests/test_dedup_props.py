@@ -241,3 +241,31 @@ def test_dup_span_audit_flags_injected_copy(spark):
     for d in (1, 2):
         assert got[d].total_grams > got[d].dup_grams
         assert 0 < got[d].dup_ppm < 1000000
+
+
+def test_span_prune_consistent_with_audit(spark):
+    """Prune and audit share the dup-gram definition, so per doc:
+    len(clean_text) == len(text) - chars_cut; zero dup grams means an
+    untouched doc; a fully-duplicated doc (dup_ppm == 1e6) prunes to
+    empty — the interval union covers the whole text."""
+    from blockchain_etl_spark.plans.registry import get_queries
+    from blockchain_etl_spark.sources.testdata import load_table
+
+    qs = get_queries()
+    text_len = {
+        r.doc_id: len(r.text)
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    audit = {r.doc_id: r for r in qs["doc_dup_span_audit"](spark, SF).collect()}
+    prune = {r.doc_id: r for r in qs["doc_dup_span_prune"](spark, SF).collect()}
+    assert set(prune) == set(text_len)  # prune covers ALL docs
+    assert any(r.chars_cut > 0 for r in prune.values())
+    for did, p in prune.items():
+        assert len(p.clean_text) == text_len[did] - p.chars_cut, did
+        a = audit.get(did)
+        if a is None or a.dup_grams == 0:
+            assert p.chars_cut == 0 and p.n_cut_intervals == 0, did
+        else:
+            assert p.chars_cut > 0, did
+            if a.dup_ppm == 1_000_000:
+                assert p.clean_text == "", did

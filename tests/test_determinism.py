@@ -79,6 +79,7 @@ QUERIES = [
     "doc_dup_span_audit",
     "dedup_jaccard_prefix_filter",
     "retrieval_hybrid_rrf",
+    "doc_dup_span_prune",
 ]
 
 
