@@ -1040,6 +1040,134 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph — the third distributed-
+# graph primitive beside PageRank (plans/quality.py) and connected
+# components (operators/components.py), via the degree-orientation trick
+# (Suri & Vassilvitskii 2011 / Cohen 2009): orient every edge from its
+# lower-(degree, id) endpoint to the higher one, so each node's
+# out-degree is O(sqrt(m)) and the wedge join materializes O(m^1.5)
+# rows worst-case instead of Σ d² — the difference between feasible and
+# not on a power-law graph.
+# --------------------------------------------------------------------------
+_TRI_MIN_COORDER = 2  # edge = parts co-ordered in >= this many baskets
+
+
+@register(
+    "part_triangle_count",
+    sql=f"""
+    WITH baskets AS (
+      SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab
+      FROM (SELECT unnest(list_filter(
+               flatten(list_transform(items, a ->
+                 list_transform(items, b -> struct_pack(a := a, b := b)))),
+               p -> p.a < p.b)) AS p
+            FROM baskets) t
+      GROUP BY p.a, p.b),
+    edges AS (SELECT a, b FROM pairs WHERE c_ab >= {_TRI_MIN_COORDER}),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges) z
+      GROUP BY n),
+    eo AS (
+      SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+      FROM edges JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM eo e1
+      JOIN eo e2 ON e2.src = e1.dst
+      JOIN eo e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    wg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           t AS n_triangles,
+           w AS n_wedges,
+           CASE WHEN w = 0 THEN 0
+                ELSE CAST((3 * t * 1000000) // w AS BIGINT)
+           END AS gcc_ppm
+    FROM tri CROSS JOIN wg
+    """,
+    survey_ops=("W3",),
+    doc="Triangle census of the co-purchase graph (edge = parts "
+    f"co-ordered in >= {_TRI_MIN_COORDER} baskets, basket_part_pairs' "
+    "fan-out shape): edges orient from the lower-(degree, id) endpoint, "
+    "bounding every out-degree at O(sqrt(m)); wedges come from ONE "
+    "node-keyed self-join of the oriented edge list and close against it "
+    "with one pair-keyed join — the O(m^1.5) MapReduce triangle "
+    "algorithm, never Σ d² wedge fan-out on hub nodes. Output is the "
+    "1-row census: nodes, edges, triangles, wedges, global clustering "
+    "coefficient as integer ppm (3T/wedges). Degree table is part-"
+    "dimension sized — broadcast on both sides of the orientation.",
+)
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("items")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(items, a -> transform(items,"
+                    " b -> struct(a AS a, b AS b)))), p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(col("c_ab") >= _TRI_MIN_COORDER)
+        .select("a", "b")
+    )
+    edges = edges.localCheckpoint()  # consumers: deg, orientation, count
+    deg = (
+        edges.select(col("a").alias("n"))
+        .unionAll(edges.select(col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    deg = deg.localCheckpoint()  # consumers: orientation x2, wedge total, nodes
+    da = deg.select(col("n").alias("a"), col("d").alias("da"))
+    db = deg.select(col("n").alias("b"), col("d").alias("db"))
+    flip = F.struct(col("da"), col("a")) < F.struct(col("db"), col("b"))
+    eo = (
+        edges.join(broadcast(da), ["a"])
+        .join(broadcast(db), ["b"])
+        .select(
+            F.when(flip, col("a")).otherwise(col("b")).alias("src"),
+            F.when(flip, col("b")).otherwise(col("a")).alias("dst"),
+        )
+    )
+    eo = eo.localCheckpoint()  # consumers: wedge join both sides + closure
+    e1 = eo.select(col("src").alias("u"), col("dst").alias("v"))
+    e2 = eo.select(col("src").alias("v"), col("dst").alias("w"))
+    wedges = e1.join(e2, ["v"]).select("u", "w")
+    tri = wedges.join(
+        eo.select(col("src").alias("u"), col("dst").alias("w")), ["u", "w"]
+    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wtot = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("w")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(broadcast(wtot))
+        .crossJoin(broadcast(nn))
+        .crossJoin(broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            col("t").alias("n_triangles"),
+            col("w").alias("n_wedges"),
+            F.when(col("w") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("CAST((3 * t * 1000000) DIV w AS BIGINT)"))
+            .alias("gcc_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Markov transition matrix over per-user event sequences: the behavioral
 # sequence model behind funnels — P(next | prev) as integer ppm.
 # --------------------------------------------------------------------------

@@ -80,6 +80,7 @@ QUERIES = [
     "dedup_jaccard_prefix_filter",
     "retrieval_hybrid_rrf",
     "doc_dup_span_prune",
+    "part_triangle_count",
 ]
 
 

@@ -202,3 +202,36 @@ def test_portable_hll_tracks_exact_counts(spark):
         assert r.n_days == e.n_days, (t, r, e)
         err = abs(r.est_users - e.exact_total_users) / e.exact_total_users
         assert err <= 0.15, (t, r.est_users, e.exact_total_users)
+
+
+def test_triangle_count_known_topology(spark):
+    """One forced triangle (each edge co-ordered twice) plus a 4-spoke
+    star (wedges but no closures): census must report exactly 1 triangle,
+    and the star hub's wedges count toward gcc's denominator."""
+    import blockchain_etl_spark.plans.olap as olap_mod
+    from blockchain_etl_spark.plans.olap import part_triangle_count
+
+    rows = []
+    oid = 0
+    # triangle 1-2-3: each pair appears in two orders
+    for pair in [(1, 2), (2, 3), (1, 3)] * 2:
+        oid += 1
+        rows += [(oid, pair[0]), (oid, pair[1])]
+    # star: hub 10 with spokes 11..14, each edge co-ordered twice
+    for spoke in (11, 12, 13, 14):
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, 10), (oid, spoke)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    orig = olap_mod.load_table
+    try:
+        olap_mod.load_table = lambda spark, sf_dir, name: li
+        got = part_triangle_count(spark, "ignored").collect()[0]
+    finally:
+        olap_mod.load_table = orig
+    assert got.n_nodes == 8 and got.n_edges == 7
+    assert got.n_triangles == 1
+    # wedges: triangle nodes contribute 3 * C(2,2)... deg(1)=deg(2)=deg(3)=2
+    # -> 1 wedge each; hub deg 4 -> 6; spokes deg 1 -> 0. Total 9.
+    assert got.n_wedges == 9
+    assert got.gcc_ppm == (3 * 1 * 1_000_000) // 9
