@@ -408,3 +408,117 @@ def cdc_maintained_extremum_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     out = view.read(spark).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Maintained JOIN-then-AGGREGATE through the driver gate: the view below
+# is a REAL IncrementalJoinAggregate — revenue per market segment over
+# orders ⋈ customer, maintained from weighted deltas on BOTH sides across
+# two batches. Batch 1 deliberately plants wrong state on each side (fact
+# amounts inflated, half the customers routed to a bogus segment); batch 2
+# retracts both with negative-multiplicity deltas, so the gate exercises
+# every delta-rule term (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB), retractions through the
+# join, and a whole group cancelling to zero and LEAVING the aggregate.
+# The oracle is the plain join + GROUP BY recompute: hash equality IS the
+# maintained ≡ recompute contract for join views, driver-checked per
+# round — the same promotion cdc_maintained_priority_stats gave the
+# single-table CDC views.
+# --------------------------------------------------------------------------
+@register(
+    "ivm_maintained_join_revenue",
+    sql="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 8 = 2
+    GROUP BY c_mktsegment
+    """,
+    survey_ops=("T5", "J9", "A6"),
+    doc="Revenue per market segment SERVED FROM A MAINTAINED JOIN VIEW "
+    "(operators/ivm.py IncrementalJoinAggregate — the reference's "
+    "trigger-maintained join-then-aggregate inventory pattern, "
+    "migrations/1590689602-gateway_inventory.sql:32-62): batch 1 inserts "
+    "half the facts with inflated amounts and routes even-key customers "
+    "to a bogus MISROUTED segment; batch 2 retracts both via __w = -1 "
+    "deltas and inserts the corrections plus the remaining facts. The "
+    "maintained aggregate must therefore survive fact retractions, dim "
+    "churn (customers MOVING between groups), the ΔA⋈ΔB cross term, and "
+    "must DROP the MISROUTED group once its membership cancels to zero. "
+    "Oracle = batch join recompute; hash equality is the maintained ≡ "
+    "recompute contract. Scale: each step costs O(delta ⋈ bucket-pruned "
+    "state) + a group-key merge — the stored join state is read only for "
+    "the delta's buckets (manifest-recorded, zero directory probes), "
+    "never rescanned.",
+)
+def ivm_maintained_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ivm import IncrementalJoinAggregate
+
+    # an eighth of the fact table: the maintained ≡ recompute contract is
+    # size-independent (same scoping rationale as the CDC gate queries);
+    # the dim side stays whole — it is dimension-sized by definition.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        col("o_orderkey") % 8 == 2
+    ).select(
+        col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).localCheckpoint()  # both batches below derive from this one scan
+    cust = load_table(spark, sf_dir, "customer").select(
+        col("c_custkey").alias("custkey"), "c_mktsegment"
+    ).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="ivm_join_gate_")
+    jagg = IncrementalJoinAggregate(
+        os.path.join(base, "jagg"),
+        join_keys=["custkey"],
+        group_keys=["c_mktsegment"],
+        sum_cols=["cents"],
+        n_buckets=8,
+    )
+    # batch 1: half the facts, amounts inflated +100 cents; every even-key
+    # customer deliberately MISROUTED into a segment that must later vanish
+    o1 = orders.filter(col("o_orderkey") % 16 == 2).withColumn(
+        "cents", col("cents") + F.lit(100)
+    )
+    c1 = cust.withColumn(
+        "c_mktsegment",
+        F.when(col("custkey") % 2 == 0, F.lit("MISROUTED")).otherwise(
+            col("c_mktsegment")
+        ),
+    )
+    jagg.apply(spark, delta_a=o1, delta_b=c1, watermark=1)
+    # batch 2: retract batch 1's wrong facts (-1) and re-insert corrected,
+    # insert the other half; retract the MISROUTED dim rows (-1) and
+    # re-insert the true segments — dim churn moving groups under the view
+    d2a = (
+        o1.withColumn("__w", F.lit(-1).cast("long"))
+        .unionByName(
+            orders.filter(col("o_orderkey") % 16 == 2).withColumn(
+                "__w", F.lit(1).cast("long")
+            )
+        )
+        .unionByName(
+            orders.filter(col("o_orderkey") % 16 == 10).withColumn(
+                "__w", F.lit(1).cast("long")
+            )
+        )
+    )
+    mis = cust.filter(col("custkey") % 2 == 0)
+    d2b = (
+        mis.withColumn("c_mktsegment", F.lit("MISROUTED"))
+        .withColumn("__w", F.lit(-1).cast("long"))
+        .unionByName(mis.withColumn("__w", F.lit(1).cast("long")))
+    )
+    jagg.apply(spark, delta_a=d2a, delta_b=d2b, watermark=2)
+    out = (
+        jagg.read(spark)
+        .select("c_mktsegment", "n_rows", "cents")
+        .localCheckpoint()  # must not lazily read the deleted scratch dir
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

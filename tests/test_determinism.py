@@ -81,6 +81,7 @@ QUERIES = [
     "retrieval_hybrid_rrf",
     "doc_dup_span_prune",
     "part_triangle_count",
+    "ivm_maintained_join_revenue",
 ]
 
 
