@@ -1740,3 +1740,139 @@ def events_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("n_buckets").cast("long").alias("n_buckets"),
         _hll_estimate_expr("est_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# HLL SET ALGEBRA: audience overlap between event types via
+# inclusion-exclusion over the portable sketches. Union is the only set
+# operation a HyperLogLog supports natively (bucket-wise max — exact, the
+# merged sketch IS the sketch of the union); intersections derive as
+# |A ∩ B| = est(A) + est(B) − est(A ∪ B). Everything stays in the
+# portable integer estimator, so the DuckDB oracle reproduces every
+# estimate bit for bit and the driver hash-verifies the set algebra
+# itself — the audience-overlap matrix a 100 TB corpus computes from
+# 256-register partials instead of a user_id-grain distinct join.
+# --------------------------------------------------------------------------
+@register(
+    "events_hll_overlap",
+    sql=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT)
+               AS bucket,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 15) AS BIGINT)
+               AS v
+      FROM events),
+    sk AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS mz
+      FROM h GROUP BY event_type, bucket),
+    s AS (
+      SELECT event_type, COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS HUGEINT) << (61 - mz)) AS sum_present
+      FROM sk GROUP BY event_type),
+    e AS (
+      SELECT event_type,
+             CAST(CASE WHEN n_buckets < {_HLL_M}
+                  THEN list_extract([{_HLL_LC_LIST}],
+                                    CAST({_HLL_M} - n_buckets AS INT))
+                  ELSE (CAST({_HLL_A_E3} AS HUGEINT) * (CAST(1 AS HUGEINT) << 61))
+                       // sum_present // 1000
+                  END AS BIGINT) AS est
+      FROM s),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM e a JOIN e b ON a.event_type < b.event_type),
+    usk AS (
+      SELECT p.type_a, p.type_b, sk.bucket, MAX(sk.mz) AS mz
+      FROM pairs p JOIN sk ON sk.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, sk.bucket),
+    us AS (
+      SELECT type_a, type_b, COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS HUGEINT) << (61 - mz)) AS sum_present
+      FROM usk GROUP BY type_a, type_b),
+    ue AS (
+      SELECT type_a, type_b,
+             CAST(CASE WHEN n_buckets < {_HLL_M}
+                  THEN list_extract([{_HLL_LC_LIST}],
+                                    CAST({_HLL_M} - n_buckets AS INT))
+                  ELSE (CAST({_HLL_A_E3} AS HUGEINT) * (CAST(1 AS HUGEINT) << 61))
+                       // sum_present // 1000
+                  END AS BIGINT) AS est_union
+      FROM us)
+    SELECT u.type_a, u.type_b,
+           ea.est AS est_a, eb.est AS est_b, u.est_union,
+           CAST(GREATEST(0, ea.est + eb.est - u.est_union) AS BIGINT)
+             AS est_overlap,
+           CAST(GREATEST(0, ea.est + eb.est - u.est_union) * 1000000
+                // u.est_union AS BIGINT) AS jaccard_ppm
+    FROM ue u
+    JOIN e ea ON ea.event_type = u.type_a
+    JOIN e eb ON eb.event_type = u.type_b
+    """,
+    survey_ops=("A3",),
+    doc="Pairwise audience overlap between event types via PORTABLE HLL "
+    "set algebra: per-type 256-register sketches (functions/hll.py), "
+    "pair-union sketches by bucket-wise MAX (union is the one native HLL "
+    "set op — the merged registers ARE the union's sketch), intersection "
+    "by inclusion-exclusion est_a + est_b - est_union (clamped at 0 — "
+    "I-E can go negative at sketch error scale), Jaccard as integer ppm "
+    "of the union. Every estimate is the exact integer estimator, so the "
+    "oracle matches bit for bit — the driver hash-verifies the set "
+    "algebra, not just one sketch. Scale: the type×pair fan-out runs on "
+    "sketch registers (types × ≤256 rows), never user_id grain; the only "
+    "corpus-sized work is the one partial aggregate every HLL query "
+    "shares. Accuracy vs the exact overlap is bounded in pytest.",
+)
+def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sk = _hll_partial(
+        events.select("event_type", "user_id"), ["event_type"], "user_id"
+    )
+    sk = sk.localCheckpoint()  # register-sized; feeds per-type + pair unions
+    est = (
+        sk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr(_HLL_SUM_PRESENT)).cast("decimal(38,0)").alias("sum_present"),
+        )
+        .select("event_type", _hll_estimate_expr("est"))
+    )
+    pa = est.select(col("event_type").alias("type_a"), col("est").alias("est_a"))
+    pb = est.select(col("event_type").alias("type_b"), col("est").alias("est_b"))
+    pairs = pa.crossJoin(pb).filter(col("type_a") < col("type_b"))
+    members = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+    )
+    usk = (
+        sk.join(broadcast(members), ["event_type"])
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("mz").alias("mz"))
+    )
+    ue = (
+        usk.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr(_HLL_SUM_PRESENT)).cast("decimal(38,0)").alias("sum_present"),
+        )
+        .select("type_a", "type_b", _hll_estimate_expr("est_union"))
+    )
+    return (
+        ue.join(broadcast(pairs), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.expr(
+                "CAST(GREATEST(0, est_a + est_b - est_union) AS BIGINT)"
+            ).alias("est_overlap"),
+            F.expr(
+                "CAST(GREATEST(0, est_a + est_b - est_union) * 1000000"
+                " div est_union AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -82,6 +82,7 @@ QUERIES = [
     "doc_dup_span_prune",
     "part_triangle_count",
     "ivm_maintained_join_revenue",
+    "events_hll_overlap",
 ]
 
 

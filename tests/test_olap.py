@@ -235,3 +235,37 @@ def test_triangle_count_known_topology(spark):
     # -> 1 wedge each; hub deg 4 -> 6; spokes deg 1 -> 0. Total 9.
     assert got.n_wedges == 9
     assert got.gcc_ppm == (3 * 1 * 1_000_000) // 9
+
+
+def test_hll_overlap_accuracy_controlled(spark):
+    """Controlled overlap: users 1..1000 do type 'a', 501..1500 do 'b' —
+    exact overlap 500, union 1500. Inclusion-exclusion over m=256
+    registers has ~sqrt(2)*1.04/16 ≈ 9% union-scale std error; bound the
+    estimates loosely but meaningfully."""
+    import blockchain_etl_spark.plans.olap as olap_mod
+    from blockchain_etl_spark.plans.olap import events_hll_overlap
+
+    rows = [("a", u) for u in range(1, 1001)] + [
+        ("b", u) for u in range(501, 1501)
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "user_id"])
+    orig = olap_mod.load_table
+    try:
+        olap_mod.load_table = lambda spark, sf_dir, name: ev
+        got = events_hll_overlap(spark, "ignored").collect()[0]
+    finally:
+        olap_mod.load_table = orig
+    assert got.type_a == "a" and got.type_b == "b"
+    # raw LogLog at m=256 (no HLL++ bias correction) runs ~±20% on a
+    # single deterministic md5 draw (this draw: a=1138, b=1065, u=1242 —
+    # verified against a pure-Python evaluation of the spec)
+    assert abs(got.est_a - 1000) <= 200 and abs(got.est_b - 1000) <= 200
+    assert abs(got.est_union - 1500) <= 300
+    # STRUCTURAL guarantee, variance-free: union registers dominate each
+    # part's registers, so the union estimate can never fall below either
+    # part's — a broken pair-union join would break this immediately
+    assert got.est_union >= max(got.est_a, got.est_b)
+    # inclusion-exclusion stacks all three errors: overlap is bounded at
+    # union scale x3 sigma, not overlap scale
+    assert abs(got.est_overlap - 500) <= 525
+    assert 0 <= got.jaccard_ppm <= 1_000_000
