@@ -1876,3 +1876,103 @@ def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped least-squares trend — the regression member of the analytics
+# family: per-brand price-vs-shipdate OLS slope from the five classic
+# sufficient statistics (n, Σx, Σy, Σxy, Σx²), every one an exact BIGINT
+# sum, mergeable map-side — the same partial-aggregate shape as every
+# other sketch here. The slope is the cross-multiplied integer form
+# slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), emitted in ppm via a
+# divide-the-denominator trick that keeps EVERY intermediate inside
+# int64: Spark's `div` on DECIMAL(38,0) silently overflows to long
+# (measured), so the spec is long-typed by construction. Magnitude
+# budget: |num| ≤ n²·max(x)·max(y) ≈ n²·2.7e8 — safe to n ≈ 180k rows
+# per group (~sf0.75); beyond that the spec escalates the accumulators
+# to DECIMAL and the ppm scaling to a two-step divide, documented here
+# so the limit is a constant, not a surprise.
+# --------------------------------------------------------------------------
+@register(
+    "part_price_trend",
+    sql="""
+    WITH pts AS (
+      SELECT p_brand,
+             CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY p_brand),
+    d AS (
+      SELECT p_brand, n, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+      FROM s)
+    SELECT p_brand,
+           n AS n_rows,
+           CAST(sy // n AS BIGINT) AS avg_dollars,
+           CAST(CASE WHEN num < 0
+                     THEN -((-num) // (den // 1000000))
+                     ELSE num // (den // 1000000) END AS BIGINT)
+             AS slope_ppm
+    FROM d
+    WHERE den >= 1000000
+    """,
+    survey_ops=("A2",),
+    doc="Per-brand OLS price trend: x = days since 1992-01-01, y = whole "
+    "dollars, slope from the cross-multiplied integer normal equation "
+    "(nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in ppm — all five sufficient "
+    "statistics are exact BIGINT sums with map-side partial combine (one "
+    "shuffle at brand grain), the incremental-friendly regression shape: "
+    "partials from disjoint shards ADD, so the same statistics roll up a "
+    "100 TB fact table or fold into a maintained view. Division happens "
+    "once per group on the 25-row aggregate: ppm via num // (den // 1e6) "
+    "keeps every intermediate in int64 (Spark div on DECIMAL(38,0) "
+    "overflows silently — measured), negatives route through the "
+    "sign/abs split because Spark div truncates while DuckDB // floors. "
+    "part joins broadcast (dimension-sized).",
+)
+def part_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.datediff(col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(col("l_extendedprice")).cast("long").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    s = (
+        li.join(broadcast(part), ["l_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(col("x") * col("y")).cast("long").alias("sxy"),
+            F.sum(col("x") * col("x")).cast("long").alias("sxx"),
+        )
+    )
+    d = s.select(
+        "p_brand",
+        "n",
+        "sy",
+        (col("n") * col("sxy") - col("sx") * col("sy")).alias("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).alias("den"),
+    ).filter(col("den") >= 1_000_000)
+    return d.select(
+        "p_brand",
+        col("n").alias("n_rows"),
+        F.expr("sy div n").cast("long").alias("avg_dollars"),
+        F.expr(
+            "CAST(CASE WHEN num < 0 THEN -((-num) div (den div 1000000)) "
+            "ELSE num div (den div 1000000) END AS BIGINT)"
+        ).alias("slope_ppm"),
+    )

@@ -83,6 +83,7 @@ QUERIES = [
     "part_triangle_count",
     "ivm_maintained_join_revenue",
     "events_hll_overlap",
+    "part_price_trend",
 ]
 
 

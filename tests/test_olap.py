@@ -269,3 +269,33 @@ def test_hll_overlap_accuracy_controlled(spark):
     # union scale x3 sigma, not overlap scale
     assert abs(got.est_overlap - 500) <= 525
     assert 0 <= got.jaccard_ppm <= 1_000_000
+
+
+def test_price_trend_recovers_known_slope(spark):
+    """A perfect synthetic line y = 5x + 100 over x = 0..999 must come
+    back as slope_ppm ~ 5e6 (the den//1e6 pre-divide costs <= 1e6/den
+    relative error — here den = 8.33e10, so ~15 ppm) and the exact
+    integer mean; a second brand with slope -3 pins the sign path."""
+    import blockchain_etl_spark.plans.olap as olap_mod
+    from blockchain_etl_spark.plans.olap import part_price_trend
+    import datetime as dt
+
+    base = dt.date(1992, 1, 1)
+    rows = []
+    for x in range(1000):
+        d = base + dt.timedelta(days=x)
+        rows.append((1, d, float(5 * x + 100)))
+        rows.append((2, d, float(-3 * x + 5000)))
+    li = spark.createDataFrame(rows, ["l_partkey", "l_shipdate", "l_extendedprice"])
+    pt = spark.createDataFrame([(1, "UP"), (2, "DOWN")], ["p_partkey", "p_brand"])
+    tables = {"lineitem": li, "part": pt}
+    orig = olap_mod.load_table
+    try:
+        olap_mod.load_table = lambda spark, sf_dir, name: tables[name]
+        got = {r.p_brand: r for r in part_price_trend(spark, "ignored").collect()}
+    finally:
+        olap_mod.load_table = orig
+    assert got["UP"].n_rows == 1000
+    assert abs(got["UP"].slope_ppm - 5_000_000) <= 100
+    assert got["UP"].avg_dollars == (5 * sum(range(1000)) + 100 * 1000) // 1000
+    assert abs(got["DOWN"].slope_ppm + 3_000_000) <= 100
