@@ -84,6 +84,7 @@ QUERIES = [
     "ivm_maintained_join_revenue",
     "events_hll_overlap",
     "part_price_trend",
+    "part_kcore_census",
 ]
 
 

@@ -299,3 +299,34 @@ def test_price_trend_recovers_known_slope(spark):
     assert abs(got["UP"].slope_ppm - 5_000_000) <= 100
     assert got["UP"].avg_dollars == (5 * sum(range(1000)) + 100 * 1000) // 1000
     assert abs(got["DOWN"].slope_ppm + 3_000_000) <= 100
+
+
+def test_kcore_peel_known_cascade(spark):
+    """4-clique + 2-edge path at k=2: the path's ends peel in round 1,
+    which isolates the middle node so it peels in round 2 — a real
+    cascade — and the clique is the stable 2-core. Census by hand:
+    (7,8) -> (5,6) -> (4,6) -> stable."""
+    import blockchain_etl_spark.plans.olap as olap_mod
+    from blockchain_etl_spark.plans.olap import part_kcore_census
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(10, 11), (11, 12)]
+    rows = []
+    for oid, (a, b) in enumerate(clique + path, start=1):
+        rows += [(oid, a), (oid, b)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    orig_load, orig_k = olap_mod.load_table, olap_mod._KCORE_K
+    try:
+        olap_mod.load_table = lambda spark, sf_dir, name: li
+        olap_mod._KCORE_K = 2
+        got = {
+            r.round: (r.n_nodes, r.n_edges)
+            for r in part_kcore_census(spark, "ignored").collect()
+        }
+    finally:
+        olap_mod.load_table, olap_mod._KCORE_K = orig_load, orig_k
+    assert got[0] == (7, 8)
+    assert got[1] == (5, 6)  # path ends gone, middle survives on stale degree
+    assert got[2] == (4, 6)  # cascade: isolated middle peels
+    for r in (3, 4, 5, 6):
+        assert got[r] == (4, 6)  # the 2-core is stable
