@@ -657,3 +657,78 @@ def _finalize_name_match_eval_oracle() -> None:
 
 
 _finalize_name_match_eval_oracle()
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit — the second privacy release gate beside k-anonymity:
+# a QI group can be large enough to pass k-anonymity and still leak via a
+# HOMOGENEITY attack when (almost) every row shares one sensitive value.
+# Distinct l-diversity counts sensitive values per QI group; the worst
+# homogeneity share measures how close the corpus is to the attack.
+# --------------------------------------------------------------------------
+_L_DIV = 3
+
+
+@register(
+    "events_l_diversity",
+    sql=f"""
+    WITH g AS (
+      SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+             user_id % 1000 AS user_bucket,
+             event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    q AS (
+      SELECT hour_of_day, user_bucket,
+             COUNT(*) AS n_sensitive,
+             CAST(SUM(n) AS BIGINT) AS grp_n,
+             CAST(MAX(n) AS BIGINT) AS top_n
+      FROM g GROUP BY 1, 2)
+    SELECT COUNT(*) AS n_groups,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
+           COUNT(*) FILTER (WHERE n_sensitive < {_L_DIV}) AS n_groups_below_l,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE n_sensitive < {_L_DIV}), 0)
+             AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE n_sensitive < {_L_DIV}), 0)
+                * 1000000 // SUM(grp_n) AS BIGINT) AS risk_ppm,
+           CAST(MAX(top_n * 1000000 // grp_n) AS BIGINT)
+             AS worst_homogeneity_ppm
+    FROM q
+    """,
+    survey_ops=(),
+    doc=f"Distinct l-diversity release gate (l={_L_DIV}) with the "
+    "quasi-identifier (hour-of-day, user bucket) and event_type as the "
+    "sensitive attribute: a QI group whose rows carry fewer than l "
+    "distinct sensitive values — or one dominated by a single value "
+    "(worst_homogeneity_ppm) — leaks the sensitive attribute even when "
+    "it passes the k-anonymity size gate (events_k_anonymity). Two "
+    "map-combinable aggregates: (QI, sensitive) counts, then QI-grain "
+    "diversity stats, then a 1-row reduce — the second stage's input is "
+    "|QI x sensitive| combinations, never |rows|. Integer ppm only.",
+)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        (col("user_id") % 1000).alias("user_bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = g.groupBy("hour_of_day", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n_sensitive"),
+        F.sum("n").cast("long").alias("grp_n"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    below = F.when(col("n_sensitive") < _L_DIV, col("grp_n"))
+    return q.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+        F.count(below).alias("n_groups_below_l"),
+        F.coalesce(F.sum(below), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN grp_n END), 0)"
+            " * 1000000 div SUM(grp_n) AS BIGINT)"
+        ).alias("risk_ppm"),
+        F.expr("CAST(MAX(top_n * 1000000 div grp_n) AS BIGINT)").alias(
+            "worst_homogeneity_ppm"
+        ),
+    )

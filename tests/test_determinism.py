@@ -85,6 +85,7 @@ QUERIES = [
     "events_hll_overlap",
     "part_price_trend",
     "part_kcore_census",
+    "events_l_diversity",
 ]
 
 
