@@ -478,7 +478,7 @@ def ivm_maintained_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_keys=["custkey"],
         group_keys=["c_mktsegment"],
         sum_cols=["cents"],
-        n_buckets=8,
+        n_buckets=4,
     )
     # batch 1: half the facts, amounts inflated +100 cents; every even-key
     # customer deliberately MISROUTED into a segment that must later vanish
@@ -491,7 +491,10 @@ def ivm_maintained_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("c_mktsegment")
         ),
     )
-    jagg.apply(spark, delta_a=o1, delta_b=c1, watermark=1)
+    # view steps commit separately; the aggregate folds BOTH view segments
+    # in one catch_up commit at the end (exactly-once by segment
+    # watermark) — the batched-follower shape, one agg merge instead of two
+    jagg.view.apply(spark, delta_a=o1, delta_b=c1, watermark=1)
     # batch 2: retract batch 1's wrong facts (-1) and re-insert corrected,
     # insert the other half; retract the MISROUTED dim rows (-1) and
     # re-insert the true segments — dim churn moving groups under the view
@@ -514,7 +517,8 @@ def ivm_maintained_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__w", F.lit(-1).cast("long"))
         .unionByName(mis.withColumn("__w", F.lit(1).cast("long")))
     )
-    jagg.apply(spark, delta_a=d2a, delta_b=d2b, watermark=2)
+    jagg.view.apply(spark, delta_a=d2a, delta_b=d2b, watermark=2)
+    jagg.catch_up(spark)
     out = (
         jagg.read(spark)
         .select("c_mktsegment", "n_rows", "cents")
