@@ -255,9 +255,6 @@ def cmd_vec_health(args) -> int:
 
     idx = Index(args.path)
     spark = _spark()
-    if idx._inventory().read(spark) is None:
-        print(f"no built {args.kind} index at {args.path} (no id inventory)")
-        return 1
     decision = idx.needs_rebuild(
         spark,
         recall_floor=args.recall_floor,
@@ -265,6 +262,9 @@ def cmd_vec_health(args) -> int:
         k=args.k,
         n_queries=args.n_queries,
     )
+    if decision.get("unbuilt"):
+        print(f"no built {args.kind} index at {args.path} (no id inventory)")
+        return 1
     for k, v in decision.items():
         print(f"{k}: {v}")
     return 0

@@ -122,7 +122,20 @@ class VectorIndexMaintenance:
         rebuilds with ``build(spark, <live corpus ∪ pending>)``, which
         re-samples the quantizer from the current distribution
         (tests/test_ann_index.py::test_recall_drift_lifecycle shows the
-        decay and the rebuild restoring recall)."""
+        decay and the rebuild restoring recall).
+
+        An UNBUILT index (no id inventory) returns a clear no-decision —
+        ``{"rebuild": False, "unbuilt": True}`` — instead of letting the
+        recall probe die on a nonexistent parquet store; the guard lives
+        here so every caller gets it, not just the vec-health CLI."""
+        if self._inventory().read(spark) is None:
+            return {
+                "rebuild": False,
+                "unbuilt": True,
+                "upserted_frac": 0.0,
+                "recall": None,
+                "probe_skipped": True,
+            }
         frac = self.upserted_fraction(spark)
         if frac > max_upserted_frac:
             return {

@@ -952,21 +952,59 @@ def events_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BASKET_MIN_PAIR = 3
 _BASKET_TOP = 100
 
-
-@register(
-    "basket_part_pairs",
-    sql=f"""
-    WITH baskets AS (
+# The basket -> distinct-pair expansion shared by basket_part_pairs,
+# part_triangle_count, and part_kcore_census — ONE source for both
+# engines so a change to the basket grain or the a<b normalization can
+# never desynchronize the three graph queries. The SQL fragment's copairs
+# CTE is MATERIALIZED: the graph oracles reference it through several
+# self-joins, and DuckDB inlines plain CTEs (re-expanding the base scan
+# per reference).
+_COPURCHASE_PAIRS_SQL = """baskets AS (
       SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
       FROM lineitem GROUP BY l_orderkey),
-    pairs AS (
-      SELECT p.a AS part_a, p.b AS part_b, COUNT(*) AS c_ab
+    copairs AS MATERIALIZED (
+      SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab
       FROM (SELECT unnest(list_filter(
                flatten(list_transform(items, a ->
                  list_transform(items, b -> struct_pack(a := a, b := b)))),
                p -> p.a < p.b)) AS p
             FROM baskets) t
-      GROUP BY p.a, p.b),
+      GROUP BY p.a, p.b)"""
+
+
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, checkpoint_baskets: bool = False
+) -> "tuple[DataFrame, DataFrame]":
+    """(baskets, pairs): distinct items per order, and (a, b, c_ab)
+    co-purchase pairs with a < b. The C(k,2) fan-out runs map-side in a
+    HOF over the (small) per-order arrays — never a fact self-join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("items")
+    )
+    if checkpoint_baskets:
+        baskets = baskets.localCheckpoint()
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(items, a -> transform(items,"
+                    " b -> struct(a AS a, b AS b)))), p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return baskets, pairs
+
+
+@register(
+    "basket_part_pairs",
+    sql=f"""
+    WITH {_COPURCHASE_PAIRS_SQL},
+    pairs AS (
+      SELECT a AS part_a, b AS part_b, c_ab FROM copairs),
     freq AS (
       SELECT part, COUNT(*) AS c FROM (
         SELECT l_orderkey, unnest(list_distinct(list(l_partkey))) AS part
@@ -995,23 +1033,10 @@ _BASKET_TOP = 100
     "— broadcast-able at 100 TB.",
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_distinct(F.collect_list("l_partkey")).alias("items"))
-        .localCheckpoint()  # pairs + per-part frequency + order total
-    )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(items, a -> transform(items,"
-                    " b -> struct(a AS a, b AS b)))), p -> p.a < p.b)"
-                )
-            ).alias("p")
-        )
-        .groupBy(col("p.a").alias("part_a"), col("p.b").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+    # checkpoint baskets: pairs + per-part frequency + order total share it
+    baskets, copairs = _copurchase_pairs(spark, sf_dir, checkpoint_baskets=True)
+    pairs = copairs.select(
+        col("a").alias("part_a"), col("b").alias("part_b"), "c_ab"
     )
     freq = (
         baskets.select(F.explode("items").alias("part"))
@@ -1055,18 +1080,8 @@ _TRI_MIN_COORDER = 2  # edge = parts co-ordered in >= this many baskets
 @register(
     "part_triangle_count",
     sql=f"""
-    WITH baskets AS (
-      SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
-      FROM lineitem GROUP BY l_orderkey),
-    pairs AS (
-      SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab
-      FROM (SELECT unnest(list_filter(
-               flatten(list_transform(items, a ->
-                 list_transform(items, b -> struct_pack(a := a, b := b)))),
-               p -> p.a < p.b)) AS p
-            FROM baskets) t
-      GROUP BY p.a, p.b),
-    edges AS (SELECT a, b FROM pairs WHERE c_ab >= {_TRI_MIN_COORDER}),
+    WITH {_COPURCHASE_PAIRS_SQL},
+    edges AS (SELECT a, b FROM copairs WHERE c_ab >= {_TRI_MIN_COORDER}),
     deg AS (
       SELECT n, CAST(COUNT(*) AS BIGINT) AS d
       FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges) z
@@ -1102,24 +1117,8 @@ _TRI_MIN_COORDER = 2  # edge = parts co-ordered in >= this many baskets
     "dimension sized — broadcast on both sides of the orientation.",
 )
 def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_distinct(F.collect_list("l_partkey")).alias("items")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(items, a -> transform(items,"
-                    " b -> struct(a AS a, b AS b)))), p -> p.a < p.b)"
-                )
-            ).alias("p")
-        )
-        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(col("c_ab") >= _TRI_MIN_COORDER)
-        .select("a", "b")
-    )
+    _, copairs = _copurchase_pairs(spark, sf_dir)
+    edges = copairs.filter(col("c_ab") >= _TRI_MIN_COORDER).select("a", "b")
     edges = edges.localCheckpoint()  # consumers: deg, orientation, count
     deg = (
         edges.select(col("a").alias("n"))
@@ -2000,15 +1999,8 @@ def _kcore_oracle_sql() -> str:
     # parquet file opens, dying on EMFILE long before any answer).
     rounds = _KCORE_ROUNDS
     ctes = [
-        """e0 AS MATERIALIZED (
-      SELECT p.a AS a, p.b AS b FROM (
-        SELECT unnest(list_filter(
-                 flatten(list_transform(items, a ->
-                   list_transform(items, b -> struct_pack(a := a, b := b)))),
-                 p -> p.a < p.b)) AS p
-        FROM (SELECT list_distinct(list(l_partkey)) AS items
-              FROM lineitem GROUP BY l_orderkey) baskets) t
-      GROUP BY p.a, p.b)"""
+        _COPURCHASE_PAIRS_SQL,
+        "e0 AS MATERIALIZED (SELECT a, b FROM copairs)",
     ]
     census = [
         "SELECT CAST(0 AS BIGINT) AS round, (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) FROM "
@@ -2057,23 +2049,8 @@ def _kcore_oracle_sql() -> str:
     "at corpus scale.",
 )
 def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_distinct(F.collect_list("l_partkey")).alias("items")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(items, a -> transform(items,"
-                    " b -> struct(a AS a, b AS b)))), p -> p.a < p.b)"
-                )
-            ).alias("p")
-        )
-        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .select("a", "b")
-    )
+    _, copairs = _copurchase_pairs(spark, sf_dir)
+    edges = copairs.select("a", "b")
     edges = edges.localCheckpoint()  # scanned once per round, never rewritten
 
     def degrees(e: DataFrame) -> DataFrame:

@@ -1848,7 +1848,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t_all, ["term"])
         .groupBy("qid", "doc_id")
         .agg(
-            F.sum(F.expr(f"({n_docs} * 1000000) DIV df"))
+            # n_docs interpolates as an L-suffixed literal: two bare int
+            # literals multiply in 32 bits under Spark 4 ANSI and overflow
+            # past ~2147 documents (sf0.1 has 5000 — measured crash)
+            F.sum(F.expr(f"({n_docs}L * 1000000L) DIV df"))
             .cast("long")
             .alias("lex_score")
         )

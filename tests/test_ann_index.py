@@ -639,3 +639,20 @@ def test_upserted_fraction_survives_compaction(spark, tmp_path):
     live = idx._live(spark).select("vec_id", "embedding").localCheckpoint()
     idx.build(spark, live, n_cells=4)
     assert idx.upserted_fraction(spark) == 0.0
+
+
+def test_needs_rebuild_on_unbuilt_index_is_a_clear_no(spark, tmp_path):
+    """needs_rebuild on a never-built index must return the structured
+    no-decision (rebuild False, unbuilt True) instead of dying inside the
+    recall probe on a nonexistent parquet store — the guard lives in the
+    operator so EVERY caller gets it, not just the vec-health CLI."""
+    from blockchain_etl_spark.operators.ann_index import IVFIndex
+
+    decision = IVFIndex(str(tmp_path / "never_built")).needs_rebuild(spark)
+    assert decision == {
+        "rebuild": False,
+        "unbuilt": True,
+        "upserted_frac": 0.0,
+        "recall": None,
+        "probe_skipped": True,
+    }
