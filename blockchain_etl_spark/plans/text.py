@@ -1576,3 +1576,122 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(col("cnt") * F.length("word").cast("long")).alias("n_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus distribution drift — KL divergence between the unigram
+# distributions of two corpus halves, in the same WHOLE-BIT integer
+# convention the surprisal ladder uses (bitlen via length(bin(x)), no
+# cross-engine log() ulps): the distribution-shift monitor a training-
+# data pipeline runs between crawl snapshots, train vs eval splits, or
+# source mixes. Add-1 smoothing over the union vocabulary keeps every
+# term finite; per-token log-ratio ≈ bitlen(ca·Nb) − bitlen(cb·Na)
+# (cross-multiplied so no division happens before the log), and
+# KL(P‖Q) ≈ Σ ca·d / Na, reported in millibits. The bitlen approximation
+# is ±1 bit per term — plenty for MONITORING (the output is a trend
+# line, not a loss), and it makes the estimate itself hash-verifiable.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_unigram_drift",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest({_TOKENS_SQL.format(c='text')}) AS w
+      FROM documents),
+    c AS (
+      SELECT w,
+             CAST(COALESCE(SUM(CASE WHEN half = 0 THEN 1 END), 0) + 1 AS BIGINT)
+               AS ca,
+             CAST(COALESCE(SUM(CASE WHEN half = 1 THEN 1 END), 0) + 1 AS BIGINT)
+               AS cb
+      FROM tok GROUP BY w),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+          FROM c),
+    d AS (
+      SELECT ca, cb,
+             CAST(length(bin(ca * nb)) - length(bin(cb * na)) AS BIGINT) AS dab
+      FROM c CROSS JOIN t),
+    s AS (
+      SELECT CAST(SUM(ca - 1) AS BIGINT) AS n_tokens_a,
+             CAST(SUM(cb - 1) AS BIGINT) AS n_tokens_b,
+             CAST(COUNT(*) FILTER (WHERE ca > 1) AS BIGINT) AS vocab_a,
+             CAST(COUNT(*) FILTER (WHERE cb > 1) AS BIGINT) AS vocab_b,
+             CAST(COUNT(*) FILTER (WHERE ca > 1 AND cb > 1) AS BIGINT)
+               AS vocab_shared,
+             CAST(SUM(ca * dab) AS BIGINT) AS sab,
+             CAST(SUM(cb * -dab) AS BIGINT) AS sba
+      FROM d)
+    SELECT n_tokens_a, n_tokens_b, vocab_a, vocab_b, vocab_shared,
+           CAST(CASE WHEN sab < 0 THEN -((-sab) * 1000 // (SELECT na FROM t))
+                ELSE sab * 1000 // (SELECT na FROM t) END AS BIGINT)
+             AS kl_ab_millibits,
+           CAST(CASE WHEN sba < 0 THEN -((-sba) * 1000 // (SELECT nb FROM t))
+                ELSE sba * 1000 // (SELECT nb FROM t) END AS BIGINT)
+             AS kl_ba_millibits
+    FROM s
+    """,
+    survey_ops=(),
+    doc="Unigram distribution drift between the two doc_id-parity corpus "
+    "halves: add-1-smoothed KL divergence in MILLIBITS, both directions, "
+    "plus vocabulary overlap — the snapshot-vs-snapshot / train-vs-eval "
+    "distribution-shift monitor. Per-token log-ratio is the whole-bit "
+    "integer bitlen(ca·Nb) − bitlen(cb·Na) (the doc_unigram_surprisal "
+    "convention; ±1 bit per term, exact integer arithmetic so the "
+    "DIVERGENCE ESTIMATE itself hash-verifies). Negative sums route "
+    "through sign/abs (Spark div truncates, DuckDB // floors). Scale "
+    "shape: one token shuffle to the (word, half-counts) vocab, then "
+    "every remaining step runs at vocab grain with a broadcast 1-row "
+    "total — the corpus is scanned once.",
+)
+def corpus_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (col("doc_id") % 2).alias("half"),
+        F.explode(F.expr(_TOKENS.format(c="text"))).alias("w"),
+    )
+    c = tok.groupBy("w").agg(
+        (F.coalesce(F.sum(F.when(col("half") == 0, 1)), F.lit(0)) + 1)
+        .cast("long")
+        .alias("ca"),
+        (F.coalesce(F.sum(F.when(col("half") == 1, 1)), F.lit(0)) + 1)
+        .cast("long")
+        .alias("cb"),
+    )
+    c = c.localCheckpoint()  # vocab-sized; feeds totals AND the bit terms
+    t = c.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    d = c.crossJoin(broadcast(t)).select(
+        "ca",
+        "cb",
+        (F.length(F.bin(col("ca") * col("nb"))) - F.length(F.bin(col("cb") * col("na"))))
+        .cast("long")
+        .alias("dab"),
+        "na",
+        "nb",
+    )
+    s = d.agg(
+        F.sum(col("ca") - 1).cast("long").alias("n_tokens_a"),
+        F.sum(col("cb") - 1).cast("long").alias("n_tokens_b"),
+        F.count(F.when(col("ca") > 1, 1)).alias("vocab_a"),
+        F.count(F.when(col("cb") > 1, 1)).alias("vocab_b"),
+        F.count(F.when((col("ca") > 1) & (col("cb") > 1), 1)).alias("vocab_shared"),
+        F.sum(col("ca") * col("dab")).cast("long").alias("sab"),
+        F.sum(col("cb") * -col("dab")).cast("long").alias("sba"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return s.select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "vocab_a",
+        "vocab_b",
+        "vocab_shared",
+        F.expr(
+            "CAST(CASE WHEN sab < 0 THEN -((-sab) * 1000 div na)"
+            " ELSE sab * 1000 div na END AS BIGINT)"
+        ).alias("kl_ab_millibits"),
+        F.expr(
+            "CAST(CASE WHEN sba < 0 THEN -((-sba) * 1000 div nb)"
+            " ELSE sba * 1000 div nb END AS BIGINT)"
+        ).alias("kl_ba_millibits"),
+    )

@@ -86,6 +86,7 @@ QUERIES = [
     "part_price_trend",
     "part_kcore_census",
     "events_l_diversity",
+    "corpus_unigram_drift",
 ]
 
 
