@@ -1643,55 +1643,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "total — the corpus is scanned once.",
 )
 def corpus_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.drift import drift_from_counts, half_token_counts
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        (col("doc_id") % 2).alias("half"),
-        F.explode(F.expr(_TOKENS.format(c="text"))).alias("w"),
-    )
-    c = tok.groupBy("w").agg(
-        (F.coalesce(F.sum(F.when(col("half") == 0, 1)), F.lit(0)) + 1)
-        .cast("long")
-        .alias("ca"),
-        (F.coalesce(F.sum(F.when(col("half") == 1, 1)), F.lit(0)) + 1)
-        .cast("long")
-        .alias("cb"),
-    )
-    c = c.localCheckpoint()  # vocab-sized; feeds totals AND the bit terms
-    t = c.agg(
-        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
-    )
-    d = c.crossJoin(broadcast(t)).select(
-        "ca",
-        "cb",
-        (F.length(F.bin(col("ca") * col("nb"))) - F.length(F.bin(col("cb") * col("na"))))
-        .cast("long")
-        .alias("dab"),
-        "na",
-        "nb",
-    )
-    s = d.agg(
-        F.sum(col("ca") - 1).cast("long").alias("n_tokens_a"),
-        F.sum(col("cb") - 1).cast("long").alias("n_tokens_b"),
-        F.count(F.when(col("ca") > 1, 1)).alias("vocab_a"),
-        F.count(F.when(col("cb") > 1, 1)).alias("vocab_b"),
-        F.count(F.when((col("ca") > 1) & (col("cb") > 1), 1)).alias("vocab_shared"),
-        F.sum(col("ca") * col("dab")).cast("long").alias("sab"),
-        F.sum(col("cb") * -col("dab")).cast("long").alias("sba"),
-        F.max("na").alias("na"),
-        F.max("nb").alias("nb"),
-    )
-    return s.select(
-        "n_tokens_a",
-        "n_tokens_b",
-        "vocab_a",
-        "vocab_b",
-        "vocab_shared",
-        F.expr(
-            "CAST(CASE WHEN sab < 0 THEN -((-sab) * 1000 div na)"
-            " ELSE sab * 1000 div na END AS BIGINT)"
-        ).alias("kl_ab_millibits"),
-        F.expr(
-            "CAST(CASE WHEN sba < 0 THEN -((-sba) * 1000 div nb)"
-            " ELSE sba * 1000 div nb END AS BIGINT)"
-        ).alias("kl_ba_millibits"),
-    )
+    return drift_from_counts(half_token_counts(docs))
