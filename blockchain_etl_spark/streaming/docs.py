@@ -59,12 +59,27 @@ class DocIngest:
     (doc_id, chunk_seq) provenance)."""
 
     def __init__(
-        self, out_dir: str, vector_index: bool = False, component_index: bool = False
+        self,
+        out_dir: str,
+        vector_index: bool = False,
+        component_index: bool = False,
+        drift_state: bool = False,
     ):
         self.out_dir = out_dir
         self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
         self.index = MinHashIndex(os.path.join(out_dir, "mh_index"))
         self.chunk_df = ChunkDFIndex(os.path.join(out_dir, "chunk_df"))
+        # opt-in distribution telemetry (``drift_state/``): per-half
+        # unigram counters folded per batch; read_drift() stays
+        # bit-identical to the batch KL over the clean corpus
+        # (operators/vocab_state.py)
+        from ..operators.vocab_state import UnigramDriftState
+
+        self.drift = (
+            UnigramDriftState(os.path.join(out_dir, "drift_state"))
+            if drift_state
+            else None
+        )
         # opt-in retrieval plane: chunk → feature-hash vector → IVF index
         # (``vec_index/``), the streaming end of chunk_retrieval_ivf
         from ..operators.ann_index import IVFIndex
@@ -127,6 +142,15 @@ class DocIngest:
                 spark, fresh.select("doc_id"), watermark=batch_id
             )
         self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        if self.drift is not None:
+            # distribution telemetry: fold ONLY the docs that actually
+            # entered the corpus (post quality + dedup), so the maintained
+            # KL equals the batch drift over read_corpus() exactly; its
+            # own watermark makes the fold replay-safe like every index
+            # above (the hash merge below still commits last)
+            self.drift.fold(
+                spark, fresh.select("doc_id", "text"), watermark=batch_id
+            )
         if self.vectors is not None:
             # retrieval plane: every fresh doc's chunks feature-hashed to
             # dense vectors and folded into the persisted IVF index —

@@ -233,3 +233,29 @@ def test_streamed_vector_index_serves_every_live_chunk(spark, tmp_path):
         if r.vec_id // _CR_SEQ_CAP == 3
     }
     assert inv_ids == new_ids, inv_ids ^ new_ids
+
+
+def test_streamed_drift_state_equals_batch_over_clean_corpus(spark, tmp_path):
+    """DocIngest(drift_state=True): after any batch sequence (including a
+    replay), the maintained drift report must BIT-match the batch KL
+    computed over exactly the docs that entered the corpus — the
+    functions/drift.py single-implementation contract, through the real
+    ingest path."""
+    from blockchain_etl_spark.functions.drift import (
+        drift_from_counts,
+        half_token_counts,
+    )
+
+    docs = _docs(spark).cache()
+    ing = DocIngest(str(tmp_path / "drift_lake"), drift_state=True)
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 10**9)]):
+        ing.process_batch(
+            docs.filter((col("doc_id") >= lo) & (col("doc_id") < hi)), i
+        )
+    ing.process_batch(docs.filter(col("doc_id") >= 400), 2)  # replay: no-op
+    got = ing.drift.read_drift(spark).collect()
+    want = drift_from_counts(
+        half_token_counts(ing.read_corpus(spark).select("doc_id", "text"))
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got[0].n_tokens_a > 0 and got[0].n_tokens_b > 0
