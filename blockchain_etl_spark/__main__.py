@@ -301,6 +301,28 @@ def cmd_splits(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Read the MAINTAINED distribution-drift report from a DocIngest
+    directory (drift_state=True layout): the add-1-smoothed whole-bit KL
+    between the corpus halves, fresh as of the last streamed batch — no
+    corpus rescan (operators/vocab_state.py)."""
+    import os
+
+    from .operators.vocab_state import UnigramDriftState
+
+    st = UnigramDriftState(os.path.join(args.dir, "drift_state"))
+    spark = _spark()
+    df = st.read_drift(spark)
+    if df is None:
+        print("no maintained drift state at", args.dir)
+        return 1
+    print(f"folded through batch watermark {st.watermark()}")
+    for row in df.collect():
+        for k, v in row.asDict().items():
+            print(f"{k}: {v}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blockchain_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -374,6 +396,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--n-queries", type=int, default=16)
     s.set_defaults(fn=cmd_vec_health)
+
+    s = sub.add_parser("drift", help="maintained unigram distribution-drift report from a DocIngest dir")
+    s.add_argument("--dir", required=True)
+    s.set_defaults(fn=cmd_drift)
 
     s = sub.add_parser("splits", help="maintained leakage-safe train/val/test splits from a DocIngest dir")
     s.add_argument("--dir", required=True, help="DocIngest out_dir (component_index=True layout)")

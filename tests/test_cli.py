@@ -194,3 +194,18 @@ def test_cli_splits(spark, tmp_path, capsys):
     assert "'split':" in out and "n_components" in out
     # empty layout → clear failure, not a stack trace
     assert main(["splits", "--dir", str(tmp_path / "nothing")]) == 1
+
+
+def test_cli_drift(spark, tmp_path, capsys):
+    """drift reads the MAINTAINED distribution report from a DocIngest
+    layout — no corpus rescan; empty layout fails clearly."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(str(tmp_path / "dr"), drift_state=True)
+    tail = " ".join(f"w{i}x{i * 7 % 5}" for i in range(200))
+    rows = [(i, f"{tail} doc{i}") for i in range(4)]
+    ing.process_batch(spark.createDataFrame(rows, ["doc_id", "text"]), batch_id=1)
+    assert main(["drift", "--dir", str(tmp_path / "dr")]) == 0
+    out = capsys.readouterr().out
+    assert "kl_ab_millibits:" in out and "folded through batch watermark 1" in out
+    assert main(["drift", "--dir", str(tmp_path / "nothing")]) == 1
