@@ -1,0 +1,251 @@
+"""Lexical retrieval plane: fixed-point BM25 ranking over the documents
+corpus — the sparse-retrieval counterpart of the dense plane
+(plans/similarity.py knn_* / chunk_retrieval_ivf) and the scoring model the
+hybrid RRF query's lexical path approximates with plain IDF.
+
+The whole scorer is integer arithmetic (ppm fixed point) so the DuckDB
+oracle hash-verifies ranks AND scores:
+
+- ``idf_ppm  = ((N - df) * 1e6) // (df + 1) + 1e6`` — the Robertson
+  ``(N - df + 0.5) / (df + 0.5)`` shape rationalized to integers; strictly
+  positive, monotone decreasing in df.
+- ``K_ppm    = k1 * (1 - b + b * dl/avgdl)`` in ppm with k1 = 1.2,
+  b = 0.75 (the classic defaults).
+- ``tf_sat   = tf * (k1 + 1) / (tf + K)`` in ppm — the BM25 saturation.
+- ``score_fp = Σ_terms (idf_ppm * tf_sat_ppm) // 1e6``.
+
+Headroom: idf_ppm ≤ N·5e5 and tf_sat_ppm ≤ 2.2e6, so the per-term product
+stays inside int64 up to N ≈ 4e6 documents per scored corpus; beyond that
+swap the accumulator to DECIMAL(38,0) — the spec (floor division, positive
+operands) is unchanged. All divisions have nonnegative operands, so Spark's
+truncating ``div`` and DuckDB's flooring ``//`` agree exactly.
+
+Scale shape: the corpus contributes one (doc, term) tf aggregate and one
+doc-length aggregate, both map-side combinable; query term sets are
+probe-sized broadcasts; candidate generation joins query terms against the
+tf table with stop terms (df > N/10 + 1) excluded, so the term-join fan-out
+is df-bounded — never query × corpus. This is the same rare-first pruning
+as the SSJoin prefix filter and the RRF lexical path.
+
+Reference parity: the reference's API tier does name/term search with
+PostgreSQL trigram + ts_rank over inventory tables
+(src/be_db_gateway.erl:115, migrations add GIN indexes); BM25 over the
+maintained postings state (operators/lexical_index.py) is the same
+"search the maintained index, never rescan the lake" contract expressed
+as the standard ranking function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..sources.testdata import load_table
+from .registry import register
+
+_BM25_K1 = 1_200_000  # k1 = 1.2 ppm
+_BM25_B = 750_000  # b = 0.75 ppm
+_BM25_QMOD = 97  # query docs: doc_id % QMOD == 0 (known-item probes)
+_BM25_K = 10  # top-k per query
+_BM25_GATE_QMOD = 40  # maintained gate: denser probes over the %4 scope
+
+
+def term_freq_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) over word-3-gram shingle terms WITH multiplicity.
+
+    Unigram df carries no signal on this corpus (30-word vocabulary, every
+    token near-ubiquitous) — the same reason the hybrid-RRF lexical path
+    and the whole Jaccard family shingle first. Unlike the dedup family's
+    shingle builder this one keeps MULTIPLICITY (no array_distinct): tf is
+    what BM25's saturation term saturates over."""
+    rows = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(toks, (w, i) ->"
+                " IF(i <= size(toks) - 3,"
+                " concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]), NULL)),"
+                " s -> s IS NOT NULL)"
+            )
+        ).alias("term"),
+    )
+    return rows.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def bm25_rank_frames(
+    tf: DataFrame, qmod: int = _BM25_QMOD, k: int = _BM25_K
+) -> DataFrame:
+    """Rank the corpus against every query doc (doc_id % qmod == 0) with
+    fixed-point BM25 over a (doc_id, term, tf) frame.
+
+    Shared by the batch query (tf computed from the corpus) and the
+    maintained-index gate (tf read from LexicalIndex state), so the two
+    paths agree by construction — only the provenance of ``tf`` differs.
+    """
+    tf = tf.localCheckpoint()  # consumers: dl, dfreq, query side, corpus side
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, total_len = int(row["n"]), int(row["tot"])
+    avgdl_ppm = total_len * 1_000_000 // n_docs
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    informative = dfreq.filter(col("df") <= F.lit(n_docs // 10 + 1))
+    qt = (
+        tf.filter(col("doc_id") % qmod == 0)
+        .select(col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    cand = (
+        tf.join(F.broadcast(qt.join(informative, ["term"])), ["term"])
+        .join(dl, ["doc_id"])
+        .withColumn(
+            "__k_ppm",
+            F.expr(
+                f"({_BM25_K1}L * (1000000L - {_BM25_B}L"
+                f" + ({_BM25_B}L * ((dl * 1000000000000L) div {avgdl_ppm}L))"
+                f" div 1000000L)) div 1000000L"
+            ),
+        )
+        .withColumn(
+            "__tf_sat_ppm",
+            F.expr(
+                f"(tf * {_BM25_K1 + 1_000_000}L * 1000000L)"
+                f" div (tf * 1000000L + __k_ppm)"
+            ),
+        )
+        .withColumn(
+            "__idf_ppm",
+            F.expr(f"((({n_docs}L - df) * 1000000L) div (df + 1L)) + 1000000L"),
+        )
+    )
+    scored = cand.groupBy("qid", "doc_id").agg(
+        F.sum(F.expr("(__idf_ppm * __tf_sat_ppm) div 1000000L"))
+        .cast("long")
+        .alias("score_fp")
+    )
+    w = Window.partitionBy("qid").orderBy(col("score_fp").desc(), "doc_id")
+    return (
+        scored.withColumn("bm25_rank", F.row_number().over(w).cast("long"))
+        .filter(col("bm25_rank") <= k)
+    )
+
+
+def _bm25_sql(where: str, qmod: int, k: int) -> str:
+    """DuckDB oracle mirroring bm25_rank_frames exactly (floor division on
+    strictly nonnegative operands == Spark's truncating div)."""
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 2
+                        THEN toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2] END),
+                 s -> s IS NOT NULL)) AS term
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             w -> length(w) > 0) AS toks
+          FROM documents {where}) t) z
+      GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     (CAST(SUM(dl) AS BIGINT) * 1000000)
+                       // CAST(COUNT(*) AS BIGINT) AS avgdl_ppm
+              FROM dl),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    informative AS (SELECT term, df FROM dfreq, stats
+                    WHERE df <= n // 10 + 1),
+    qt AS (SELECT DISTINCT doc_id AS qid, term FROM tf
+           WHERE doc_id % {qmod} = 0),
+    scored AS (
+      SELECT qid, t.doc_id,
+             CAST(SUM(
+               (((n - df) * 1000000) // (df + 1) + 1000000)
+               * ((t.tf * {_BM25_K1 + 1_000_000} * 1000000)
+                  // (t.tf * 1000000
+                      + ({_BM25_K1} * (1000000 - {_BM25_B}
+                           + ({_BM25_B} * ((d.dl * 1000000000000)
+                                           // avgdl_ppm)) // 1000000))
+                        // 1000000))
+               // 1000000) AS BIGINT) AS score_fp
+      FROM qt
+      JOIN informative i USING (term)
+      JOIN tf t USING (term)
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats
+      GROUP BY qid, t.doc_id)
+    SELECT qid, doc_id, score_fp,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score_fp DESC, doc_id) AS BIGINT) AS bm25_rank
+    FROM scored QUALIFY bm25_rank <= {k}
+    """
+
+
+@register(
+    "retrieval_bm25_topk",
+    sql=_bm25_sql("", _BM25_QMOD, _BM25_K),
+    survey_ops=(),
+    doc="BM25 top-k lexical retrieval in ppm fixed point (k1=1.2, b=0.75, "
+    "rationalized Robertson idf): every doc_id % 97 == 0 document is a "
+    "known-item probe whose term set ranks the corpus; stop terms "
+    "(df > N/10 + 1) are excluded from candidate generation so term-join "
+    "fan-out is df-bounded. Integer scores make the hash cover the full "
+    "scoring arithmetic, not just the ordering. Scale shape: one "
+    "map-side-combinable (doc, term) tf aggregate over the corpus, "
+    "broadcast probe-term frame, shuffle only on term and (qid, doc).",
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_rank_frames(term_freq_rows(docs))
+
+
+@register(
+    "retrieval_bm25_maintained",
+    sql=_bm25_sql("WHERE doc_id % 4 = 0", _BM25_GATE_QMOD, _BM25_K),
+    survey_ops=(),
+    doc="Maintained-postings BM25 gate: the doc_id % 4 == 0 corpus slice "
+    "is ingested in TWO batches into a persisted LexicalIndex "
+    "(operators/lexical_index.py — watermark-guarded postings + doc-length "
+    "state), then ranked by reading the MAINTAINED postings — never the "
+    "corpus — through the same bm25_rank_frames scorer as the batch "
+    "query. The oracle recomputes BM25 from the raw slice, so a hash "
+    "match proves the incrementally-built index state is exactly the "
+    "batch tf table. This is the serving contract of a streaming search "
+    "index at 100 TB: per-crawl delta maintenance, query-time work "
+    "bounded by postings of the probe terms.",
+)
+def retrieval_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.lexical_index import LexicalIndex
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(col("doc_id") % 4 == 0)
+    )
+    base = tempfile.mkdtemp(prefix="lex_index_gate_")
+    try:
+        ix = LexicalIndex(os.path.join(base, "lex"))
+        b1 = docs.filter(F.expr("(doc_id div 4) % 2 = 0"))
+        b2 = docs.filter(F.expr("(doc_id div 4) % 2 = 1"))
+        for wm, b in ((1, b1), (2, b2)):
+            ix.upsert(spark, b, watermark=wm)
+        out = ix.bm25_topk(spark, qmod=_BM25_GATE_QMOD, k=_BM25_K)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -215,5 +215,6 @@ def _load_all() -> None:
     from . import olap  # noqa: F401
     from . import quality  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import lexical  # noqa: F401
 
     _LOADED = True

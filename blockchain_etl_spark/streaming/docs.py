@@ -64,6 +64,7 @@ class DocIngest:
         vector_index: bool = False,
         component_index: bool = False,
         drift_state: bool = False,
+        lexical_index: bool = False,
     ):
         self.out_dir = out_dir
         self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
@@ -96,6 +97,17 @@ class DocIngest:
         self.components = (
             ComponentIndex(os.path.join(out_dir, "comp_index"), self.index)
             if component_index
+            else None
+        )
+        # opt-in lexical retrieval plane (``lex_index/``): BM25 postings +
+        # doc lengths maintained per crawl, the sparse twin of vec_index —
+        # retrieval_bm25_maintained is the driver-verified contract
+        # (operators/lexical_index.py)
+        from ..operators.lexical_index import LexicalIndex
+
+        self.lexical = (
+            LexicalIndex(os.path.join(out_dir, "lex_index"))
+            if lexical_index
             else None
         )
 
@@ -142,6 +154,14 @@ class DocIngest:
                 spark, fresh.select("doc_id"), watermark=batch_id
             )
         self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        if self.lexical is not None:
+            # lexical retrieval plane: the fresh docs' shingle postings and
+            # lengths replace any prior crawl of the same ids; its own
+            # watermark keeps the replacement replay-safe (the hash merge
+            # below still commits last)
+            self.lexical.upsert(
+                spark, fresh.select("doc_id", "text"), watermark=batch_id
+            )
         if self.drift is not None:
             # distribution telemetry: fold ONLY the docs that actually
             # entered the corpus (post quality + dedup), so the maintained

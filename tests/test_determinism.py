@@ -87,6 +87,10 @@ QUERIES = [
     "part_kcore_census",
     "events_l_diversity",
     "corpus_unigram_drift",
+    # round 8: fixed-point BM25 (scalar-stat interpolation, top-k ties),
+    # maintained-postings serving path (merge fold ordering)
+    "retrieval_bm25_topk",
+    "retrieval_bm25_maintained",
 ]
 
 

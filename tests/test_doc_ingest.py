@@ -259,3 +259,30 @@ def test_streamed_drift_state_equals_batch_over_clean_corpus(spark, tmp_path):
     ).collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
     assert got[0].n_tokens_a > 0 and got[0].n_tokens_b > 0
+
+
+def test_streamed_lexical_index_equals_batch_over_clean_corpus(spark, tmp_path):
+    """DocIngest(lexical_index=True): after any batch sequence (including a
+    replay), the maintained BM25 postings must equal a batch tokenize of
+    exactly the docs that entered the corpus — the serving state behind
+    retrieval_bm25_maintained, through the real ingest path."""
+    from blockchain_etl_spark.plans.lexical import term_freq_rows
+
+    docs = _docs(spark).cache()
+    ing = DocIngest(str(tmp_path / "lex_lake"), lexical_index=True)
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 10**9)]):
+        ing.process_batch(
+            docs.filter((col("doc_id") >= lo) & (col("doc_id") < hi)), i
+        )
+    ing.process_batch(docs.filter(col("doc_id") >= 400), 2)  # replay: no-op
+    got = {
+        (r.term, r.doc_id, r.tf)
+        for r in ing.lexical.term_frequencies(spark).collect()
+    }
+    want = {
+        (r.term, r.doc_id, r.tf)
+        for r in term_freq_rows(
+            ing.read_corpus(spark).select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want
