@@ -193,6 +193,177 @@ def _bm25_sql(where: str, qmod: int, k: int) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Language-model quality telemetry: trigram stupid-backoff next-token
+# prediction, evaluated as argmax ACCURACY so the whole metric is integer
+# counting (no float probabilities to hash-diverge). Train = even doc_ids,
+# heldout = odd; for each heldout trigram occurrence the model predicts the
+# next token from the deepest available context:
+#   level 3: argmax over train trigram counts of the (w1, w2) context,
+#   level 2: argmax over train bigram continuations of w2,
+#   level 1: the global train unigram argmax.
+# Ties break (count DESC, token ASC) — deterministic in both engines. This
+# is the eval loop a data pipeline runs to compare corpus mixes: a better
+# mix raises heldout next-token accuracy; the per-level split shows how
+# often the model even HAS the context (coverage drives the backoff rate).
+# Scale shape: train tables are corpus-sized aggregates reduced to one
+# argmax row per context (window row_number), heldout scoring is two
+# context-key hash joins + one broadcast scalar — never corpus x vocab.
+# --------------------------------------------------------------------------
+
+_LM_TRI_SQL = """
+      SELECT doc_id,
+             string_split(tg, ' ')[1] AS w1,
+             string_split(tg, ' ')[2] AS w2,
+             string_split(tg, ' ')[3] AS w3
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 2
+                        THEN toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2] END),
+                 s -> s IS NOT NULL)) AS tg
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             w -> length(w) > 0) AS toks
+          FROM documents) t) u
+"""
+
+
+@register(
+    "lm_backoff_next_token_eval",
+    sql=f"""
+    WITH tri AS ({_LM_TRI_SQL}),
+    train AS (SELECT w1, w2, w3 FROM tri WHERE doc_id % 2 = 0),
+    held AS (SELECT w1, w2, w3 FROM tri WHERE doc_id % 2 = 1),
+    c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM train GROUP BY w1, w2, w3),
+    best3 AS (
+      SELECT w1, w2, w3 AS pred3 FROM c3
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY w1, w2
+                                 ORDER BY cnt DESC, w3) = 1),
+    c2 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM train GROUP BY w2, w3),
+    best2 AS (
+      SELECT w2, w3 AS pred2 FROM c2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY w2
+                                 ORDER BY cnt DESC, w3) = 1),
+    c1 AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS cnt FROM train GROUP BY w3),
+    best1 AS (
+      SELECT w3 AS pred1 FROM c1
+      QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, w3) = 1),
+    scored AS (
+      SELECT CAST(CASE WHEN pred3 IS NOT NULL THEN 3
+                       WHEN pred2 IS NOT NULL THEN 2
+                       ELSE 1 END AS BIGINT) AS backoff_level,
+             CASE WHEN COALESCE(pred3, pred2, pred1) = held.w3
+                  THEN 1 ELSE 0 END AS ok
+      FROM held
+      LEFT JOIN best3 USING (w1, w2)
+      LEFT JOIN best2 USING (w2)
+      CROSS JOIN best1)
+    SELECT backoff_level,
+           CAST(COUNT(*) AS BIGINT) AS n_cases,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           (CAST(SUM(ok) AS BIGINT) * 1000000)
+             // CAST(COUNT(*) AS BIGINT) AS acc_ppm
+    FROM scored
+    GROUP BY backoff_level
+    """,
+    survey_ops=(),
+    doc="Trigram stupid-backoff next-token eval: even doc_ids train the "
+    "count tables, odd doc_ids are scored by argmax prediction at the "
+    "deepest seen context (trigram -> bigram-continuation -> global "
+    "unigram), ties (count DESC, token ASC). Output = cases/correct/"
+    "accuracy-ppm per backoff level, pure integer counting. The corpus-mix "
+    "eval loop: accuracy moves with mix quality, the level split exposes "
+    "context coverage. Train tables reduce to one argmax row per context "
+    "before any heldout join; heldout scoring is context-key hash joins "
+    "plus one broadcast scalar.",
+)
+def lm_backoff_next_token_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_backoff_eval_frames(docs)
+
+
+def lm_backoff_eval_frames(docs: DataFrame) -> DataFrame:
+    """Core of lm_backoff_next_token_eval over any (doc_id, text) frame —
+    factored out so tests can force every backoff level with synthetic
+    vocabularies (tests/test_lexical_index.py)."""
+    tri = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("toks"),
+        )
+        .filter(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(toks) - 1), i ->"
+                    " struct(toks[i - 2] AS w1, toks[i - 1] AS w2,"
+                    " toks[i] AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    tri = tri.localCheckpoint()  # consumers: 3 train tables + heldout
+    train = tri.filter(col("doc_id") % 2 == 0).select("w1", "w2", "w3")
+    held = tri.filter(col("doc_id") % 2 == 1).select("w1", "w2", "w3")
+    c3 = train.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w3w = Window.partitionBy("w1", "w2").orderBy(col("cnt").desc(), "w3")
+    best3 = (
+        c3.withColumn("__rn", F.row_number().over(w3w))
+        .filter(col("__rn") == 1)
+        .select("w1", "w2", col("w3").alias("pred3"))
+    )
+    c2 = train.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w2w = Window.partitionBy("w2").orderBy(col("cnt").desc(), "w3")
+    best2 = (
+        c2.withColumn("__rn", F.row_number().over(w2w))
+        .filter(col("__rn") == 1)
+        .select("w2", col("w3").alias("pred2"))
+    )
+    c1 = train.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w1w = Window.orderBy(col("cnt").desc(), "w3")
+    best1 = (
+        c1.withColumn("__rn", F.row_number().over(w1w))
+        .filter(col("__rn") == 1)
+        .select(col("w3").alias("pred1"))
+    )
+    scored = (
+        # best3 is context-grain (vocab²-bounded) — no forced broadcast;
+        # AQE picks BHJ when it fits, SMJ on the context key when it won't
+        held.join(best3, ["w1", "w2"], "left")
+        .join(F.broadcast(best2), ["w2"], "left")
+        .crossJoin(F.broadcast(best1))
+        .select(
+            F.expr(
+                "CAST(CASE WHEN pred3 IS NOT NULL THEN 3"
+                " WHEN pred2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)"
+            ).alias("backoff_level"),
+            F.expr(
+                "CASE WHEN coalesce(pred3, pred2, pred1) = w3"
+                " THEN 1 ELSE 0 END"
+            ).alias("ok"),
+        )
+    )
+    return scored.groupBy("backoff_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cases"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        F.expr(
+            "(CAST(SUM(ok) AS BIGINT) * 1000000L) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )
+
+
 @register(
     "retrieval_bm25_topk",
     sql=_bm25_sql("", _BM25_QMOD, _BM25_K),

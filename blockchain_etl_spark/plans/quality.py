@@ -732,3 +732,149 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_homogeneity_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit — the third privacy release gate: a QI group can be
+# large (passes k-anonymity) and diverse (passes l-diversity) yet still
+# leak when its sensitive-value DISTRIBUTION differs sharply from the
+# table-wide one (skewness attack: "this group skews to the top value
+# band"). t-closeness bounds the earth-mover's distance between each
+# group's distribution and the global distribution. The sensitive
+# attribute here is ORDERED (event value band), so EMD has the closed
+# form (1/(m-1)) * Σ_i |cumsum_i(p) - cumsum_i(q)| over the m ordered
+# bins — pure integer arithmetic in ppm.
+# --------------------------------------------------------------------------
+_T_CLOSE_PPM = 200_000  # t = 0.2
+_T_BINS = 10  # ordered 50-unit value bands, top band open
+
+
+@register(
+    "events_t_closeness",
+    sql=f"""
+    WITH e AS (
+      SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+             user_id % 1000 AS user_bucket,
+             LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000,
+                   {_T_BINS - 1}) AS bin
+      FROM events),
+    gb AS (SELECT hour_of_day, user_bucket, bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM e GROUP BY 1, 2, 3),
+    grp AS (SELECT hour_of_day, user_bucket, CAST(SUM(n) AS BIGINT) AS grp_n
+            FROM gb GROUP BY 1, 2),
+    gdist AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS gn FROM gb GROUP BY bin),
+    tot AS (SELECT CAST(SUM(gn) AS BIGINT) AS total FROM gdist),
+    bins AS (SELECT unnest(generate_series(0, {_T_BINS - 1})) AS bin),
+    dense AS (
+      SELECT g.hour_of_day, g.user_bucket, b.bin, g.grp_n,
+             COALESCE(gb.n, 0) AS n
+      FROM grp g CROSS JOIN bins b
+      LEFT JOIN gb ON gb.hour_of_day = g.hour_of_day
+                  AND gb.user_bucket = g.user_bucket AND gb.bin = b.bin),
+    cums AS (
+      SELECT hour_of_day, user_bucket, bin, grp_n,
+             (CAST(SUM(n) OVER (PARTITION BY hour_of_day, user_bucket
+                    ORDER BY bin) AS BIGINT) * 1000000) // grp_n AS cum_g_ppm,
+             (CAST(SUM(COALESCE(gl.gn, 0)) OVER (PARTITION BY hour_of_day,
+                    user_bucket ORDER BY bin) AS BIGINT) * 1000000)
+               // total AS cum_all_ppm
+      FROM dense LEFT JOIN gdist gl USING (bin) CROSS JOIN tot),
+    emd AS (
+      SELECT hour_of_day, user_bucket, grp_n,
+             CAST(SUM(ABS(cum_g_ppm - cum_all_ppm)) AS BIGINT)
+               // {_T_BINS - 1} AS emd_ppm
+      FROM cums GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(emd_ppm) AS BIGINT) AS worst_emd_ppm,
+           COUNT(*) FILTER (WHERE emd_ppm > {_T_CLOSE_PPM})
+             AS n_groups_above_t,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE emd_ppm > {_T_CLOSE_PPM}),
+                         0) AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE emd_ppm > {_T_CLOSE_PPM}),
+                         0) * 1000000 // SUM(grp_n) AS BIGINT) AS risk_ppm
+    FROM emd
+    """,
+    survey_ops=(),
+    doc=f"t-closeness release gate (t=0.2) with the same quasi-identifier "
+    "as the k-anonymity/l-diversity gates (hour-of-day, user bucket) and "
+    f"ORDERED value bands (50-unit, {_T_BINS} bins) as the sensitive "
+    "attribute: per-group earth-mover's distance to the global "
+    "distribution via the cumulative-sum closed form, all ppm integers. "
+    "Catches the skewness attack the other two gates miss. Scale shape: "
+    "one (QI, bin) aggregate over rows, then everything is group-grain — "
+    "the dense frame is groups x a constant 10 bins (explicit cross "
+    "join), cumsums are 10-row windows, and the gate is a 1-row reduce. "
+    "abs() operates on a ppm DIFFERENCE computed by subtraction — no "
+    "negative division anywhere, so Spark div == DuckDB //.",
+)
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        (col("user_id") % 1000).alias("user_bucket"),
+        F.expr(
+            f"LEAST(CAST(ROUND(value * 100) AS BIGINT) div 5000L,"
+            f" {_T_BINS - 1}L)"
+        ).alias("bin"),
+    )
+    gb = e.groupBy("hour_of_day", "user_bucket", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    gb = gb.localCheckpoint()  # consumers: group totals, global, dense join
+    grp = gb.groupBy("hour_of_day", "user_bucket").agg(
+        F.sum("n").cast("long").alias("grp_n")
+    )
+    glob = gb.groupBy("bin").agg(F.sum("n").cast("long").alias("gn"))
+    total = glob.agg(F.sum("gn")).collect()[0][0]
+    bins = spark.range(_T_BINS).select(col("id").cast("long").alias("bin"))
+    dense = (
+        grp.crossJoin(broadcast(bins))
+        .join(gb, ["hour_of_day", "user_bucket", "bin"], "left")
+        .select(
+            "hour_of_day",
+            "user_bucket",
+            "bin",
+            "grp_n",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .join(broadcast(glob), ["bin"], "left")
+        .select(
+            "hour_of_day", "user_bucket", "bin", "grp_n", "n",
+            F.coalesce("gn", F.lit(0)).cast("long").alias("gn"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("hour_of_day", "user_bucket")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = dense.select(
+        "hour_of_day",
+        "user_bucket",
+        "grp_n",
+        F.sum("n").over(wcum).cast("long").alias("cum_n"),
+        F.sum("gn").over(wcum).cast("long").alias("cum_gn"),
+    ).select(
+        "hour_of_day",
+        "user_bucket",
+        "grp_n",
+        F.expr("(cum_n * 1000000L) div grp_n").alias("cum_g_ppm"),
+        F.expr(f"(cum_gn * 1000000L) div {total}L").alias("cum_all_ppm"),
+    )
+    emd = cums.groupBy("hour_of_day", "user_bucket", "grp_n").agg(
+        F.expr(
+            f"CAST(SUM(ABS(cum_g_ppm - cum_all_ppm)) AS BIGINT)"
+            f" div {_T_BINS - 1}L"
+        ).alias("emd_ppm")
+    )
+    above = F.when(col("emd_ppm") > _T_CLOSE_PPM, col("grp_n"))
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("emd_ppm").cast("long").alias("worst_emd_ppm"),
+        F.count(above).alias("n_groups_above_t"),
+        F.coalesce(F.sum(above), F.lit(0)).cast("long").alias("n_rows_at_risk"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN emd_ppm > {_T_CLOSE_PPM}"
+            " THEN grp_n END), 0) * 1000000 div SUM(grp_n) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )

@@ -1922,3 +1922,117 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "fused_rank", F.row_number().over(wf).cast("long")
     ).filter(col("fused_rank") <= _RRF_K_OUT)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation eval: how much recall does a
+# prefix of the embedding retain? Rank the corpus by cosine over the
+# first d coordinates (d = 8/16/32) and measure recall@k against the
+# full-dim exact top-k. The decision this feeds at 100 TB: a 8x-16x
+# smaller coarse index (IVF cells, shortlists, cache tiers) built on
+# prefixes — the same "measure, don't guess" loop as knn_recall_eval /
+# pq_recall_eval, aimed at the truncation knob instead of the quantizer.
+# Truncated cosines use the SAME exact fixed-point dot spec as the
+# brute-force baseline, with norms over the SAME prefix (a truncated
+# ranking must be self-consistent, not full-norm-scaled).
+# --------------------------------------------------------------------------
+_TRUNC_DIMS = (8, 16, 32)
+
+
+@register(
+    "embedding_dim_truncation_recall",
+    sql=f"""
+    WITH exact AS ({_registered_sql("knn_cosine_bruteforce")}),
+    dimsrc AS (SELECT unnest([{", ".join(str(d) for d in _TRUNC_DIMS)}])
+                 AS dims),
+    prs AS (
+      SELECT dims, q.vec_id AS qid, e.vec_id AS neighbor_id,
+             unnest(q.embedding[1:dims]) AS qv,
+             unnest(e.embedding[1:dims]) AS cv
+      FROM embeddings q, embeddings e, dimsrc
+      WHERE q.vec_id < {_N_QUERIES} AND e.vec_id <> q.vec_id),
+    gp AS (
+      SELECT dims, qid, neighbor_id,
+             CAST(SUM(CAST(ROUND(CAST(qv AS DOUBLE) * CAST(cv AS DOUBLE)
+                                 * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot,
+             sqrt(CAST(SUM(CAST(ROUND(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)
+                                 * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS qn,
+             sqrt(CAST(SUM(CAST(ROUND(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)
+                                 * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) AS cn
+      FROM prs GROUP BY dims, qid, neighbor_id),
+    ranked AS (
+      SELECT dims, qid, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY dims, qid
+                                ORDER BY dot / (qn * cn) DESC,
+                                         neighbor_id) AS rnk
+      FROM gp),
+    approx AS (SELECT dims, qid, neighbor_id FROM ranked
+               WHERE rnk <= {_TOP_K})
+    SELECT CAST(dims AS BIGINT) AS dims,
+           CAST(COUNT(DISTINCT a.qid) AS BIGINT) AS n_queries,
+           CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(e.neighbor_id) * 1000000
+                // (COUNT(DISTINCT a.qid) * {_TOP_K}) AS BIGINT) AS recall_ppm
+    FROM approx a
+    LEFT JOIN exact e
+      ON e.qid = a.qid AND e.neighbor_id = a.neighbor_id
+    GROUP BY dims
+    """,
+    survey_ops=(),
+    doc="Dimension-truncation recall eval (Matryoshka check): per "
+    "truncation d in (8, 16, 32), rank the corpus by cosine over the "
+    "first d coordinates (exact fixed-point dots, prefix norms) and "
+    "report recall@k vs the full-dim brute-force top-k, as integer ppm. "
+    "Scale shape: one broadcast-query pair frame reused across all three "
+    "truncations (the slices are projections, not new scans); the "
+    "comparison join is k x |queries| x |dims| rows.",
+)
+def embedding_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.localCheckpoint()  # pair stream + broadcast query side
+    queries = corpus.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("qid"), col("embedding").alias("qe")
+    )
+    pairs = corpus.join(F.broadcast(queries), col("vec_id") != col("qid"))
+    pairs = pairs.localCheckpoint()  # reused by all three truncations
+    per_d = []
+    for d in _TRUNC_DIMS:
+        qs, cs = f"slice(qe, 1, {d})", f"slice(embedding, 1, {d})"
+        cosine = F.expr(_DOT.format(a=qs, b=cs)) / (
+            F.sqrt(F.expr(_DOT.format(a=qs, b=qs)))
+            * F.sqrt(F.expr(_DOT.format(a=cs, b=cs)))
+        )
+        per_d.append(
+            pairs.select(
+                F.lit(d).cast("long").alias("dims"),
+                "qid",
+                col("vec_id").alias("neighbor_id"),
+                cosine.alias("cosine"),
+            )
+        )
+    tr = per_d[0]
+    for p in per_d[1:]:
+        tr = tr.unionByName(p)
+    w = Window.partitionBy("dims", "qid").orderBy(
+        col("cosine").desc(), "neighbor_id"
+    )
+    approx = (
+        tr.withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= _TOP_K)
+        .select("dims", "qid", "neighbor_id")
+    )
+    hit = knn_cosine_bruteforce(spark, sf_dir).select(
+        "qid", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        approx.join(hit, ["qid", "neighbor_id"], "left")
+        .groupBy("dims")
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count("__hit").cast("long").alias("n_hit"),
+            F.expr(
+                f"CAST(COUNT(__hit) * 1000000 div"
+                f" (COUNT(DISTINCT qid) * {_TOP_K}) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -91,6 +91,11 @@ QUERIES = [
     # maintained-postings serving path (merge fold ordering)
     "retrieval_bm25_topk",
     "retrieval_bm25_maintained",
+    # round 8 continued: argmax tie-breaks across backoff tables, dense
+    # bin cross-join cumsums, truncated-cosine window ties
+    "lm_backoff_next_token_eval",
+    "events_t_closeness",
+    "embedding_dim_truncation_recall",
 ]
 
 

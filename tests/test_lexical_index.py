@@ -114,3 +114,29 @@ def test_serving_path_equals_batch_scorer(spark, tmp_path):
     assert sorted(map(tuple, served.collect()), key=lambda t: t[:2]) == sorted(
         map(tuple, batch.collect()), key=lambda t: t[:2]
     )
+
+
+def test_lm_backoff_levels_and_tie_breaks(spark):
+    """Force every backoff level: trigram hit, bigram-continuation hit,
+    unigram fallback — and the (count DESC, token ASC) tie-break."""
+    from blockchain_etl_spark.plans.lexical import lm_backoff_eval_frames
+
+    rows = [
+        # train (even ids): trigram (a b -> c) dominates; tie between
+        # (t u -> p) and (t u -> q) breaks to 'p' (token ASC)
+        (0, "a b c a b c t u p t u q"),
+        # held (odd ids):
+        (1, "a b c"),      # level 3, correct
+        (3, "t u p"),      # level 3 tie-break -> p, correct
+        (5, "q b x"),      # (q,b) unseen ctx, b seen as bigram ctx -> level 2
+        (7, "zz yy aa"),   # nothing seen -> level 1 (global argmax)
+    ]
+    out = {
+        r.backoff_level: (r.n_cases, r.n_correct)
+        for r in lm_backoff_eval_frames(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[3] == (2, 2)
+    assert out[2] == (1, 0)
+    assert out[1] == (1, 0)
