@@ -2095,3 +2095,165 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in census[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities over the co-purchase graph — the fourth
+# graph primitive beside components/PageRank/triangles/k-core: community
+# = dense substitute/complement clusters, the merchandising signal. Like
+# the k-core and BPE loops this is FIXED-ROUND (exactly _LPA_ROUNDS
+# synchronous sweeps) with total-order tie-breaks (neighbor-label count
+# DESC, label ASC), so the result is deterministic on both engines —
+# classic async LPA is run-order dependent and can never hash-verify.
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    # MATERIALIZED: each round references the previous; DuckDB inlines
+    # plain CTEs and would re-expand the base scan ~4^rounds times
+    return f"""{cur} AS MATERIALIZED (
+      SELECT dst AS n, lab FROM (
+        SELECT e.dst, l.lab,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.lab) AS rn
+        FROM esym e JOIN {prev} l ON l.n = e.src
+        GROUP BY e.dst, l.lab) z
+      WHERE rn = 1)"""
+
+
+_LPA_ROUNDS_SQL = ",\n    ".join(
+    _lpa_round_sql(f"l{r}", f"l{r + 1}") for r in range(_LPA_ROUNDS)
+)
+
+
+@register(
+    "part_label_propagation",
+    sql=f"""
+    WITH {_COPURCHASE_PAIRS_SQL},
+    edges AS (SELECT a, b FROM copairs WHERE c_ab >= {_TRI_MIN_COORDER}),
+    esym AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS lab FROM esym),
+    {_LPA_ROUNDS_SQL}
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(n) AS BIGINT) AS min_part
+    FROM l{_LPA_ROUNDS}
+    GROUP BY lab
+    HAVING COUNT(*) >= 3
+    """,
+    survey_ops=(),
+    doc=f"Synchronous label propagation ({_LPA_ROUNDS} fixed rounds) over "
+    "the co-purchase graph (same edge spec as part_triangle_count): each "
+    "sweep every node adopts its neighbors' most frequent label (count "
+    "DESC, label ASC tie-break — determinism instead of async LPA's "
+    "run-order dependence). Output = communities of >= 3 parts with size "
+    "and canonical member. Scale shape: per round ONE edge-grain join "
+    "against the node-grain label table and one (node, label) aggregate "
+    "— O(rounds x |E|) total, the supplier_pagerank loop shape with "
+    "lineage truncated per round; no per-node fan-out materializes "
+    "beyond the neighbor-label histogram.",
+)
+def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, copairs = _copurchase_pairs(spark, sf_dir)
+    edges = copairs.filter(col("c_ab") >= _TRI_MIN_COORDER).select("a", "b")
+    esym = edges.select(col("a").alias("src"), col("b").alias("dst")).unionAll(
+        edges.select(col("b").alias("src"), col("a").alias("dst"))
+    )
+    esym = esym.localCheckpoint()  # reused every round
+    labels = esym.select(col("src").alias("n")).distinct().select(
+        "n", col("n").alias("lab")
+    )
+    w = Window.partitionBy("dst").orderBy(col("c").desc(), col("lab").asc())
+    for _ in range(_LPA_ROUNDS):
+        hist = (
+            esym.join(labels, esym.src == labels.n)
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            hist.withColumn("rn", F.row_number().over(w))
+            .filter(col("rn") == 1)
+            .select(col("dst").alias("n"), "lab")
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+    return (
+        labels.groupBy(col("lab").cast("long").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("n").cast("long").alias("min_part"),
+        )
+        .filter(col("n_members") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Minimum-cost supplier per part — the TPC-H Q2 shape (correlated min +
+# multi-way join-back) over the observed trade data: for every ECONOMY
+# part, which supplier has shipped it at the lowest unit price, and from
+# which nation. Unit prices ride integer cents; the per-part winner is a
+# window argmin with a full (cost, suppkey) tie-break.
+# --------------------------------------------------------------------------
+@register(
+    "cheapest_supplier_per_part",
+    sql="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 // CAST(l_quantity AS BIGINT)) AS unit_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cents FROM cost
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                 ORDER BY unit_cents, l_suppkey) = 1)
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+           b.unit_cents
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey AND p.p_type = 'ECONOMY'
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    survey_ops=("J5", "W1"),
+    doc="TPC-H Q2-shaped sourcing query: per (part, supplier) minimum "
+    "observed unit price in integer cents (exact: price cents DIV "
+    "integral quantity), then the per-part cheapest supplier via window "
+    "argmin with (cost, suppkey) tie-break, joined back to part, "
+    "supplier, and nation dims — ECONOMY parts only. Scale shape: the "
+    "fact table collapses to (part, supplier) grain in one map-"
+    "combinable aggregate BEFORE any join; the three dim joins are "
+    "broadcasts; the window partitions by part over supplier-count-"
+    "bounded groups.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " div CAST(l_quantity AS BIGINT)"
+            )
+        ).alias("unit_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cents", "l_suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(
+            broadcast(part.filter(col("p_type") == "ECONOMY")),
+            best.l_partkey == col("p_partkey"),
+        )
+        .join(broadcast(supplier), best.l_suppkey == col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            "unit_cents",
+        )
+    )

@@ -378,3 +378,74 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(col("span_s") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast-baseline evaluation: seasonal-naive (same hour yesterday) vs
+# naive (previous hour) prediction of the hourly event count, scored as
+# mean absolute error — the sanity loop before any forecasting model
+# ships: a model that can't beat the seasonal-naive MAE is noise. Counts
+# are integers, so the whole metric is integer arithmetic (MAE in ppm).
+# --------------------------------------------------------------------------
+@register(
+    "events_seasonal_baseline_eval",
+    sql="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT 'seasonal_24h' AS model, a.event_type,
+             ABS(a.n - p.n) AS abs_err
+      FROM hc a JOIN hc p
+        ON p.event_type = a.event_type AND p.h = a.h - INTERVAL 24 HOUR
+      UNION ALL
+      SELECT 'naive_1h', a.event_type, ABS(a.n - p.n)
+      FROM hc a JOIN hc p
+        ON p.event_type = a.event_type AND p.h = a.h - INTERVAL 1 HOUR)
+    SELECT model, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(abs_err) * 1000000 // COUNT(*) AS BIGINT) AS mae_ppm
+    FROM scored
+    GROUP BY model, event_type
+    """,
+    survey_ops=(),
+    doc="Forecast-baseline eval: per event type, hourly counts predicted "
+    "by seasonal-naive (h-24) and naive (h-1) baselines, scored as mean "
+    "absolute error in ppm over the hours where both actual and predicted "
+    "buckets exist (absent buckets produce no eval case — a gap, not a "
+    "zero). Scale shape: one map-combinable hourly aggregate over the "
+    "fact rows, then two self-equi-joins on (type, hour) at bucket grain "
+    "— |types x hours| rows, never fact rows. abs() on a subtraction of "
+    "counts; no division until the final ppm reduce.",
+)
+def events_seasonal_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hc = events.groupBy(
+        "event_type", F.date_trunc("hour", col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hc = hc.localCheckpoint()  # consumers: actual + two prediction sides
+    scored = None
+    for model, hours in (("seasonal_24h", 24), ("naive_1h", 1)):
+        pred = hc.select(
+            "event_type",
+            (col("h") + F.expr(f"INTERVAL {hours} HOURS")).alias("h"),
+            col("n").alias("pn"),
+        )
+        part = (
+            hc.join(pred, ["event_type", "h"])
+            .select(
+                F.lit(model).alias("model"),
+                "event_type",
+                F.abs(col("n") - col("pn")).alias("abs_err"),
+            )
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return scored.groupBy("model", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("abs_err").cast("long").alias("sum_abs_err"),
+        F.expr(
+            "CAST(SUM(abs_err) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("mae_ppm"),
+    )

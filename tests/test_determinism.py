@@ -96,6 +96,11 @@ QUERIES = [
     "lm_backoff_next_token_eval",
     "events_t_closeness",
     "embedding_dim_truncation_recall",
+    # round 8 tail: fixed-round synchronous LPA label ties, per-part
+    # argmin ties, bucket-grain self-join offsets
+    "part_label_propagation",
+    "cheapest_supplier_per_part",
+    "events_seasonal_baseline_eval",
 ]
 
 
