@@ -1436,3 +1436,115 @@ def doc_dup_span_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clean_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup — the case Jaccard structurally misses: a
+# short document quoted whole inside a much longer one has tiny Jaccard
+# (intersection / union is diluted by the container's size) but
+# containment |A∩B| / |A| ≈ 1. Training pipelines need this direction:
+# the contained doc is the redundant one to drop, whichever way the pair
+# sorts. Candidates reuse the df-capped rare-shingle machinery (fan-out
+# bounded at C(cap, 2) per shingle); the exact intersection is verified
+# with the prefix-filter's array form.
+# --------------------------------------------------------------------------
+_CONTAIN_T_PPM = 600_000  # report pairs with max-direction containment >= 0.6
+_CONTAIN_MIN_INTER = 2  # ignore single-shingle coincidences
+
+
+@register(
+    "dedup_shingle_containment",
+    sql=f"""
+    WITH s AS ({_SHINGLE_ROWS_SQL}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM s
+      WHERE shingle IN (
+        SELECT shingle FROM s GROUP BY shingle
+        HAVING COUNT(*) <= {_JACCARD_DF_CAP})
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS intersection
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+      HAVING COUNT(*) >= {_CONTAIN_MIN_INTER}
+    )
+    SELECT i.doc_a, i.doc_b, i.intersection,
+           CAST(i.intersection * 1000000 // za.n AS BIGINT) AS cont_a_ppm,
+           CAST(i.intersection * 1000000 // zb.n AS BIGINT) AS cont_b_ppm
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE i.intersection * 1000000 // za.n >= {_CONTAIN_T_PPM}
+       OR i.intersection * 1000000 // zb.n >= {_CONTAIN_T_PPM}
+    """,
+    survey_ops=(),
+    doc="Asymmetric shingle-containment near-dup: per df-capped candidate "
+    "pair, containment |A∩B|/|A| and |A∩B|/|B| in integer ppm; report "
+    "pairs where either direction >= 0.6 (a doc mostly contained in "
+    "another is redundant even when Jaccard is diluted by the container's "
+    "length — the quote/aggregation-page case symmetric measures miss). "
+    "Scale shape identical to dedup_jaccard_dfcapped: candidates only "
+    "from shingles with df <= cap (pair fan-out bounded C(cap,2)), exact "
+    "intersections verified per candidate via the array form, shuffle on "
+    "shingle then (doc_a, doc_b). No symmetric length filter — that "
+    "filter is exactly what containment must NOT apply.",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = docs.selectExpr(
+        "doc_id",
+        "filter(split(text, ' '), w -> length(w) > 0) AS toks",
+    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    arrays = arrays.localCheckpoint()  # consumers: explode + verify x2
+    s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = s.join(
+        dfc.filter(col("df") <= _JACCARD_DF_CAP).select("shingle"), ["shingle"]
+    )
+    cand = (
+        rare.select(col("doc_id").alias("doc_a"), "shingle")
+        .join(rare.select(col("doc_id").alias("doc_b"), "shingle"), ["shingle"])
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sha")),
+            ["doc_a"],
+        )
+        .join(
+            arrays.select(col("doc_id").alias("doc_b"), col("shingles").alias("shb")),
+            ["doc_b"],
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias("intersection"),
+            F.size("sha").cast("long").alias("na"),
+            F.size("shb").cast("long").alias("nb"),
+        )
+        .filter(col("intersection") >= _CONTAIN_MIN_INTER)
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            F.expr("CAST(intersection * 1000000 DIV na AS BIGINT)").alias(
+                "cont_a_ppm"
+            ),
+            F.expr("CAST(intersection * 1000000 DIV nb AS BIGINT)").alias(
+                "cont_b_ppm"
+            ),
+        )
+    )
+    return verified.filter(
+        (col("cont_a_ppm") >= _CONTAIN_T_PPM)
+        | (col("cont_b_ppm") >= _CONTAIN_T_PPM)
+    )

@@ -101,6 +101,7 @@ QUERIES = [
     "part_label_propagation",
     "cheapest_supplier_per_part",
     "events_seasonal_baseline_eval",
+    "dedup_shingle_containment",
 ]
 
 
