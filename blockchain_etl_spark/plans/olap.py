@@ -1364,12 +1364,12 @@ def events_user_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cms_estimates(ev: DataFrame, key: str = "user_id") -> DataFrame:
-    """(rows with ``key``) → (key, est_n, exact_n) count-min estimates for
-    every distinct key — the sketch core of events_user_cms_topk, factored
-    out so the regime-matrix accuracy suite can probe the overestimate
-    bound on controlled key-frequency distributions."""
-    keyed = ev.select(
+def cms_keyed_rows(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """(rows with ``key``) → (key, r, bucket): the deterministic md5 CMS
+    bucket derivation — ONE implementation shared by the batch query, the
+    regime suite, and the incremental state (operators/cms_state.py), so
+    a folded sketch and a batch sketch can never hash-diverge."""
+    return ev.select(
         key,
         F.explode(
             F.expr(
@@ -1381,6 +1381,14 @@ def cms_estimates(ev: DataFrame, key: str = "user_id") -> DataFrame:
             )
         ).alias("p"),
     ).select(key, col("p.r").alias("r"), col("p.bucket").alias("bucket"))
+
+
+def cms_estimates(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """(rows with ``key``) → (key, est_n, exact_n) count-min estimates for
+    every distinct key — the sketch core of events_user_cms_topk, factored
+    out so the regime-matrix accuracy suite can probe the overestimate
+    bound on controlled key-frequency distributions."""
+    keyed = cms_keyed_rows(ev, key)
     cms = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
     est = (
         keyed.distinct()
