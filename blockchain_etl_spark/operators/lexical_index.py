@@ -79,10 +79,15 @@ class LexicalIndex:
 
         def drop(target: DataFrame | None, upd: DataFrame) -> DataFrame:
             if target is None:
-                return upd.limit(0)
+                # guarded by the read() check below; never publish a
+                # wrong-schema (ids-only) table over an unbuilt target
+                raise FileNotFoundError("delete() against an unbuilt index")
             return target.join(ids, ["doc_id"], "left_anti")
 
         for tgt in (self.postings, self.doclen):
+            # the guard read is an extra metadata-scale open; merge_with
+            # re-reads internally (its fold must see the same snapshot it
+            # publishes against)
             if tgt.read(spark) is not None:
                 tgt.merge_with(spark, ids, drop)
 
@@ -96,5 +101,13 @@ class LexicalIndex:
         """Rank the indexed corpus against its doc_id % qmod == 0 probes
         using ONLY maintained state — the serving path. Same scorer code
         as the batch retrieval_bm25_topk query, so maintained ≡ batch is
-        an arithmetic identity once the postings match."""
-        return bm25_rank_frames(self.term_frequencies(spark), qmod=qmod, k=k)
+        an arithmetic identity once the postings match. Doc lengths come
+        from the maintained doclen table (not recomputed from postings):
+        that is the table's purpose, and it spares the serving path one
+        postings-grain aggregate."""
+        dl = self.doclen.read(spark)
+        if dl is None:
+            raise FileNotFoundError(self.doclen.path)
+        return bm25_rank_frames(
+            self.term_frequencies(spark), qmod=qmod, k=k, dl=dl
+        )

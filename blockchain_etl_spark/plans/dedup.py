@@ -62,6 +62,45 @@ _SHINGLE_ROWS_SQL = """
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_rows_from_text(load_table(spark, sf_dir, "documents"))
 
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (doc_id, shingles) distinct-shingle arrays — the ONE
+    construction shared by every dedup query that both explodes shingle
+    rows AND verifies candidate pairs against the array form
+    (dfcapped, prefix filter, containment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = docs.selectExpr(
+        "doc_id",
+        "filter(split(text, ' '), w -> length(w) > 0) AS toks",
+    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    return arrays.localCheckpoint()  # consumers: explode side + verify side
+
+
+def _verify_intersections(cand: DataFrame, arrays: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates -> exact (doc_a, doc_b, intersection,
+    na, nb) via one array_intersect over the joined shingle arrays: the
+    intermediate that grows with candidate count is |cand| array-pair
+    rows, never a |cand| x shingles/doc exploded re-aggregate."""
+    return (
+        cand.join(
+            arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sha")),
+            ["doc_a"],
+        )
+        .join(
+            arrays.select(col("doc_id").alias("doc_b"), col("shingles").alias("shb")),
+            ["doc_b"],
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias(
+                "intersection"
+            ),
+            F.size("sha").cast("long").alias("na"),
+            F.size("shb").cast("long").alias("nb"),
+        )
+    )
+
+
 
 @register(
     "dedup_exact",
@@ -197,12 +236,7 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and re-aggregating them — comparable wall-clock at test SF, but the
     # intermediate that grows with candidate count at 100 TB is |cand|
     # array-pair rows, not a |cand| x shingles/doc exploded aggregate.
-    docs = load_table(spark, sf_dir, "documents")
-    arrays = docs.selectExpr(
-        "doc_id",
-        "filter(split(text, ' '), w -> length(w) > 0) AS toks",
-    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-    arrays = arrays.localCheckpoint()  # 2 consumers: shingle explode + per-doc sizes
+    arrays = _shingle_arrays(spark, sf_dir)
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     # df-count FIRST, collect_list ONLY for rare shingles: a stop-shingle
     # appearing in millions of docs must never reach a collect_list
@@ -1110,12 +1144,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = _PREFIX_JACCARD_T
-    docs = load_table(spark, sf_dir, "documents")
-    arrays = docs.selectExpr(
-        "doc_id",
-        "filter(split(text, ' '), w -> length(w) > 0) AS toks",
-    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-    arrays = arrays.localCheckpoint()  # consumers: explode, sizes, verify x2
+    arrays = _shingle_arrays(spark, sf_dir)
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # doc size n rides the SAME doc-partitioned window pass as the rarity
@@ -1155,21 +1184,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    aa = arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sha"))
-    bb = arrays.select(col("doc_id").alias("doc_b"), col("shingles").alias("shb"))
-    verified = (
-        cand.join(aa, ["doc_a"])
-        .join(bb, ["doc_b"])
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sha", "shb")).cast("long").alias(
-                "intersection"
-            ),
-            F.size("sha").cast("long").alias("na"),
-            F.size("shb").cast("long").alias("nb"),
-        )
-    )
+    verified = _verify_intersections(cand, arrays)
     jac = col("intersection").cast("double") / (
         col("na") + col("nb") - col("intersection")
     )
@@ -1497,12 +1512,7 @@ _CONTAIN_MIN_INTER = 2  # ignore single-shingle coincidences
     "filter is exactly what containment must NOT apply.",
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    arrays = docs.selectExpr(
-        "doc_id",
-        "filter(split(text, ' '), w -> length(w) > 0) AS toks",
-    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-    arrays = arrays.localCheckpoint()  # consumers: explode + verify x2
+    arrays = _shingle_arrays(spark, sf_dir)
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = s.join(
@@ -1516,21 +1526,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     verified = (
-        cand.join(
-            arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sha")),
-            ["doc_a"],
-        )
-        .join(
-            arrays.select(col("doc_id").alias("doc_b"), col("shingles").alias("shb")),
-            ["doc_b"],
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sha", "shb")).cast("long").alias("intersection"),
-            F.size("sha").cast("long").alias("na"),
-            F.size("shb").cast("long").alias("nb"),
-        )
+        _verify_intersections(cand, arrays)
         .filter(col("intersection") >= _CONTAIN_MIN_INTER)
         .select(
             "doc_a",

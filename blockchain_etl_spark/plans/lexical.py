@@ -15,10 +15,13 @@ oracle hash-verifies ranks AND scores:
 - ``score_fp = Σ_terms (idf_ppm * tf_sat_ppm) // 1e6``.
 
 Headroom: idf_ppm ≤ N·5e5 and tf_sat_ppm ≤ 2.2e6, so the per-term product
-stays inside int64 up to N ≈ 4e6 documents per scored corpus; beyond that
-swap the accumulator to DECIMAL(38,0) — the spec (floor division, positive
-operands) is unchanged. All divisions have nonnegative operands, so Spark's
-truncating ``div`` and DuckDB's flooring ``//`` agree exactly.
+stays inside int64 up to N ≈ 4e6 documents per scored corpus; the
+``dl * 1e12`` term in K_ppm independently bounds document length at
+dl < 9.2e6 tokens. Beyond either bound, swap the accumulator to
+DECIMAL(38,0) (or split the length ratio into quotient·1e6 + scaled
+remainder) — the spec (floor division, positive operands) is unchanged.
+All divisions have nonnegative operands, so Spark's truncating ``div``
+and DuckDB's flooring ``//`` agree exactly.
 
 Scale shape: the corpus contributes one (doc, term) tf aggregate and one
 doc-length aggregate, both map-side combinable; query term sets are
@@ -79,17 +82,23 @@ def term_freq_rows(docs: DataFrame) -> DataFrame:
 
 
 def bm25_rank_frames(
-    tf: DataFrame, qmod: int = _BM25_QMOD, k: int = _BM25_K
+    tf: DataFrame,
+    qmod: int = _BM25_QMOD,
+    k: int = _BM25_K,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """Rank the corpus against every query doc (doc_id % qmod == 0) with
     fixed-point BM25 over a (doc_id, term, tf) frame.
 
     Shared by the batch query (tf computed from the corpus) and the
-    maintained-index gate (tf read from LexicalIndex state), so the two
-    paths agree by construction — only the provenance of ``tf`` differs.
+    maintained-index serving path (tf AND dl read from LexicalIndex
+    state), so the two paths agree by construction — only the provenance
+    of the frames differs. ``dl``: a precomputed (doc_id, dl) frame; when
+    None it derives from ``tf`` (the self-contained batch form).
     """
     tf = tf.localCheckpoint()  # consumers: dl, dfreq, query side, corpus side
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    if dl is None:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     row = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
     ).collect()[0]

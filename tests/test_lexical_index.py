@@ -110,7 +110,6 @@ def test_serving_path_equals_batch_scorer(spark, tmp_path):
     ix.upsert(spark, corpus.filter("doc_id % 2 = 1"), watermark=2)
     served = ix.bm25_topk(spark, qmod=1, k=10)
     batch = bm25_rank_frames(term_freq_rows(corpus), qmod=1, k=10)
-    key = lambda r: (r.qid, r.doc_id)
     assert sorted(map(tuple, served.collect()), key=lambda t: t[:2]) == sorted(
         map(tuple, batch.collect()), key=lambda t: t[:2]
     )
