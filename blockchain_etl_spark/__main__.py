@@ -323,6 +323,31 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 known-item probes against the MAINTAINED lexical index of a
+    DocIngest directory (lexical_index=True layout): ranks come from the
+    persisted postings + doc lengths — never a corpus rescan
+    (operators/lexical_index.py)."""
+    import os
+
+    from .operators.lexical_index import LexicalIndex
+
+    ix = LexicalIndex(os.path.join(args.dir, "lex_index"))
+    spark = _spark()
+    try:
+        df = ix.bm25_topk(spark, qmod=args.qmod, k=args.k)
+    except FileNotFoundError:
+        print("no maintained lexical index at", args.dir)
+        return 1
+    print(f"postings folded through batch watermark {ix.postings.watermark()}")
+    for row in df.orderBy("qid", "bm25_rank").limit(args.limit).collect():
+        print(
+            f"qid={row.qid} rank={row.bm25_rank} doc={row.doc_id}"
+            f" score_fp={row.score_fp}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blockchain_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -405,6 +430,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dir", required=True, help="DocIngest out_dir (component_index=True layout)")
     s.add_argument("--limit", type=int, default=20)
     s.set_defaults(fn=cmd_splits)
+
+    s = sub.add_parser("search", help="BM25 probes against a DocIngest dir's maintained lexical index")
+    s.add_argument("--dir", required=True, help="DocIngest out_dir (lexical_index=True layout)")
+    s.add_argument("--qmod", type=int, default=40, help="probe docs: doc_id %% qmod == 0")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)
     return args.fn(args)

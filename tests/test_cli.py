@@ -209,3 +209,18 @@ def test_cli_drift(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "kl_ab_millibits:" in out and "folded through batch watermark 1" in out
     assert main(["drift", "--dir", str(tmp_path / "nothing")]) == 1
+
+
+def test_cli_search(spark, tmp_path, capsys):
+    """search ranks BM25 probes from the MAINTAINED lexical index of a
+    DocIngest layout — no corpus rescan; empty layout fails clearly."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(str(tmp_path / "lx"), lexical_index=True)
+    tail = " ".join(f"w{i}x{i * 7 % 5}" for i in range(200))
+    rows = [(i, f"{tail} doc{i}") for i in range(4)]
+    ing.process_batch(spark.createDataFrame(rows, ["doc_id", "text"]), batch_id=1)
+    assert main(["search", "--dir", str(tmp_path / "lx"), "--qmod", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "qid=0 rank=1" in out and "folded through batch watermark 1" in out
+    assert main(["search", "--dir", str(tmp_path / "nothing")]) == 1
