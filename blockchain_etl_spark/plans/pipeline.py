@@ -1431,3 +1431,197 @@ def maintained_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFram
     out = comp.splits(spark).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Multi-benchmark decontamination matrix — production pipelines screen
+# against MANY eval sets at once, and the naive form (one contamination
+# pass per benchmark) rescans the training corpus B times. This query
+# answers all benchmarks in ONE pass: the train shingle set is built and
+# shuffled once, every benchmark's docs probe it in the same join, and
+# the rollup keys on (benchmark). Adding a benchmark adds probe rows,
+# never another corpus scan.
+# --------------------------------------------------------------------------
+_MATRIX_BENCHMARKS = ("src0", "src1", "src2")
+
+
+@register(
+    "doc_contamination_matrix",
+    sql=f"""
+    WITH {_SHINGLES_SQL},
+    train AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE source NOT IN {_MATRIX_BENCHMARKS!r}),
+    test AS (SELECT source AS benchmark, doc_id, shingle FROM sh
+             WHERE source IN {_MATRIX_BENCHMARKS!r}),
+    per_doc AS (
+      SELECT benchmark, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(COUNT(tr.shingle) AS BIGINT) AS n_hit
+      FROM test t LEFT JOIN train tr ON tr.shingle = t.shingle
+      GROUP BY benchmark, doc_id)
+    SELECT benchmark,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COUNT(*) FILTER (WHERE n_hit > 0) AS n_docs_contaminated,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_hit) AS BIGINT) AS n_contaminated,
+           CAST(MAX(n_hit * 1000000 // n_sh) AS BIGINT)
+             AS max_containment_ppm
+    FROM per_doc
+    GROUP BY benchmark
+    """,
+    survey_ops=(),
+    doc="Decontamination matrix over three benchmarks in ONE corpus pass: "
+    "the distinct train shingle set (every non-benchmark source) is "
+    "built and shuffled once; all benchmarks' docs probe it in the same "
+    "left join; per-benchmark rollup reports docs screened, docs hit, "
+    "shingle-level containment, and the worst per-doc containment in "
+    "ppm. The B-benchmark production shape: adding a benchmark adds "
+    "probe rows, never another scan of the 100 TB train side.",
+)
+def doc_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()  # train + probe sides
+    train = (
+        sh.filter(~col("source").isin(*_MATRIX_BENCHMARKS))
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    test = sh.filter(col("source").isin(*_MATRIX_BENCHMARKS)).select(
+        col("source").alias("benchmark"), "doc_id", "shingle"
+    )
+    per_doc = (
+        test.join(train, ["shingle"], "left")
+        .groupBy("benchmark", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.count("__hit").cast("long").alias("n_hit"),
+        )
+    )
+    return per_doc.groupBy("benchmark").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(col("n_hit") > 0, 1)).alias("n_docs_contaminated"),
+        F.sum("n_sh").cast("long").alias("n_shingles"),
+        F.sum("n_hit").cast("long").alias("n_contaminated"),
+        F.max(F.expr("n_hit * 1000000 div n_sh")).cast("long").alias(
+            "max_containment_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit — the WHY behind component-atomic splits, as a
+# measured number: count near-dup candidate pairs (the MinHash-LSH
+# universe — the pairs a real pipeline acts on) whose endpoints land in
+# different train/val/test splits under (a) a component-atomic scheme
+# over those SAME pairs and (b) the naive md5(doc_id) 90/5/5 random
+# split every pipeline starts with. The component scheme reads 0 by
+# construction; the naive scheme's positive count is the eval-leakage a
+# random split silently commits.
+# --------------------------------------------------------------------------
+@register(
+    "split_leakage_audit",
+    sql=f"""
+    WITH RECURSIVE s AS ({_MLS_SHINGLES_SQL}),
+    {_MLS_MINHASH_SQL},
+    e AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM e
+              UNION SELECT doc_b, doc_a FROM e),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT edges.dst, reach.label
+      FROM reach JOIN edges ON edges.src = reach.doc_id
+      WHERE reach.label < edges.dst),
+    comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach
+             GROUP BY doc_id),
+    csplit AS (
+      SELECT doc_id, {_MLS_CASE.format(c="component_id")} AS split
+      FROM comp),
+    nsplit AS (
+      SELECT doc_id, {_MLS_CASE.format(c="doc_id")} AS split
+      FROM documents),
+    audit AS (
+      SELECT 'component' AS scheme,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0
+                                    END), 0) AS BIGINT) AS n_cross_pairs
+      FROM e JOIN csplit a ON a.doc_id = e.doc_a
+             JOIN csplit b ON b.doc_id = e.doc_b
+      UNION ALL
+      SELECT 'md5_random', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0
+                                    END), 0) AS BIGINT)
+      FROM e JOIN nsplit a ON a.doc_id = e.doc_a
+             JOIN nsplit b ON b.doc_id = e.doc_b)
+    SELECT scheme, n_pairs, n_cross_pairs,
+           CASE WHEN n_pairs = 0 THEN 0
+                ELSE CAST(n_cross_pairs * 1000000 // n_pairs AS BIGINT)
+           END AS leak_ppm
+    FROM audit
+    """,
+    survey_ops=(),
+    doc="Eval-leakage audit over the MinHash-LSH candidate-pair universe: "
+    "pairs straddling split boundaries under the component-atomic scheme "
+    "(structurally 0 — the number this query PROVES) vs the naive "
+    "md5(doc_id) 90/5/5 random split (positive — the leakage every "
+    "row-hashed split commits). Same pairs, same 900/950 ppm buckets, "
+    "leak rate in ppm. Scale shape: LSH pairs come from band-key joins "
+    "(never all-pairs), components reuse the O(diameter) min-label "
+    "propagation, and the audit is two pair-grain joins against "
+    "doc-grain split maps.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import propagate_min_labels
+    from .dedup import dedup_minhash_lsh
+
+    e = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # consumers: edges + both scheme audits
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = propagate_min_labels(
+        docs,
+        e.select(col("doc_a").alias("src"), col("doc_b").alias("dst")),
+        id_col="doc_id",
+    )
+
+    def bucket(c: str) -> "F.Column":
+        b = F.expr(
+            f"CAST(conv(substring(md5(CAST({c} AS STRING)), 1, 6), 16, 10)"
+            " AS BIGINT) % 1000"
+        )
+        return (
+            F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
+        )
+
+    comp = labels.select("doc_id", bucket("label").alias("split"))
+    naive = docs.select("doc_id", bucket("doc_id").alias("split"))
+    out = None
+    for scheme, sp in (("component", comp), ("md5_random", naive)):
+        a = sp.select(col("doc_id").alias("doc_a"), col("split").alias("sa"))
+        b2 = sp.select(col("doc_id").alias("doc_b"), col("split").alias("sb"))
+        row = (
+            e.join(a, ["doc_a"])
+            .join(b2, ["doc_b"])
+            .agg(
+                F.lit(scheme).alias("scheme"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.coalesce(
+                    F.sum(F.when(col("sa") != col("sb"), 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_cross_pairs"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "scheme",
+        "n_pairs",
+        "n_cross_pairs",
+        F.when(col("n_pairs") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("CAST(n_cross_pairs * 1000000 div n_pairs AS BIGINT)"))
+        .alias("leak_ppm"),
+    )

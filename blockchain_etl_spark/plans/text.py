@@ -1647,3 +1647,107 @@ def corpus_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return drift_from_counts(half_token_counts(docs))
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law): distinct shingle vocabulary vs
+# corpus prefix size at ten checkpoints — the diversity telemetry that
+# distinguishes a corpus that keeps teaching a model new strings from one
+# that repeats itself (flattening curve = diminishing novelty = stop
+# crawling this source). Shingle vocabulary, not unigrams: the 30-word
+# synthetic token vocabulary saturates in one document.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_heaps_curve",
+    sql="""
+    WITH s AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 2
+                        THEN toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2] END),
+                 x -> x IS NOT NULL)) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0) AS toks
+              FROM documents) t) u),
+    ranks AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS r
+      FROM documents),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS k),
+    th AS (SELECT k, (n * k) // 10 AS t FROM ks CROSS JOIN nd),
+    fr AS (
+      SELECT shingle, CAST(MIN(r) AS BIGINT) AS fr
+      FROM s JOIN ranks USING (doc_id) GROUP BY shingle),
+    pr AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS np
+      FROM s JOIN ranks USING (doc_id) GROUP BY r),
+    vocab AS (
+      SELECT k, t, CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM th JOIN fr ON fr.fr <= th.t GROUP BY k, t),
+    posts AS (
+      SELECT k, CAST(SUM(np) AS BIGINT) AS n_postings
+      FROM th JOIN pr ON pr.r <= th.t GROUP BY k)
+    SELECT k AS prefix_decile, t AS n_docs, n_postings, vocab_size,
+           CAST(vocab_size * 1000000 // n_postings AS BIGINT) AS novelty_ppm
+    FROM vocab JOIN posts USING (k)
+    """,
+    survey_ops=(),
+    doc="Heaps'-law vocabulary growth: distinct word-3-gram vocabulary "
+    "and cumulative postings at ten doc_id-ordered prefix checkpoints, "
+    "plus novelty (vocab/postings) in ppm — the crawl-source diversity "
+    "telemetry. Scale shape: first-occurrence rank per shingle is one "
+    "vocab-grain MIN aggregate; per-rank posting counts are doc-grain; "
+    "the ten checkpoints cross-join only those two SMALL frames (never "
+    "the corpus) through broadcast range predicates. The global "
+    "row_number rank is the test-scale stand-in for prefix boundaries; "
+    "at 100 TB the checkpoints are crawl-batch/chunk boundaries the "
+    "ingest already materializes — no global sort.",
+)
+def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import _shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    ranks = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("r"),
+    )
+    s = _shingle_rows(spark, sf_dir).join(ranks, ["doc_id"])
+    s = s.localCheckpoint()  # consumers: first-occurrence + per-rank counts
+    fr = s.groupBy("shingle").agg(F.min("r").cast("long").alias("fr"))
+    pr = s.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("np"))
+    th = spark.range(1, 11).select(
+        col("id").cast("long").alias("k"),
+        F.expr(f"(CAST({n_docs} AS BIGINT) * id) div 10").alias("t"),
+    )
+    vocab = (
+        broadcast(th)
+        .join(fr, col("fr") <= col("t"))
+        .groupBy("k", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    posts = (
+        broadcast(th.select("k", "t"))
+        .join(pr, col("r") <= col("t"))
+        .groupBy("k")
+        .agg(F.sum("np").cast("long").alias("n_postings"))
+    )
+    return (
+        vocab.join(posts, ["k"])
+        .select(
+            col("k").alias("prefix_decile"),
+            col("t").alias("n_docs"),
+            "n_postings",
+            "vocab_size",
+            F.expr("CAST(vocab_size * 1000000 div n_postings AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )

@@ -102,6 +102,12 @@ QUERIES = [
     "cheapest_supplier_per_part",
     "events_seasonal_baseline_eval",
     "dedup_shingle_containment",
+    # round 8 close: LSH-pair split audit (propagation + md5 buckets),
+    # prefix-threshold range joins, positional adjacency chain
+    "split_leakage_audit",
+    "doc_contamination_matrix",
+    "corpus_heaps_curve",
+    "doc_phrase_search",
 ]
 
 
