@@ -1581,8 +1581,17 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # consumers: edges + both scheme audits
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # only pair ENDPOINTS need component labels (the audit joins nothing
+    # else); propagating over the edge-induced node set instead of the
+    # whole corpus leaves label values for those nodes unchanged and cuts
+    # the loop's node grain from |corpus| to |endpoints|
+    endpoints = (
+        e.select(col("doc_a").alias("doc_id"))
+        .unionByName(e.select(col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     labels = propagate_min_labels(
-        docs,
+        endpoints,
         e.select(col("doc_a").alias("src"), col("doc_b").alias("dst")),
         id_col="doc_id",
     )
