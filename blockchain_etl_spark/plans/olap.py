@@ -1318,28 +1318,35 @@ _CMS_W = 256  # buckets per row
 _CMS_TOP = 20
 
 
-@register(
-    "events_user_cms_topk",
-    sql=f"""
-    WITH k AS (
-      SELECT user_id, CAST(r.r AS BIGINT) AS r,
+def _cms_sketch_sql(key_expr: str) -> str:
+    """The k/cms/uk/est CTE chain of the count-min sketch, shared by the
+    batch query and the maintained-state gate — ONE DuckDB mirror of
+    cms_keyed_rows, so the two oracles cannot drift apart."""
+    return f"""k AS (
+      SELECT {key_expr} AS key, CAST(r.r AS BIGINT) AS r,
              CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
-                                      CAST(user_id AS VARCHAR)), 1, 8)
+                                      CAST({key_expr} AS VARCHAR)), 1, 8)
                   AS BIGINT) % {_CMS_W} AS bucket
       FROM events CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) r),
     cms AS (
       SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cell_n
       FROM k GROUP BY r, bucket),
-    uk AS (SELECT DISTINCT user_id, r, bucket FROM k),
+    uk AS (SELECT DISTINCT key, r, bucket FROM k),
     est AS (
-      SELECT user_id, MIN(cell_n) AS est_n
+      SELECT key, MIN(cell_n) AS est_n
       FROM uk JOIN cms USING (r, bucket)
-      GROUP BY user_id),
+      GROUP BY key)"""
+
+
+@register(
+    "events_user_cms_topk",
+    sql=f"""
+    WITH {_cms_sketch_sql("user_id")},
     ex AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
       FROM events GROUP BY user_id)
-    SELECT user_id, est_n, exact_n
-    FROM est JOIN ex USING (user_id)
+    SELECT key AS user_id, est_n, exact_n
+    FROM est JOIN ex ON ex.user_id = est.key
     ORDER BY est_n DESC, user_id
     LIMIT {_CMS_TOP}
     """,
@@ -2265,3 +2272,65 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_cents",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained-CMS gate: the driver-visible proof for operators/cms_state.py,
+# the same promotion the CDC and lexical-index states have. The events
+# table is folded into a persisted CMSTopKState in THREE batches; the
+# maintained top-k (read from the bounded candidate table against the
+# merged cells — never a rescan of raw history) must hash-match the
+# batch count-min oracle over the full table. The gate keys on the
+# 50-value user BUCKET so the 64-slot candidate table provably holds
+# every key — the hash match is STRUCTURAL, not data-dependent; the
+# bounded-candidate pruning/re-entry policy on unbounded keys is
+# exercised separately in tests/test_cms_state.py.
+# --------------------------------------------------------------------------
+_CMS_GATE_KEYS = 50  # < CMSTopKState's 64 candidate slots, by construction
+
+
+@register(
+    "cms_maintained_topk",
+    sql=f"""
+    WITH {_cms_sketch_sql(f"user_id % {_CMS_GATE_KEYS}")}
+    SELECT key AS user_bucket, CAST(est_n AS BIGINT) AS est_n
+    FROM est
+    ORDER BY est_n DESC, user_bucket
+    LIMIT {_CMS_TOP}
+    """,
+    survey_ops=("A3", "A4"),
+    doc="Maintained count-min heavy hitters through a REAL three-batch "
+    "fold into the persisted CMSTopKState (operators/cms_state.py): "
+    "additive cell merges with watermark replay guards, candidate table "
+    "re-probed against the merged sketch each fold. Keys are 50-value "
+    "user buckets, strictly fewer than the 64 candidate slots, so the "
+    "candidate table provably retains every key and the oracle hash "
+    "match is structural (the pruning/re-entry policy on unbounded keys "
+    "is property-tested in tests/test_cms_state.py). The oracle "
+    "recomputes the batch sketch over the full events table through the "
+    "SAME shared CTE fragment as events_user_cms_topk. Gate cost is the "
+    "real merge I/O (~6 versioned commits).",
+)
+def cms_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.cms_state import CMSTopKState
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (col("user_id") % _CMS_GATE_KEYS).alias("user_bucket"), "event_id"
+    )
+    base = tempfile.mkdtemp(prefix="cms_state_gate_")
+    try:
+        st = CMSTopKState(os.path.join(base, "cms"), key="user_bucket")
+        for wm in range(3):
+            st.fold(
+                spark,
+                ev.filter(col("event_id") % 3 == wm),
+                watermark=wm + 1,
+            )
+        out = st.topk(spark, _CMS_TOP).select("user_bucket", "est_n")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -465,6 +465,49 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _contamination_sql_ctes(benchmarks: tuple) -> str:
+    """Shared train/test/per-doc CTE chain for the contamination oracles —
+    ONE SQL mirror of _contamination_per_doc for any benchmark tuple."""
+    return f"""{_SHINGLES_SQL},
+    train AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE source NOT IN {benchmarks!r}),
+    test AS (SELECT source, doc_id, shingle FROM sh
+             WHERE source IN {benchmarks!r}),
+    per_doc AS (
+      SELECT source, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(COUNT(tr.shingle) AS BIGINT) AS n_hit
+      FROM test t LEFT JOIN train tr ON tr.shingle = t.shingle
+      GROUP BY source, doc_id)"""
+
+
+def _contamination_per_doc(sh: DataFrame, benchmarks: tuple) -> DataFrame:
+    """(source, doc_id, n_sh, n_hit) per held-out doc vs the distinct
+    train shingle set (every source outside ``benchmarks``) — the probe
+    scaffolding shared by doc_contamination and doc_contamination_matrix;
+    the train side is built and shuffled ONCE regardless of how many
+    benchmarks probe it."""
+    train = (
+        sh.filter(~col("source").isin(*benchmarks))
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    test = sh.filter(col("source").isin(*benchmarks)).select(
+        "source", "doc_id", "shingle"
+    )
+    return (
+        test.join(train, ["shingle"], "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.count("__hit").cast("long").alias("n_hit"),
+        )
+    )
+
+
 # the shingle CTE shared by both contamination oracles
 _SHINGLES_SQL = """
     toks AS (
@@ -486,32 +529,13 @@ _SHINGLES_SQL = """
 
 @register(
     "doc_contamination",
-    sql="""
-    WITH toks AS (
-      SELECT doc_id, source,
-             list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks
-      FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, source, shingle FROM (
-        SELECT doc_id, source,
-               unnest(list_filter(
-                 list_transform(toks, (w, i) ->
-                   CASE WHEN i <= len(toks) - 4
-                        THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                             || ' ' || toks[i+3] || ' ' || toks[i+4] END),
-                 s -> s IS NOT NULL)) AS shingle
-        FROM toks) t),
-    train AS (
-      SELECT DISTINCT shingle FROM sh
-      WHERE source NOT IN ('src0', 'src1')),
-    test AS (SELECT doc_id, shingle FROM sh WHERE source IN ('src0', 'src1'))
-    SELECT t.doc_id,
-           COUNT(*) AS n_shingles,
-           COUNT(tr.shingle) AS n_contaminated,
-           CAST(COUNT(tr.shingle) AS DOUBLE) / COUNT(*) AS containment
-    FROM test t
-    LEFT JOIN train tr ON tr.shingle = t.shingle
-    GROUP BY t.doc_id
+    sql=f"""
+    WITH {_contamination_sql_ctes(_TEST_SOURCES)}
+    SELECT doc_id,
+           n_sh AS n_shingles,
+           n_hit AS n_contaminated,
+           CAST(n_hit AS DOUBLE) / n_sh AS containment
+    FROM per_doc
     """,
     survey_ops=(),
     doc="Eval-set decontamination: distinct word-5-gram shingles per "
@@ -522,22 +546,12 @@ _SHINGLES_SQL = """
     "shingle — no broadcast, no all-pairs.",
 )
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    train = (
-        sh.filter(~col("source").isin(*_TEST_SOURCES))
-        .select("shingle")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
-    test = sh.filter(col("source").isin(*_TEST_SOURCES)).select("doc_id", "shingle")
-    return (
-        test.join(train, ["shingle"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("__hit").alias("n_contaminated"),
-            (F.count("__hit").cast("double") / F.count(F.lit(1))).alias("containment"),
-        )
+    per_doc = _contamination_per_doc(_doc_shingles(spark, sf_dir), _TEST_SOURCES)
+    return per_doc.select(
+        "doc_id",
+        col("n_sh").alias("n_shingles"),
+        col("n_hit").alias("n_contaminated"),
+        (col("n_hit").cast("double") / col("n_sh")).alias("containment"),
     )
 
 
@@ -1448,19 +1462,8 @@ _MATRIX_BENCHMARKS = ("src0", "src1", "src2")
 @register(
     "doc_contamination_matrix",
     sql=f"""
-    WITH {_SHINGLES_SQL},
-    train AS (
-      SELECT DISTINCT shingle FROM sh
-      WHERE source NOT IN {_MATRIX_BENCHMARKS!r}),
-    test AS (SELECT source AS benchmark, doc_id, shingle FROM sh
-             WHERE source IN {_MATRIX_BENCHMARKS!r}),
-    per_doc AS (
-      SELECT benchmark, doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_sh,
-             CAST(COUNT(tr.shingle) AS BIGINT) AS n_hit
-      FROM test t LEFT JOIN train tr ON tr.shingle = t.shingle
-      GROUP BY benchmark, doc_id)
-    SELECT benchmark,
+    WITH {_contamination_sql_ctes(_MATRIX_BENCHMARKS)}
+    SELECT source AS benchmark,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            COUNT(*) FILTER (WHERE n_hit > 0) AS n_docs_contaminated,
            CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
@@ -1468,7 +1471,7 @@ _MATRIX_BENCHMARKS = ("src0", "src1", "src2")
            CAST(MAX(n_hit * 1000000 // n_sh) AS BIGINT)
              AS max_containment_ppm
     FROM per_doc
-    GROUP BY benchmark
+    GROUP BY source
     """,
     survey_ops=(),
     doc="Decontamination matrix over three benchmarks in ONE corpus pass: "
@@ -1481,24 +1484,8 @@ _MATRIX_BENCHMARKS = ("src0", "src1", "src2")
 )
 def doc_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir).localCheckpoint()  # train + probe sides
-    train = (
-        sh.filter(~col("source").isin(*_MATRIX_BENCHMARKS))
-        .select("shingle")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
-    test = sh.filter(col("source").isin(*_MATRIX_BENCHMARKS)).select(
-        col("source").alias("benchmark"), "doc_id", "shingle"
-    )
-    per_doc = (
-        test.join(train, ["shingle"], "left")
-        .groupBy("benchmark", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sh"),
-            F.count("__hit").cast("long").alias("n_hit"),
-        )
-    )
-    return per_doc.groupBy("benchmark").agg(
+    per_doc = _contamination_per_doc(sh, _MATRIX_BENCHMARKS)
+    return per_doc.groupBy(col("source").alias("benchmark")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count(F.when(col("n_hit") > 0, 1)).alias("n_docs_contaminated"),
         F.sum("n_sh").cast("long").alias("n_shingles"),
@@ -1580,15 +1567,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()  # consumers: edges + both scheme audits
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # only pair ENDPOINTS need component labels (the audit joins nothing
-    # else); propagating over the edge-induced node set instead of the
-    # whole corpus leaves label values for those nodes unchanged and cuts
-    # the loop's node grain from |corpus| to |endpoints|
+    # only pair ENDPOINTS need split assignments under EITHER scheme (the
+    # audit inner-joins on pair endpoints); propagating and bucketing over
+    # the edge-induced node set instead of the whole corpus leaves every
+    # audited value unchanged and cuts all node-grain work from |corpus|
+    # to |endpoints|
     endpoints = (
         e.select(col("doc_a").alias("doc_id"))
         .unionByName(e.select(col("doc_b").alias("doc_id")))
         .distinct()
+        .localCheckpoint()  # consumers: propagation + naive bucket map
     )
     labels = propagate_min_labels(
         endpoints,
@@ -1606,7 +1594,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     comp = labels.select("doc_id", bucket("label").alias("split"))
-    naive = docs.select("doc_id", bucket("doc_id").alias("split"))
+    naive = endpoints.select("doc_id", bucket("doc_id").alias("split"))
     out = None
     for scheme, sp in (("component", comp), ("md5_random", naive)):
         a = sp.select(col("doc_id").alias("doc_a"), col("split").alias("sa"))

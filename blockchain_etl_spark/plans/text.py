@@ -1686,15 +1686,22 @@ def corpus_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr AS (
       SELECT r, CAST(COUNT(*) AS BIGINT) AS np
       FROM s JOIN ranks USING (doc_id) GROUP BY r),
-    vocab AS (
-      SELECT k, t, CAST(COUNT(*) AS BIGINT) AS vocab_size
-      FROM th JOIN fr ON fr.fr <= th.t GROUP BY k, t),
-    posts AS (
-      SELECT k, CAST(SUM(np) AS BIGINT) AS n_postings
-      FROM th JOIN pr ON pr.r <= th.t GROUP BY k)
+    vh AS (
+      SELECT (10 * fr + n - 1) // n AS k, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM fr CROSS JOIN nd GROUP BY 1),
+    ph AS (
+      SELECT (10 * r + n - 1) // n AS k, CAST(SUM(np) AS BIGINT) AS npp
+      FROM pr CROSS JOIN nd GROUP BY 1),
+    cum AS (
+      SELECT th.k, th.t,
+             CAST(SUM(COALESCE(vh.nv, 0)) OVER (ORDER BY th.k
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+             CAST(SUM(COALESCE(ph.npp, 0)) OVER (ORDER BY th.k
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_postings
+      FROM th LEFT JOIN vh ON vh.k = th.k LEFT JOIN ph ON ph.k = th.k)
     SELECT k AS prefix_decile, t AS n_docs, n_postings, vocab_size,
            CAST(vocab_size * 1000000 // n_postings AS BIGINT) AS novelty_ppm
-    FROM vocab JOIN posts USING (k)
+    FROM cum
     """,
     survey_ops=(),
     doc="Heaps'-law vocabulary growth: distinct word-3-gram vocabulary "
@@ -1702,8 +1709,9 @@ def corpus_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plus novelty (vocab/postings) in ppm — the crawl-source diversity "
     "telemetry. Scale shape: first-occurrence rank per shingle is one "
     "vocab-grain MIN aggregate; per-rank posting counts are doc-grain; "
-    "the ten checkpoints cross-join only those two SMALL frames (never "
-    "the corpus) through broadcast range predicates. The global "
+    "each row maps to its first decile with PURE ARITHMETIC "
+    "(k = ceil(10*rank/N)) and the curve is a running sum over a 10-row "
+    "histogram — no range join touches the vocab frame. The global "
     "row_number rank is the test-scale stand-in for prefix boundaries; "
     "at 100 TB the checkpoints are crawl-batch/chunk boundaries the "
     "ingest already materializes — no global sort.",
@@ -1727,27 +1735,36 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("id").cast("long").alias("k"),
         F.expr(f"(CAST({n_docs} AS BIGINT) * id) div 10").alias("t"),
     )
-    vocab = (
-        broadcast(th)
-        .join(fr, col("fr") <= col("t"))
-        .groupBy("k", "t")
-        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
-    )
-    posts = (
-        broadcast(th.select("k", "t"))
-        .join(pr, col("r") <= col("t"))
-        .groupBy("k")
-        .agg(F.sum("np").cast("long").alias("n_postings"))
-    )
-    return (
-        vocab.join(posts, ["k"])
+    # decile ASSIGNMENT instead of a 10x theta join over the vocab frame:
+    # k = ceil(10*rank/N) maps each shingle/rank to the first prefix that
+    # contains it; the curve is a running sum over the 10-row histogram
+    vh = fr.groupBy(
+        F.expr(f"(10L * fr + {n_docs}L - 1L) div {n_docs}L").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    ph = pr.groupBy(
+        F.expr(f"(10L * r + {n_docs}L - 1L) div {n_docs}L").alias("k")
+    ).agg(F.sum("np").cast("long").alias("npp"))
+    wcum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        th.join(vh, ["k"], "left")
+        .join(ph, ["k"], "left")
         .select(
-            col("k").alias("prefix_decile"),
-            col("t").alias("n_docs"),
-            "n_postings",
-            "vocab_size",
-            F.expr("CAST(vocab_size * 1000000 div n_postings AS BIGINT)").alias(
-                "novelty_ppm"
+            "k",
+            "t",
+            F.sum(F.coalesce("nv", F.lit(0))).over(wcum).cast("long").alias(
+                "vocab_size"
+            ),
+            F.sum(F.coalesce("npp", F.lit(0))).over(wcum).cast("long").alias(
+                "n_postings"
             ),
         )
+    )
+    return cum.select(
+        col("k").alias("prefix_decile"),
+        col("t").alias("n_docs"),
+        "n_postings",
+        "vocab_size",
+        F.expr("CAST(vocab_size * 1000000 div n_postings AS BIGINT)").alias(
+            "novelty_ppm"
+        ),
     )

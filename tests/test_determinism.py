@@ -108,6 +108,7 @@ QUERIES = [
     "doc_contamination_matrix",
     "corpus_heaps_curve",
     "doc_phrase_search",
+    "cms_maintained_topk",
 ]
 
 
