@@ -93,7 +93,18 @@ class CMSTopKState:
         return self.cells.read(spark)
 
     def topk(self, spark: SparkSession, k: int) -> DataFrame | None:
-        """(key, est_n) maintained heavy hitters, (est DESC, key ASC)."""
+        """(key, est_n) maintained heavy hitters, (est DESC, key ASC).
+
+        Guarantee boundary: exact-equal to the batch sketch only while
+        the live key cardinality stays within ``n_candidates`` (the
+        registered driver gate keys on 50 buckets < 64 slots, so there
+        it is structural). Beyond that it is approximate on adversarial
+        streams — a key whose occurrences are spread so thin it never
+        ranks inside ``n_candidates`` in any single fold is never stored
+        (re-probe covers stored candidates plus the current batch's keys
+        only). Size ``n_candidates`` with real headroom over the served
+        ``k``; the sketch cells themselves stay exact-additive
+        regardless."""
         cand = self.cand.read(spark)
         if cand is None:
             return None

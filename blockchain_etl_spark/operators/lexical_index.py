@@ -74,7 +74,22 @@ class LexicalIndex:
 
     def delete(self, spark: SparkSession, doc_ids: DataFrame) -> None:
         """Drop documents from the index (unwatermarked maintenance fold —
-        the merge target carries the replay high-mark forward)."""
+        the merge target carries the replay high-mark forward).
+
+        Refuses to run while the two tables sit at different upsert
+        watermarks: that state means an upsert crashed between its
+        postings merge and its doclen merge, and a delete applied before
+        that batch's replay would re-add the deleted doc's dl rows when
+        the replay re-runs the doclen half — replay the interrupted
+        batch first (the crash-ordering contract in the module
+        docstring)."""
+        pw, dw = self.postings.watermark(), self.doclen.watermark()
+        if pw != dw:
+            raise RuntimeError(
+                f"lexical index tables out of sync (postings watermark "
+                f"{pw}, doclen {dw}): replay the interrupted upsert "
+                f"before maintenance folds"
+            )
         ids = doc_ids.select("doc_id").distinct().localCheckpoint()
 
         def drop(target: DataFrame | None, upd: DataFrame) -> DataFrame:

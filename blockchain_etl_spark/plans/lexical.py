@@ -95,17 +95,30 @@ def bm25_rank_frames(
     state), so the two paths agree by construction — only the provenance
     of the frames differs. ``dl``: a precomputed (doc_id, dl) frame; when
     None it derives from ``tf`` (the self-contained batch form).
+
+    ONE lazy plan: corpus stats (n_docs, avgdl) ride a broadcast 1-row
+    singleton instead of a driver collect, so the maintained serving
+    path can run inside foreachBatch without driver round trips, and an
+    empty corpus/index yields an empty ranked frame instead of a crash
+    (the stats row guards n = 0 with a 1-ppm avgdl sentinel that no
+    candidate row ever reads — qt is empty when tf is).
     """
-    tf = tf.localCheckpoint()  # consumers: dl, dfreq, query side, corpus side
+    tf = tf.localCheckpoint(eager=False)  # reused: dl, dfreq, qt, corpus side
     if dl is None:
         dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    row = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
-    ).collect()[0]
-    n_docs, total_len = int(row["n"]), int(row["tot"])
-    avgdl_ppm = total_len * 1_000_000 // n_docs
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__tot"),
+    ).select(
+        "__n",
+        F.expr(
+            "IF(__n > 0, (__tot * 1000000L) div __n, 1L)"
+        ).alias("__avgdl_ppm"),
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    informative = dfreq.filter(col("df") <= F.lit(n_docs // 10 + 1))
+    informative = dfreq.crossJoin(F.broadcast(stats)).filter(
+        col("df") <= F.expr("__n div 10L + 1L")
+    )
     qt = (
         tf.filter(col("doc_id") % qmod == 0)
         .select(col("doc_id").alias("qid"), "term")
@@ -118,7 +131,7 @@ def bm25_rank_frames(
             "__k_ppm",
             F.expr(
                 f"({_BM25_K1}L * (1000000L - {_BM25_B}L"
-                f" + ({_BM25_B}L * ((dl * 1000000000000L) div {avgdl_ppm}L))"
+                f" + ({_BM25_B}L * ((dl * 1000000000000L) div __avgdl_ppm))"
                 f" div 1000000L)) div 1000000L"
             ),
         )
@@ -131,7 +144,7 @@ def bm25_rank_frames(
         )
         .withColumn(
             "__idf_ppm",
-            F.expr(f"((({n_docs}L - df) * 1000000L) div (df + 1L)) + 1000000L"),
+            F.expr("(((__n - df) * 1000000L) div (df + 1L)) + 1000000L"),
         )
     )
     scored = cand.groupBy("qid", "doc_id").agg(

@@ -469,12 +469,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _contamination_sql_ctes(benchmarks: tuple) -> str:
     """Shared train/test/per-doc CTE chain for the contamination oracles —
     ONE SQL mirror of _contamination_per_doc for any benchmark tuple."""
+    # explicit IN list: tuple repr would render a 1-element tuple as
+    # ('x',) — a trailing comma DuckDB rejects.
+    in_list = "(" + ", ".join(repr(b) for b in benchmarks) + ")"
     return f"""{_SHINGLES_SQL},
     train AS (
       SELECT DISTINCT shingle FROM sh
-      WHERE source NOT IN {benchmarks!r}),
+      WHERE source NOT IN {in_list}),
     test AS (SELECT source, doc_id, shingle FROM sh
-             WHERE source IN {benchmarks!r}),
+             WHERE source IN {in_list}),
     per_doc AS (
       SELECT source, doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_sh,

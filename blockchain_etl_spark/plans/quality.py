@@ -820,12 +820,16 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = e.groupBy("hour_of_day", "user_bucket", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    gb = gb.localCheckpoint()  # consumers: group totals, global, dense join
+    # lazy: reused by group totals, global, dense join — with the total
+    # riding a broadcast singleton the whole gate is one job
+    gb = gb.localCheckpoint(eager=False)
     grp = gb.groupBy("hour_of_day", "user_bucket").agg(
         F.sum("n").cast("long").alias("grp_n")
     )
     glob = gb.groupBy("bin").agg(F.sum("n").cast("long").alias("gn"))
-    total = glob.agg(F.sum("gn")).collect()[0][0]
+    # broadcast 1-row singleton, not a driver collect: the whole gate
+    # stays one lazy plan (same convention as bm25_rank_frames).
+    totf = glob.agg(F.sum("gn").cast("long").alias("__total"))
     bins = spark.range(_T_BINS).select(col("id").cast("long").alias("bin"))
     dense = (
         grp.crossJoin(broadcast(bins))
@@ -854,12 +858,12 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp_n",
         F.sum("n").over(wcum).cast("long").alias("cum_n"),
         F.sum("gn").over(wcum).cast("long").alias("cum_gn"),
-    ).select(
+    ).crossJoin(broadcast(totf)).select(
         "hour_of_day",
         "user_bucket",
         "grp_n",
         F.expr("(cum_n * 1000000L) div grp_n").alias("cum_g_ppm"),
-        F.expr(f"(cum_gn * 1000000L) div {total}L").alias("cum_all_ppm"),
+        F.expr("(cum_gn * 1000000L) div __total").alias("cum_all_ppm"),
     )
     emd = cums.groupBy("hour_of_day", "user_bucket", "grp_n").agg(
         F.expr(

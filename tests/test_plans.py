@@ -200,6 +200,34 @@ def test_asof_plan_builds_without_running_a_job(spark, monkeypatch):
         assert df.columns  # plan built, nothing executed
 
 
+def test_bm25_and_tcloseness_build_without_running_a_job(spark, monkeypatch):
+    # round-9: corpus stats (n_docs, avgdl / the t-closeness total) ride
+    # broadcast 1-row singletons instead of driver collects, and the shared
+    # frames use LAZY localCheckpoint — each gate is ONE lazy plan, so the
+    # maintained BM25 serving path can run inside foreachBatch with no
+    # driver round trips and an empty index degrades to an empty frame.
+    from pyspark.sql import DataFrame
+
+    from blockchain_etl_spark.plans.registry import get_queries
+
+    def boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("eager action during plan construction")
+
+    orig_lc = DataFrame.localCheckpoint
+
+    def lazy_only(self, eager=True):
+        assert eager is False, "eager localCheckpoint during plan build"
+        return orig_lc(self, eager=False)
+
+    for m in ("first", "collect", "head", "take", "count", "toPandas"):
+        monkeypatch.setattr(DataFrame, m, boom)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lazy_only)
+    qs = get_queries()
+    for name in ("retrieval_bm25_topk", "events_t_closeness"):
+        df = qs[name](spark, SF)
+        assert df.columns  # plan built, nothing executed
+
+
 def test_moving_stats_single_shared_shuffle(plan):
     # the repartition("user_id") serves BOTH the (user_id, day) aggregate
     # and the user_id window — exactly one exchange in the whole plan.
