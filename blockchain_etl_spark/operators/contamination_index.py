@@ -1,0 +1,150 @@
+"""Maintained decontamination plane — the benchmark shingle registry as
+persisted state, screened against every crawl batch at INGEST time.
+
+The batch queries (plans/pipeline.py doc_contamination /
+doc_contamination_matrix) rescreen the whole corpus at query time;
+production screens when data ARRIVES: the eval sets are fixed and small,
+the train side grows crawl by crawl, and nobody re-shingles 100 TB to
+re-ask a question whose inputs changed by one batch. Two persisted tables
+maintained with the inventory MERGE machinery (operators/merge.py —
+versioned write-audit-publish, watermark replay guard):
+
+- ``registry`` — (source, doc_id, shingle): the distinct word-5-gram
+  shingles of every benchmark document, built ONCE from the eval sets
+  (``build``) and immutable afterwards. Eval sets are bounded by
+  construction, so the registry's distinct shingle set broadcasts;
+  if a registry ever outgrew broadcast, the probe join below degrades
+  gracefully to a shingle-hash shuffle (drop the explicit broadcast).
+- ``evidence`` — (shingle, doc_id): which registry shingles appear in
+  the CURRENT text of which screened corpus docs. Each ``screen`` batch
+  replaces the rows keyed by the batch's doc ids (the
+  operators/lexical_index.py retraction contract: keyed on BATCH ids,
+  not on the new hit set, so a re-crawl whose new text dropped every
+  benchmark shingle still sheds its stale evidence). Contamination is
+  rare, so this table is probe-hit-sized — the audit trail itself, not
+  a corpus mirror.
+
+Per-batch work: shingle ONLY the batch, one broadcast join against the
+registry shingles, one evidence merge shuffling on doc_id — ∝ batch
+size, never corpus size. ``matrix()`` then answers the full
+doc_contamination_matrix rollup from state alone (registry left-join
+distinct evidence shingles — registry-sized, corpus-free), and
+``verdicts()`` reports per-screened-doc hit counts from evidence alone.
+
+The maintained ≡ batch contract: matrix() over any screen history (any
+chunking, re-crawls, deletes, crash-replays) equals the batch matrix
+recomputed from the union of current texts — property-tested in
+tests/test_contamination_index.py; the driver-facing proof is the
+``doc_contamination_maintained`` registered query, whose DuckDB oracle
+recomputes the matrix from raw text while the Spark side reads ONLY this
+state.
+
+Reference parity: the reference maintains inventory state per block
+transactionally rather than recomputing per query
+(src/be_db_follower.erl's one-txn-per-block contract); this applies the
+same maintained-state discipline to the decontamination gate of an LLM
+data pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from ..plans.pipeline import contamination_matrix_rollup, contamination_shingles
+from .merge import ParquetMergeTarget
+
+
+class ContaminationIndex:
+    """Persisted (registry, evidence) decontamination state with one-time
+    benchmark build, per-crawl screening, and corpus-free reporting."""
+
+    def __init__(self, path: str):
+        self.registry = ParquetMergeTarget(os.path.join(path, "registry"))
+        self.evidence = ParquetMergeTarget(os.path.join(path, "evidence"))
+
+    def build(self, spark: SparkSession, bench_docs: DataFrame) -> None:
+        """Shingle the benchmark documents (source, doc_id, text) into the
+        immutable registry. Idempotent by content: rebuilding with the
+        same eval sets publishes an identical table."""
+        sh = contamination_shingles(bench_docs, keys=("source", "doc_id"))
+        self.registry.merge_with(spark, sh, lambda target, upd: upd)
+
+    def _registry(self, spark: SparkSession) -> DataFrame:
+        reg = self.registry.read(spark)
+        if reg is None:
+            raise FileNotFoundError(
+                f"{self.registry.path}: build() the benchmark registry "
+                "before screening"
+            )
+        return reg
+
+    def screen(
+        self, spark: SparkSession, docs: DataFrame, watermark: "int | None" = None
+    ) -> None:
+        """Probe a crawl batch (doc_id, text) against the registry and
+        fold the hits into evidence. Work ∝ batch size: the batch is
+        shingled once, joined against the broadcast registry shingle
+        set, and the evidence merge replaces only the batch's doc ids."""
+        reg_sh = self._registry(spark).select("shingle").distinct()
+        ids = docs.select("doc_id").distinct().localCheckpoint()
+        hits = (
+            contamination_shingles(docs, keys=("doc_id",))
+            .join(F.broadcast(reg_sh), ["shingle"])
+            .select("shingle", "doc_id")
+        )
+
+        def replace(target: DataFrame | None, upd: DataFrame) -> DataFrame:
+            if target is None:
+                return upd
+            return target.join(ids, ["doc_id"], "left_anti").unionByName(upd)
+
+        self.evidence.merge_with(spark, hits, replace, watermark=watermark)
+
+    def delete(self, spark: SparkSession, doc_ids: DataFrame) -> None:
+        """Drop screened documents' evidence (unwatermarked maintenance
+        fold — the merge target carries the replay high-mark forward).
+        A doc with no evidence rows is a no-op by construction."""
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint()
+        if self.evidence.read(spark) is not None:
+            self.evidence.merge_with(
+                spark,
+                ids,
+                lambda target, upd: target.join(ids, ["doc_id"], "left_anti"),
+            )
+
+    def verdicts(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, n_bench_shingles): per screened corpus doc, how many
+        distinct benchmark shingles its current text contains — the
+        per-doc contamination verdict recorded at ingest. Docs with zero
+        hits are clean and absent (evidence is hit-sized)."""
+        ev = self.evidence.read(spark)
+        if ev is None:
+            raise FileNotFoundError(self.evidence.path)
+        return ev.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_shingles")
+        )
+
+    def matrix(self, spark: SparkSession) -> DataFrame:
+        """The doc_contamination_matrix rollup answered from STATE: per
+        benchmark, docs screened / docs hit / shingle-level containment /
+        worst per-doc containment ppm — registry-sized work, the corpus
+        is never touched."""
+        reg = self._registry(spark)
+        ev = self.evidence.read(spark)
+        if ev is None:
+            hit = spark.createDataFrame([], "shingle string, __hit int")
+        else:
+            hit = ev.select("shingle").distinct().withColumn("__hit", F.lit(1))
+        per_doc = (
+            reg.join(hit, ["shingle"], "left")
+            .groupBy("source", "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sh"),
+                F.count("__hit").cast("long").alias("n_hit"),
+            )
+        )
+        return contamination_matrix_rollup(per_doc)

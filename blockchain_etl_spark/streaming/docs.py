@@ -65,6 +65,7 @@ class DocIngest:
         component_index: bool = False,
         drift_state: bool = False,
         lexical_index: bool = False,
+        contamination_screen: bool = False,
     ):
         self.out_dir = out_dir
         self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
@@ -108,6 +109,21 @@ class DocIngest:
         self.lexical = (
             LexicalIndex(os.path.join(out_dir, "lex_index"))
             if lexical_index
+            else None
+        )
+        # opt-in ingest-time decontamination (``contam_index/``): every
+        # crawl batch is probed against the persisted benchmark shingle
+        # registry and its per-doc verdicts recorded — build() the
+        # registry from the eval sets BEFORE the first batch (screen
+        # raises FileNotFoundError otherwise: silently skipping the gate
+        # would let unscreened data into the corpus). The maintained
+        # matrix ≡ batch screen is the doc_contamination_maintained
+        # driver contract (operators/contamination_index.py).
+        from ..operators.contamination_index import ContaminationIndex
+
+        self.contamination = (
+            ContaminationIndex(os.path.join(out_dir, "contam_index"))
+            if contamination_screen
             else None
         )
 
@@ -160,6 +176,14 @@ class DocIngest:
             # watermark keeps the replacement replay-safe (the hash merge
             # below still commits last)
             self.lexical.upsert(
+                spark, fresh.select("doc_id", "text"), watermark=batch_id
+            )
+        if self.contamination is not None:
+            # ingest-time decontamination: screen ONLY the docs entering
+            # the corpus against the benchmark registry and record their
+            # verdicts (work ∝ batch); its own watermark makes the
+            # evidence replacement replay-safe like every plane above
+            self.contamination.screen(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
             )
         if self.drift is not None:

@@ -1,0 +1,198 @@
+"""Maintained decontamination plane: the screened-state ≡ batch-screen
+property under any chunking, with re-crawls, deletes, and crash-replays —
+plus the ingest-time hook (DocIngest(contamination_screen=True)) matching
+the batch screen over the clean corpus it actually admitted."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_etl_spark.operators.contamination_index import ContaminationIndex
+from blockchain_etl_spark.plans.pipeline import (
+    _contamination_per_doc,
+    contamination_matrix_rollup,
+    contamination_shingles,
+)
+
+# Benchmark docs hold distinctive 5-gram phrases; train docs quote some.
+BENCH = [
+    ("evalA", 900, "the quick brown fox jumps over the lazy dog tonight"),
+    ("evalA", 901, "machine learning benchmarks measure held out accuracy"),
+    ("evalB", 902, "seven silver swans swim slowly south before sunrise"),
+]
+TRAIN = [
+    # quotes evalA doc 900 verbatim inside a longer body
+    (1, "intro words then the quick brown fox jumps over the lazy dog "
+        "tonight and a closing remark"),
+    # clean
+    (2, "completely unrelated training text with enough words to shingle"),
+    # quotes evalB doc 902 partially (one full 5-gram window)
+    (3, "nature notes seven silver swans swim slowly and then stop"),
+    # clean
+    (4, "another clean document body that shares nothing with the evals"),
+]
+
+
+def _bench(spark):
+    return spark.createDataFrame(BENCH, ["source", "doc_id", "text"])
+
+
+def _train(spark, rows=None):
+    return spark.createDataFrame(rows or TRAIN, ["doc_id", "text"])
+
+
+def _batch_matrix(spark, train_rows):
+    """Independent batch recompute through the registered-query scaffolding:
+    benchmarks + current train union, one contamination pass."""
+    both = _bench(spark).unionByName(
+        _train(spark, train_rows).select(
+            F.lit("train").alias("source"), "doc_id", "text"
+        )
+    )
+    per_doc = _contamination_per_doc(
+        contamination_shingles(both), ("evalA", "evalB")
+    )
+    return {
+        tuple(r) for r in contamination_matrix_rollup(per_doc).collect()
+    }
+
+
+def _matrix(ix, spark):
+    return {tuple(r) for r in ix.matrix(spark).collect()}
+
+
+def _evidence(ix, spark):
+    ev = ix.evidence.read(spark)
+    return set() if ev is None else {(r.shingle, r.doc_id) for r in ev.collect()}
+
+
+def test_incremental_equals_batch_under_any_chunking(spark, tmp_path):
+    whole = ContaminationIndex(str(tmp_path / "whole"))
+    whole.build(spark, _bench(spark))
+    whole.screen(spark, _train(spark), watermark=1)
+
+    split = ContaminationIndex(str(tmp_path / "split"))
+    split.build(spark, _bench(spark))
+    split.screen(spark, _train(spark).filter("doc_id <= 2"), watermark=1)
+    split.screen(spark, _train(spark).filter("doc_id > 2"), watermark=2)
+
+    want = _batch_matrix(spark, TRAIN)
+    assert _matrix(whole, spark) == want
+    assert _matrix(split, spark) == want
+    assert _evidence(whole, spark) == _evidence(split, spark)
+    # contamination actually present: docs 1 and 3 hit
+    assert {d for (_, d) in _evidence(whole, spark)} == {1, 3}
+
+
+def test_recrawl_replaces_evidence(spark, tmp_path):
+    ix = ContaminationIndex(str(tmp_path / "i"))
+    ix.build(spark, _bench(spark))
+    ix.screen(spark, _train(spark), watermark=1)
+    # doc 1 re-crawled CLEAN, doc 2 re-crawled now quoting evalA doc 901
+    recrawl = [
+        (1, "scrubbed clean rewrite with none of the quoted material left"),
+        (2, "now contains machine learning benchmarks measure held out "
+            "accuracy verbatim"),
+    ]
+    ix.screen(spark, _train(spark, recrawl), watermark=2)
+    final = recrawl + [r for r in TRAIN if r[0] > 2]
+    assert _matrix(ix, spark) == _batch_matrix(spark, final)
+    assert {d for (_, d) in _evidence(ix, spark)} == {2, 3}
+
+
+def test_recrawl_to_zero_hits_sheds_all_evidence(spark, tmp_path):
+    ix = ContaminationIndex(str(tmp_path / "i"))
+    ix.build(spark, _bench(spark))
+    ix.screen(spark, _train(spark), watermark=1)
+    clean = [(d, "harmless replacement text with enough words to shingle fine")
+             for d, _ in TRAIN]
+    ix.screen(spark, _train(spark, clean), watermark=2)
+    assert _evidence(ix, spark) == set()
+    assert _matrix(ix, spark) == _batch_matrix(spark, clean)
+
+
+def test_replay_is_a_noop(spark, tmp_path):
+    ix = ContaminationIndex(str(tmp_path / "i"))
+    ix.build(spark, _bench(spark))
+    ix.screen(spark, _train(spark).filter("doc_id <= 2"), watermark=1)
+    ix.screen(spark, _train(spark).filter("doc_id > 2"), watermark=2)
+    before = _evidence(ix, spark)
+    ix.screen(spark, _train(spark).filter("doc_id > 2"), watermark=2)  # crash replay
+    assert _evidence(ix, spark) == before
+
+
+def test_delete_drops_evidence_and_keeps_replay_guard(spark, tmp_path):
+    ix = ContaminationIndex(str(tmp_path / "i"))
+    ix.build(spark, _bench(spark))
+    ix.screen(spark, _train(spark), watermark=1)
+    ix.delete(spark, _train(spark).filter("doc_id = 1").select("doc_id"))
+    assert {d for (_, d) in _evidence(ix, spark)} == {3}
+    # unwatermarked maintenance fold must not reset the replay guard
+    ix.screen(spark, _train(spark), watermark=1)
+    assert {d for (_, d) in _evidence(ix, spark)} == {3}
+
+
+def test_verdicts_count_distinct_bench_shingles(spark, tmp_path):
+    ix = ContaminationIndex(str(tmp_path / "i"))
+    ix.build(spark, _bench(spark))
+    ix.screen(spark, _train(spark), watermark=1)
+    got = {(r.doc_id, r.n_bench_shingles) for r in ix.verdicts(spark).collect()}
+    # independent recompute: train-doc shingles ∩ distinct bench shingles
+    bench_sh = contamination_shingles(
+        _bench(spark), keys=("doc_id",)
+    ).select("shingle").distinct()
+    want = {
+        (r.doc_id, r.n)
+        for r in contamination_shingles(_train(spark), keys=("doc_id",))
+        .join(bench_sh, ["shingle"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_screen_before_build_raises(spark, tmp_path):
+    ix = ContaminationIndex(str(tmp_path / "i"))
+    with pytest.raises(FileNotFoundError):
+        ix.screen(spark, _train(spark), watermark=1)
+
+
+def test_matrix_with_no_screens_reports_zero_hits(spark, tmp_path):
+    ix = ContaminationIndex(str(tmp_path / "i"))
+    ix.build(spark, _bench(spark))
+    rows = {r.benchmark: r for r in ix.matrix(spark).collect()}
+    assert set(rows) == {"evalA", "evalB"}
+    assert all(r.n_contaminated == 0 and r.n_docs_contaminated == 0
+               for r in rows.values())
+
+
+def test_doc_ingest_screen_hook_matches_batch_over_admitted_corpus(
+    spark, tmp_path
+):
+    """DocIngest(contamination_screen=True): the maintained matrix equals
+    the batch screen over exactly the docs the ingest ADMITTED (post
+    quality + dedup), across two batches."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(str(tmp_path / "lake"), contamination_screen=True)
+    ing.contamination.build(spark, _bench(spark))
+    # pad texts past the MIN_TOKENS=10 quality gate
+    rows = [
+        (1, TRAIN[0][1]),
+        (2, TRAIN[1][1] + " extra padding tokens beyond the minimum gate"),
+        (3, TRAIN[2][1] + " extra padding tokens beyond the minimum gate"),
+        (4, TRAIN[3][1] + " extra padding tokens beyond the minimum gate"),
+        (5, TRAIN[0][1]),  # exact duplicate of doc 1 → deduped, never screened
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, "en") for d, t in rows], ["doc_id", "text", "lang"]
+    )
+    ing.process_batch(docs.filter("doc_id <= 2"), 0)
+    ing.process_batch(docs.filter("doc_id > 2"), 1)
+    admitted = [
+        (r.doc_id, r.text) for r in ing.read_corpus(spark).collect()
+    ]
+    assert {d for d, _ in admitted} == {1, 2, 3, 4}  # dup 5 dropped
+    assert _matrix(ing.contamination, spark) == _batch_matrix(spark, admitted)
