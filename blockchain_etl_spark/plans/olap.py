@@ -2334,3 +2334,105 @@ def cms_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Waiting-supplier audit — the TPC-H Q21 shape (chained EXISTS + NOT
+# EXISTS self-joins on the fact table) over the observed trade data: for
+# finalized multi-supplier orders, which supplier shipped late while
+# every OTHER supplier on the order shipped on time — the one party that
+# kept the whole order waiting. "Late" = shipped more than 60 days after
+# the order date (this corpus has no commit/receipt dates).
+#
+# Spark-first plan: the textbook form runs TWO correlated self-joins of
+# the fact table (semi for "another supplier exists", anti for "no other
+# late supplier") — three fact-grain shuffles. Both quantifiers are
+# per-order aggregates, so they ride ONE window over the order partition
+# instead: EXISTS other-supplier == n_suppliers >= 2, NOT EXISTS other
+# late supplier == n_late_suppliers = 1 given this supplier is late.
+# The fact shuffles ONCE (on l_orderkey, shared by the orders join, the
+# (order, supplier) collapse, and both window counts) — the r8
+# groupBy+join-back lesson (SCALE.md) applied to relational quantifiers.
+# --------------------------------------------------------------------------
+@register(
+    "waiting_suppliers",
+    sql="""
+    WITH f AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    g AS (SELECT l_orderkey, l_suppkey,
+                 CAST(MAX(late) AS BIGINT) AS has_late
+          FROM f GROUP BY l_orderkey, l_suppkey),
+    w AS (SELECT l_suppkey, has_late,
+                 COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 SUM(has_late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM g)
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE has_late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    survey_ops=("J6", "J8"),
+    doc="TPC-H Q21-shaped waiting-supplier audit: suppliers whose line "
+    "was the ONLY late one on a finalized multi-supplier order, counted "
+    "per supplier. The EXISTS (another supplier on the order) and NOT "
+    "EXISTS (another LATE supplier) quantifiers are order-grain "
+    "aggregates, so the plan replaces the textbook pair of correlated "
+    "fact self-joins with two window counts over the same l_orderkey "
+    "partition the orders join already shuffled on — the fact table "
+    "moves once, suppliers join by broadcast, and the final rollup is "
+    "supplier-grain. Reference analog: the NOT EXISTS gating pattern of "
+    "src/be_db_geocoder.erl:33 composed with J8's set-membership "
+    "semantics.",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+            " THEN 1 ELSE 0 END"
+        ).alias("late"),
+    )
+    # pin the fact's one shuffle to l_orderkey: the (order, supplier)
+    # collapse and BOTH window counts then reuse it (subset-key rule).
+    # Without this, a broadcast orders join leaves the fact unpartitioned
+    # and the agg keys on (order, supplier) — forcing a SECOND fact
+    # shuffle for the order window (measured 3 → 2 exchanges). When the
+    # orders join is itself a shuffle join (the 100 TB regime), Spark
+    # removes this node as redundant — same key, no extra movement.
+    g = (
+        f.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").cast("long").alias("has_late"))
+    )
+    wo = Window.partitionBy("l_orderkey")
+    w = g.select(
+        "l_suppkey",
+        "has_late",
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum("has_late").over(wo).alias("n_late"),
+    )
+    return (
+        w.filter(
+            (col("has_late") == 1) & (col("n_supp") > 1) & (col("n_late") == 1)
+        )
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )

@@ -228,6 +228,19 @@ def test_bm25_and_tcloseness_build_without_running_a_job(spark, monkeypatch):
         assert df.columns  # plan built, nothing executed
 
 
+def test_waiting_suppliers_single_fact_shuffle(plan):
+    # Q21 shape: both relational quantifiers (EXISTS other supplier /
+    # NOT EXISTS other late supplier) ride window counts over the SAME
+    # l_orderkey partition the fact was shuffled to — the fact moves
+    # once, suppliers broadcast, and only the supplier-grain rollup adds
+    # a second (tiny) exchange. The textbook double self-join would be
+    # three fact-grain shuffles.
+    p = plan("waiting_suppliers")
+    assert n_exchanges(p) == 2
+    assert "SortMergeJoin" not in p
+    assert re.search(r"hashpartitioning\(l_orderkey", p)
+
+
 def test_moving_stats_single_shared_shuffle(plan):
     # the repartition("user_id") serves BOTH the (user_id, day) aggregate
     # and the user_id window — exactly one exchange in the whole plan.
