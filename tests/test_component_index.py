@@ -341,3 +341,97 @@ def test_bootstrap_on_populated_index_raises(spark, tmp_path):
     all_ids = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
     assert comp.upsert(spark, all_ids, watermark=2)
     assert _maintained(spark, comp) == _ground_truth(spark, mh)
+
+
+def _splits(spark, comp):
+    return {(r.doc_id, r.component_id, r.split)
+            for r in comp.splits(spark).collect()}
+
+
+def test_coalesced_catchup_equals_sequential_upserts(spark, tmp_path):
+    """upsert_coalesced over N pending insert-only batches must publish
+    exactly the sequential per-batch state — labels AND eval-wins splits
+    (the per-step component labels feeding the split policy are
+    reproduced in memory, including cross-batch family merges)."""
+    b1 = [(50, _text(0)), (51, _text(0, 1)), (60, _text(5))]
+    b2 = [(40, _text(0)), (61, _text(5)), (70, _text(9))]
+    b3 = [(30, _text(9)), (31, _text(0, 1))]
+
+    mh_s, comp_s = _mk(tmp_path, "seq")
+    for wm, rows in ((1, b1), (2, b2), (3, b3)):
+        _ingest(spark, mh_s, comp_s, rows, wm=wm)
+
+    mh_c, comp_c = _mk(tmp_path, "coal")
+    for wm, rows in ((1, b1), (2, b2), (3, b3)):
+        mh_c.upsert(spark, _batch(spark, rows), watermark=wm)
+    assert comp_c.upsert_coalesced(
+        spark,
+        [(wm, _batch(spark, rows).select("doc_id"))
+         for wm, rows in ((1, b1), (2, b2), (3, b3))],
+    )
+    assert _splits(spark, comp_c) == _splits(spark, comp_s)
+    assert comp_c.labels_t.watermark() == 3
+    assert _maintained(spark, comp_c) == _ground_truth(spark, mh_c)
+    # merges actually happened across batches: doc 50's family absorbed a
+    # later batch's smaller id (the anchor-relabel path ran)
+    labels = dict(_maintained(spark, comp_c))
+    assert labels[50] < 50
+
+
+def test_coalesced_catchup_on_existing_state(spark, tmp_path):
+    """Catch-up on top of already-published state: stored components act
+    as anchors, exactly as in sequential maintenance."""
+    seqs = [(1, [(0, _text(0)), (1, _text(0, 1))]),
+            (2, [(10, _text(5)), (2, _text(0))]),
+            (3, [(11, _text(5)), (20, _text(9))])]
+    mh_s, comp_s = _mk(tmp_path, "seq2")
+    for wm, rows in seqs:
+        _ingest(spark, mh_s, comp_s, rows, wm=wm)
+
+    mh_c, comp_c = _mk(tmp_path, "coal2")
+    _ingest(spark, mh_c, comp_c, seqs[0][1], wm=1)  # published base state
+    for wm, rows in seqs[1:]:
+        mh_c.upsert(spark, _batch(spark, rows), watermark=wm)
+    assert comp_c.upsert_coalesced(
+        spark,
+        [(wm, _batch(spark, rows).select("doc_id")) for wm, rows in seqs[1:]],
+    )
+    assert _splits(spark, comp_c) == _splits(spark, comp_s)
+    assert _maintained(spark, comp_c) == _ground_truth(spark, mh_c)
+
+
+def test_coalesced_catchup_skips_replayed_batches(spark, tmp_path):
+    seqs = [(1, [(0, _text(0)), (1, _text(0, 1))]), (2, [(2, _text(0))])]
+    mh, comp = _mk(tmp_path, "repl")
+    for wm, rows in seqs:
+        _ingest(spark, mh, comp, rows, wm=wm)
+    before = _splits(spark, comp)
+    # everything at or below the stored watermark: a no-op
+    assert not comp.upsert_coalesced(
+        spark,
+        [(wm, _batch(spark, rows).select("doc_id")) for wm, rows in seqs],
+    )
+    assert _splits(spark, comp) == before
+
+
+def test_coalesced_catchup_rejects_non_inserts(spark, tmp_path):
+    import pytest
+
+    mh, comp = _mk(tmp_path, "rej")
+    _ingest(spark, mh, comp, [(0, _text(0)), (1, _text(0, 1))], wm=1)
+    # re-crawl of an indexed id must be rejected (needs per-step text)
+    mh.upsert(spark, _batch(spark, [(0, _text(5))]), watermark=2)
+    with pytest.raises(ValueError, match="insert-only"):
+        comp.upsert_coalesced(
+            spark, [(2, _batch(spark, [(0, _text(5))]).select("doc_id"))]
+        )
+    # an id repeated across steps must be rejected too
+    mh2, comp2 = _mk(tmp_path, "rej2")
+    mh2.upsert(spark, _batch(spark, [(5, _text(3))]), watermark=1)
+    mh2.upsert(spark, _batch(spark, [(5, _text(3))]), watermark=2)
+    with pytest.raises(ValueError, match="insert-only"):
+        comp2.upsert_coalesced(
+            spark,
+            [(1, _batch(spark, [(5, _text(3))]).select("doc_id")),
+             (2, _batch(spark, [(5, _text(3))]).select("doc_id"))],
+        )

@@ -82,3 +82,30 @@ def test_probe_finds_stored_near_dups(spark, tmp_path):
     }
     for i in range(5):
         assert got.get((i, i + 100000)) == 4, (i, got)
+
+
+def test_upsert_coalesced_equals_sequential(spark, tmp_path):
+    """Latest-wins signatures over id-disjoint batches: one coalesced
+    publish must equal per-batch upserts, and the watermark advances to
+    the last batch so replays stay guarded."""
+    import pytest
+
+    docs = _docs(spark)
+    b1 = docs.filter("doc_id < 2")
+    b2 = docs.filter("doc_id >= 2")
+
+    seq = MinHashIndex(str(tmp_path / "seq"))
+    seq.upsert(spark, b1, watermark=1)
+    seq.upsert(spark, b2, watermark=2)
+
+    coal = MinHashIndex(str(tmp_path / "coal"))
+    assert coal.upsert_coalesced(spark, [(1, b1), (2, b2)])
+    want = {tuple(r) for r in seq.signatures(spark).collect()}
+    assert {tuple(r) for r in coal.signatures(spark).collect()} == want
+    assert coal.target.watermark() == 2
+    # full replay: a no-op
+    assert not coal.upsert_coalesced(spark, [(1, b1), (2, b2)])
+    # an id in two batches would lose its intermediate text: rejected
+    fresh = MinHashIndex(str(tmp_path / "dup"))
+    with pytest.raises(ValueError, match="more than one batch"):
+        fresh.upsert_coalesced(spark, [(1, b1), (2, b1)])
