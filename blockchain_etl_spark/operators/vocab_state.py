@@ -17,7 +17,11 @@ corpus — the reference's trigger-maintained stats counters
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
 
 from ..functions.drift import drift_from_counts, half_token_counts
 from .merge import ParquetMergeTarget, merge_accumulate
@@ -57,3 +61,131 @@ class UnigramDriftState:
         if counts is None:
             return None
         return drift_from_counts(counts)
+
+
+class ShingleVocabState:
+    """Maintained Heaps'-law telemetry — the streaming twin of the
+    ``corpus_heaps_curve`` query (plans/text.py), where the checkpoints
+    are CRAWL BATCHES instead of doc-id deciles: exactly the boundaries a
+    100 TB ingest already materializes, so the stop-crawling signal
+    (marginal novelty per batch) is available the moment a crawl lands,
+    without a corpus rescan or a global sort.
+
+    Two persisted tables (operators/merge.py machinery):
+
+    - ``vocab`` — (shingle, first_batch): every distinct word-3-gram
+      shingle seen so far, stamped with the batch that introduced it.
+      The fold appends ONLY absent shingles (anti-join), so re-applying
+      a crashed batch is idempotent and the batch's novel-shingle count
+      stays derivable after any replay (count of rows stamped with that
+      batch — the reason the stamp exists).
+    - ``curve`` — one row per folded batch: cumulative docs / postings /
+      vocabulary plus cumulative and MARGINAL novelty ppm. Commits LAST
+      with the batch watermark, so it is the replay guard: a crash
+      between the two merges replays the batch, the vocab merge skips
+      (watermark), and the curve row is recomputed from deterministic
+      inputs — state converges to the once-applied result (the
+      operators/chunk_index.py crash-ordering contract).
+
+    Maintained ≡ batch: every curve row equals the batch Heaps recompute
+    over the union of batches up to that point
+    (tests/test_vocab_state.py); the driver-facing proof is the
+    ``corpus_novelty_maintained`` registered query, whose oracle
+    recomputes the per-checkpoint curve from raw text.
+
+    Scale shape per fold: shingle the batch once (batch-sized), one
+    anti-join against the vocab table shuffling on the shingle, two
+    1-row aggregates, one appended row. Nothing rescans the corpus.
+    """
+
+    def __init__(self, path: str):
+        self.vocab = ParquetMergeTarget(os.path.join(path, "vocab"))
+        self.curve = ParquetMergeTarget(os.path.join(path, "curve"))
+
+    def watermark(self) -> int:
+        return self.curve.watermark()
+
+    def fold(self, spark: SparkSession, docs: DataFrame, watermark: int) -> bool:
+        """Fold one crawl batch (doc_id, text); returns False on a
+        replayed (already-curved) batch."""
+        from ..plans.dedup import shingle_rows_from_text
+
+        if watermark <= self.curve.watermark():
+            return False
+        sh = shingle_rows_from_text(docs).localCheckpoint(eager=False)
+
+        def add_absent(target: DataFrame | None, upd: DataFrame) -> DataFrame:
+            fresh = upd.select("shingle").distinct()
+            if target is None:
+                return fresh.withColumn(
+                    "first_batch", F.lit(watermark).cast("long")
+                )
+            return target.unionByName(
+                fresh.join(target.select("shingle"), ["shingle"], "left_anti")
+                .withColumn("first_batch", F.lit(watermark).cast("long"))
+            )
+
+        self.vocab.merge_with(spark, sh, add_absent, watermark=watermark)
+        voc = self.vocab.read(spark)
+        agg = voc.agg(
+            F.count(F.lit(1)).cast("long").alias("v"),
+            F.count(F.when(col("first_batch") == watermark, 1))
+            .cast("long")
+            .alias("nv"),
+        ).collect()[0]
+        # nd counts every batch doc (a sub-3-token doc contributes no
+        # shingles but is still a crawled document); np counts distinct
+        # (doc, shingle) postings
+        batch = docs.select("doc_id").distinct().join(
+            sh.select("doc_id", "shingle"), ["doc_id"], "left"
+        ).agg(
+            F.count("shingle").cast("long").alias("np"),
+            F.countDistinct("doc_id").cast("long").alias("nd"),
+        ).collect()[0]
+        prev = self._last_row(spark)
+        n_docs = prev["n_docs"] + int(batch["nd"])
+        n_postings = prev["n_postings"] + int(batch["np"])
+        vocab_size = int(agg["v"])
+        row = [
+            (
+                int(watermark),
+                n_docs,
+                n_postings,
+                vocab_size,
+                vocab_size * 1_000_000 // n_postings if n_postings else 0,
+                int(agg["nv"]),
+                int(agg["nv"]) * 1_000_000 // int(batch["np"])
+                if int(batch["np"])
+                else 0,
+            )
+        ]
+        upd = spark.createDataFrame(
+            row,
+            "batch_id long, n_docs long, n_postings long, vocab_size long, "
+            "novelty_ppm long, n_new_shingles long, batch_novelty_ppm long",
+        )
+        self.curve.merge_with(
+            spark,
+            upd,
+            lambda tgt, u: u if tgt is None else tgt.unionByName(u),
+            watermark=watermark,
+        )
+        return True
+
+    def _last_row(self, spark: SparkSession) -> dict:
+        cur = self.curve.read(spark)
+        if cur is None:
+            return {"n_docs": 0, "n_postings": 0}
+        rows = cur.orderBy(col("batch_id").desc()).limit(1).collect()
+        return (
+            {"n_docs": 0, "n_postings": 0}
+            if not rows
+            else {"n_docs": rows[0]["n_docs"], "n_postings": rows[0]["n_postings"]}
+        )
+
+    def read_curve(self, spark: SparkSession) -> DataFrame | None:
+        """(batch_id, n_docs, n_postings, vocab_size, novelty_ppm,
+        n_new_shingles, batch_novelty_ppm) — one row per folded crawl,
+        batch_id ascending = the maintained Heaps curve."""
+        cur = self.curve.read(spark)
+        return None if cur is None else cur

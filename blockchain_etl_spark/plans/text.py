@@ -1768,3 +1768,97 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained novelty curve — the streaming twin of corpus_heaps_curve:
+# checkpoints are CRAWL BATCHES (the boundaries a 100 TB ingest already
+# materializes), and every row is served from persisted ShingleVocabState
+# instead of a corpus rescan. The marginal column (batch_novelty_ppm) is
+# the operational stop-crawling signal corpus_heaps_curve's deciles only
+# approximate after the fact.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_novelty_maintained",
+    sql="""
+    WITH d AS (SELECT doc_id, 1 + (doc_id % 3) AS b, text
+               FROM documents WHERE doc_id % 4 = 2),
+    toks AS (SELECT doc_id, b,
+                    list_filter(string_split(text, ' '),
+                                w -> length(w) > 0) AS toks
+             FROM d),
+    s AS (
+      SELECT DISTINCT doc_id, b, shingle FROM (
+        SELECT doc_id, b,
+               unnest(list_filter(
+                 list_transform(toks, (w, i) ->
+                   CASE WHEN i <= len(toks) - 2
+                        THEN toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2] END),
+                 x -> x IS NOT NULL)) AS shingle
+        FROM toks) t),
+    fb AS (SELECT shingle, CAST(MIN(b) AS BIGINT) AS fb
+           FROM s GROUP BY shingle),
+    vh AS (SELECT fb AS k, CAST(COUNT(*) AS BIGINT) AS nv
+           FROM fb GROUP BY fb),
+    ph AS (SELECT b AS k, CAST(COUNT(*) AS BIGINT) AS np
+           FROM s GROUP BY b),
+    dh AS (SELECT b AS k, CAST(COUNT(*) AS BIGINT) AS nd
+           FROM d GROUP BY b),
+    ks AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT) AS k),
+    cum AS (
+      SELECT ks.k,
+             CAST(SUM(COALESCE(dh.nd, 0)) OVER w AS BIGINT) AS n_docs,
+             CAST(SUM(COALESCE(ph.np, 0)) OVER w AS BIGINT) AS n_postings,
+             CAST(SUM(COALESCE(vh.nv, 0)) OVER w AS BIGINT) AS vocab_size,
+             CAST(COALESCE(vh.nv, 0) AS BIGINT) AS n_new_shingles,
+             CAST(COALESCE(ph.np, 0) AS BIGINT) AS bnp
+      FROM ks LEFT JOIN vh ON vh.k = ks.k
+              LEFT JOIN ph ON ph.k = ks.k
+              LEFT JOIN dh ON dh.k = ks.k
+      WINDOW w AS (ORDER BY ks.k ROWS UNBOUNDED PRECEDING))
+    SELECT k AS batch_id, n_docs, n_postings, vocab_size,
+           CASE WHEN n_postings = 0 THEN 0
+                ELSE CAST(vocab_size * 1000000 // n_postings AS BIGINT)
+           END AS novelty_ppm,
+           n_new_shingles,
+           CASE WHEN bnp = 0 THEN 0
+                ELSE CAST(n_new_shingles * 1000000 // bnp AS BIGINT)
+           END AS batch_novelty_ppm
+    FROM cum
+    """,
+    survey_ops=(),
+    doc="Maintained Heaps/novelty curve gate: the doc_id % 4 == 2 corpus "
+    "slice streams in as THREE crawl batches (doc_id % 3) folded into a "
+    "persisted ShingleVocabState (operators/vocab_state.py — "
+    "first-batch-stamped vocabulary + per-batch curve rows, crash-"
+    "ordering contract with the curve as replay guard), then the whole "
+    "curve is read from STATE. The oracle recomputes every checkpoint "
+    "from raw text (first-occurrence batch per shingle), so hash "
+    "equality proves the per-crawl folds recorded exactly the batch "
+    "Heaps recompute — cumulative AND marginal novelty, the "
+    "stop-crawling telemetry served without a corpus rescan.",
+)
+def corpus_novelty_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.vocab_state import ShingleVocabState
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(col("doc_id") % 4 == 2)
+    )
+    base = tempfile.mkdtemp(prefix="novelty_state_gate_")
+    try:
+        st = ShingleVocabState(os.path.join(base, "nov"))
+        for wm in (1, 2, 3):
+            st.fold(
+                spark, docs.filter(col("doc_id") % 3 == wm - 1), watermark=wm
+            )
+        st.fold(spark, docs.filter(col("doc_id") % 3 == 1), watermark=2)  # replay
+        return st.read_curve(spark).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

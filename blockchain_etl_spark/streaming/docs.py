@@ -66,6 +66,7 @@ class DocIngest:
         drift_state: bool = False,
         lexical_index: bool = False,
         contamination_screen: bool = False,
+        novelty_state: bool = False,
     ):
         self.out_dir = out_dir
         self.hashes = ParquetMergeTarget(os.path.join(out_dir, "hash_inventory"))
@@ -126,6 +127,17 @@ class DocIngest:
             if contamination_screen
             else None
         )
+        # opt-in crawl-diversity telemetry (``novelty_state/``): the
+        # maintained Heaps curve — cumulative + marginal shingle novelty
+        # per batch, the stop-crawling signal
+        # (operators/vocab_state.py::ShingleVocabState)
+        from ..operators.vocab_state import ShingleVocabState
+
+        self.novelty = (
+            ShingleVocabState(os.path.join(out_dir, "novelty_state"))
+            if novelty_state
+            else None
+        )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -184,6 +196,14 @@ class DocIngest:
             # verdicts (work ∝ batch); its own watermark makes the
             # evidence replacement replay-safe like every plane above
             self.contamination.screen(
+                spark, fresh.select("doc_id", "text"), watermark=batch_id
+            )
+        if self.novelty is not None:
+            # crawl-diversity telemetry: the maintained Heaps curve rows
+            # key on the docs ADMITTED to the corpus, so the curve equals
+            # the batch recompute over read_corpus() checkpoints; its own
+            # watermark makes the fold replay-safe like every plane above
+            self.novelty.fold(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
             )
         if self.drift is not None:
