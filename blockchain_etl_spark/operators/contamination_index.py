@@ -104,6 +104,21 @@ class ContaminationIndex:
 
         self.evidence.merge_with(spark, hits, replace, watermark=watermark)
 
+    def probe(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
+        """(doc_id, n_bench_shingles) for every doc in ``docs`` carrying
+        at least one benchmark shingle — a pure read against the
+        registry, NO state fold. This is the pre-admission check of the
+        quarantine gate (DocIngest(contamination_quarantine=...)): the
+        verdict must exist BEFORE the doc enters the corpus, whereas
+        ``screen`` records evidence for docs already admitted."""
+        reg_sh = self._registry(spark).select("shingle").distinct()
+        return (
+            contamination_shingles(docs, keys=("doc_id",))
+            .join(F.broadcast(reg_sh), ["shingle"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_shingles"))
+        )
+
     def delete(self, spark: SparkSession, doc_ids: DataFrame) -> None:
         """Drop screened documents' evidence (unwatermarked maintenance
         fold — the merge target carries the replay high-mark forward).

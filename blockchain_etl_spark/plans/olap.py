@@ -2436,3 +2436,136 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Small-lot revenue audit — the TPC-H Q17 shape (correlated per-part
+# average subquery) over the observed trade data: revenue booked on
+# lineitems whose quantity is under 20% of their part's average order
+# quantity, for SMALL-type parts — the "stop stocking micro-lots" number.
+# Exact integers: 0.2·avg(qty) as the cross-multiplied 5·qty·cnt < Σqty,
+# prices in cents, yearly average by integer division.
+# --------------------------------------------------------------------------
+@register(
+    "small_lot_revenue",
+    sql="""
+    WITH f AS (
+      SELECT l.l_partkey,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'SMALL'),
+    w AS (SELECT qty, cents,
+                 SUM(qty) OVER (PARTITION BY l_partkey) AS sq,
+                 CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS cnt
+          FROM f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lots,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS lost_revenue_cents,
+           CAST(COALESCE(SUM(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM w WHERE 5 * qty * cnt < sq
+    """,
+    survey_ops=("J10",),
+    doc="TPC-H Q17-shaped small-lot audit: per-part average order "
+    "quantity as a correlated threshold (a lineitem qualifies when "
+    "qty < 0.2 x its part's average), summed revenue of qualifying "
+    "lines in integer cents, yearly average by integer division. The "
+    "correlated subquery is a window over the SAME l_partkey partition "
+    "the part join shuffled to — cross-multiplied to 5*qty*cnt < sum_qty "
+    "so no division enters the predicate; the part dim filters by "
+    "broadcast BEFORE the fact shuffles, and the final reduce is a "
+    "1-row aggregate.",
+)
+def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    f = li.join(broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    wo = Window.partitionBy("l_partkey")
+    w = f.select(
+        "qty",
+        "cents",
+        F.sum("qty").over(wo).alias("sq"),
+        F.count(F.lit(1)).over(wo).cast("long").alias("cnt"),
+    )
+    hit = w.filter(F.expr("5 * qty * cnt < sq"))
+    return hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lots"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias(
+            "lost_revenue_cents"
+        ),
+        F.expr("CAST(COALESCE(SUM(cents), 0) div 7 AS BIGINT)").alias(
+            "avg_yearly_cents"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Large-volume customers — the TPC-H Q18 shape (HAVING-subquery semi-join
+# against the fact): orders whose total line quantity clears a threshold,
+# attributed to their customers. The classic "find the whales" scan.
+# --------------------------------------------------------------------------
+_Q18_MIN_QTY = 250
+
+
+@register(
+    "large_volume_customers",
+    sql=f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY})
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+           CAST(SUM(b.tot_qty) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_price_cents
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    survey_ops=("A6",),
+    doc="TPC-H Q18-shaped whale-customer scan: the fact collapses to "
+    f"per-order quantity totals in ONE map-combinable aggregate, the "
+    f"HAVING threshold (> {_Q18_MIN_QTY}) prunes to the rare big orders "
+    "BEFORE any join, and the surviving order keys join orders (shuffle "
+    "on the orderkey both sides already share) then the customer dim by "
+    "broadcast. Prices ride integer cents. Scale shape: the only "
+    "fact-grain work is the first aggregate; everything after is "
+    "big-order-grain.",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)")).cast("long").alias("tot_qty"))
+        .filter(col("tot_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_big_orders"),
+            F.sum("tot_qty").cast("long").alias("total_qty"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("total_price_cents"),
+        )
+    )

@@ -66,6 +66,7 @@ class DocIngest:
         drift_state: bool = False,
         lexical_index: bool = False,
         contamination_screen: bool = False,
+        contamination_quarantine: "int | None" = None,
         novelty_state: bool = False,
     ):
         self.out_dir = out_dir
@@ -127,6 +128,19 @@ class DocIngest:
             if contamination_screen
             else None
         )
+        # optional QUARANTINE gate on top of the screen: a batch doc whose
+        # distinct benchmark-shingle hit count reaches the threshold never
+        # enters the corpus or any index — it lands in
+        # ``quarantine/chunk=<batch>`` with its count (the audit trail),
+        # and the admitted remainder is screened as usual so the
+        # maintained matrix still equals the batch screen over
+        # read_corpus(). Production decontamination is a GATE, not a
+        # report.
+        if contamination_quarantine is not None and self.contamination is None:
+            raise ValueError(
+                "contamination_quarantine requires contamination_screen=True"
+            )
+        self.quarantine_threshold = contamination_quarantine
         # opt-in crawl-diversity telemetry (``novelty_state/``): the
         # maintained Heaps curve — cumulative + marginal shingle novelty
         # per batch, the stop-crawling signal
@@ -165,6 +179,20 @@ class DocIngest:
             firsts = firsts.join(
                 stored.select(col("text_hash").alias("h")), ["h"], "left_anti"
             )
+        if self.contamination is not None and self.quarantine_threshold is not None:
+            # pre-admission decontamination gate: flagged docs are written
+            # to the quarantine audit trail (overwrite-idempotent chunk,
+            # like the corpus chunks) and excluded BEFORE any index sees
+            # them; work is one batch shingling + broadcast registry join
+            flagged = (
+                self.contamination.probe(spark, firsts.select("doc_id", "text"))
+                .filter(col("n_bench_shingles") >= self.quarantine_threshold)
+                .localCheckpoint()  # consumers: audit write + anti-join
+            )
+            flagged.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, "quarantine", f"chunk={batch_id}")
+            )
+            firsts = firsts.join(flagged.select("doc_id"), ["doc_id"], "left_anti")
         # chunk write is overwrite-idempotent; replays rewrite the same dir.
         # localCheckpoint: three consumers below (write, hash merge, index
         # upsert) must agree on the fresh set even under re-computation.
@@ -259,6 +287,20 @@ class DocIngest:
                 target, upd, keys=["text_hash"], order=["canonical_doc_id"]
             ),
             watermark=batch_id,
+        )
+
+    def read_quarantine(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, n_bench_shingles) for every doc the contamination
+        gate refused — the audit trail of what never entered the corpus.
+        Empty frame (same schema) before any batch quarantined."""
+        import glob as _glob
+
+        base = os.path.join(self.out_dir, "quarantine")
+        chunks = _glob.glob(os.path.join(base, "chunk=*"))
+        if not chunks:
+            return spark.createDataFrame([], "doc_id long, n_bench_shingles long")
+        return (
+            spark.read.option("basePath", base).parquet(*chunks).drop("chunk")
         )
 
     def read_corpus(self, spark: SparkSession) -> DataFrame:

@@ -196,3 +196,59 @@ def test_doc_ingest_screen_hook_matches_batch_over_admitted_corpus(
     ]
     assert {d for d, _ in admitted} == {1, 2, 3, 4}  # dup 5 dropped
     assert _matrix(ing.contamination, spark) == _batch_matrix(spark, admitted)
+
+
+def test_quarantine_gate_blocks_contaminated_docs(spark, tmp_path):
+    """DocIngest(contamination_quarantine=N): docs at or over N distinct
+    benchmark-shingle hits never reach the corpus or the indexes; they
+    land in the quarantine audit trail with their counts, the admitted
+    remainder is screened as usual, and replays stay idempotent."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(
+        str(tmp_path / "lake"),
+        contamination_screen=True,
+        contamination_quarantine=2,
+    )
+    ing.contamination.build(spark, _bench(spark))
+    rows = [
+        # doc 1 quotes evalA doc 900 fully: many hits -> quarantined
+        (1, TRAIN[0][1]),
+        (2, TRAIN[1][1] + " extra padding tokens beyond the minimum gate"),
+        # doc 3 has exactly ONE hit window: stays admitted under N=2
+        (3, TRAIN[2][1] + " extra padding tokens beyond the minimum gate"),
+        (4, TRAIN[3][1] + " extra padding tokens beyond the minimum gate"),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, "en") for d, t in rows], ["doc_id", "text", "lang"]
+    )
+    ing.process_batch(docs.filter("doc_id <= 2"), 0)
+    ing.process_batch(docs.filter("doc_id > 2"), 1)
+    ing.process_batch(docs.filter("doc_id > 2"), 1)  # replay: idempotent
+
+    admitted = {r.doc_id for r in ing.read_corpus(spark).collect()}
+    assert admitted == {2, 3, 4}
+    quarantined = {
+        (r.doc_id, r.n_bench_shingles)
+        for r in ing.read_quarantine(spark).collect()
+    }
+    assert {d for d, _ in quarantined} == {1}
+    assert all(n >= 2 for _, n in quarantined)
+    # no index saw doc 1
+    assert not ing.index.signatures(spark).filter("doc_id = 1").take(1)
+    # the screen state covers exactly the admitted corpus
+    admitted_rows = [
+        (r.doc_id, r.text) for r in ing.read_corpus(spark).collect()
+    ]
+    assert _matrix(ing.contamination, spark) == _batch_matrix(
+        spark, admitted_rows
+    )
+    # doc 3's single hit is recorded as evidence but stayed under the gate
+    assert {d for (_, d) in _evidence(ing.contamination, spark)} == {3}
+
+
+def test_quarantine_requires_screen(spark, tmp_path):
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    with pytest.raises(ValueError, match="contamination_screen"):
+        DocIngest(str(tmp_path / "bad"), contamination_quarantine=1)
