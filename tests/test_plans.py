@@ -185,7 +185,10 @@ def test_asof_plan_builds_without_running_a_job(spark, monkeypatch):
     # J7: building the as-of plans must be fully lazy — the old design ran
     # an eager max-scan of events at plan-build time to bound the forward
     # fill. Any driver-side action here is a full extra pass at 100 TB.
-    from pyspark.sql import DataFrame
+    # NOTE: patch the CLASSIC DataFrame — it overrides these methods, so a
+    # patch on the pyspark.sql.DataFrame ABC intercepts nothing (verified
+    # empirically in round 9; the ABC form made this test vacuous).
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from blockchain_etl_spark.plans.registry import get_queries
 
@@ -206,7 +209,8 @@ def test_bm25_and_tcloseness_build_without_running_a_job(spark, monkeypatch):
     # frames use LAZY localCheckpoint — each gate is ONE lazy plan, so the
     # maintained BM25 serving path can run inside foreachBatch with no
     # driver round trips and an empty index degrades to an empty frame.
-    from pyspark.sql import DataFrame
+    # (classic DataFrame, not the ABC — see the note in the asof test)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from blockchain_etl_spark.plans.registry import get_queries
 
