@@ -286,13 +286,15 @@ class ComponentIndex:
             # no error). Backfill by upserting the existing corpus ids as
             # the first batch instead.
             # (in coalesced mode visible_ids == this step's batch, so the
-            # filtered view cannot hold orphans — skip the probe job)
+            # filtered view cannot hold orphans — skip the probe job; the
+            # probe reads bands_all, which is defined on every path,
+            # rather than sig, which only exists when bands is None)
             orphan = (
                 None
                 if visible_ids is not None
-                else sig.select("doc_id").join(
-                    batch_ids, ["doc_id"], "left_anti"
-                )
+                else bands_all.select("doc_id")
+                .distinct()
+                .join(batch_ids, ["doc_id"], "left_anti")
             )
             if orphan is not None and orphan.take(1):
                 raise ValueError(

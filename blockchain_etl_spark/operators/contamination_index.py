@@ -82,20 +82,25 @@ class ContaminationIndex:
             )
         return reg
 
-    def screen(
-        self, spark: SparkSession, docs: DataFrame, watermark: "int | None" = None
-    ) -> None:
-        """Probe a crawl batch (doc_id, text) against the registry and
-        fold the hits into evidence. Work ∝ batch size: the batch is
-        shingled once, joined against the broadcast registry shingle
-        set, and the evidence merge replaces only the batch's doc ids."""
+    def _hits(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
+        """(shingle, doc_id) registry hits of a batch — ONE shingling plus
+        one broadcast registry join, the shared core of screen / probe /
+        screen_gated."""
         reg_sh = self._registry(spark).select("shingle").distinct()
-        ids = docs.select("doc_id").distinct().localCheckpoint()
-        hits = (
+        return (
             contamination_shingles(docs, keys=("doc_id",))
             .join(F.broadcast(reg_sh), ["shingle"])
             .select("shingle", "doc_id")
         )
+
+    def _fold_evidence(
+        self,
+        spark: SparkSession,
+        ids: DataFrame,
+        hits: DataFrame,
+        watermark: "int | None",
+    ) -> None:
+        """Replace the evidence rows keyed by ``ids`` with ``hits``."""
 
         def replace(target: DataFrame | None, upd: DataFrame) -> DataFrame:
             if target is None:
@@ -104,19 +109,59 @@ class ContaminationIndex:
 
         self.evidence.merge_with(spark, hits, replace, watermark=watermark)
 
+    def screen(
+        self, spark: SparkSession, docs: DataFrame, watermark: "int | None" = None
+    ) -> None:
+        """Probe a crawl batch (doc_id, text) against the registry and
+        fold the hits into evidence. Work ∝ batch size: the batch is
+        shingled once, joined against the broadcast registry shingle
+        set, and the evidence merge replaces only the batch's doc ids."""
+        ids = docs.select("doc_id").distinct().localCheckpoint()
+        self._fold_evidence(spark, ids, self._hits(spark, docs), watermark)
+
+    def screen_gated(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        threshold: int,
+        watermark: "int | None" = None,
+    ) -> DataFrame:
+        """Quarantine gate + evidence fold in ONE pass: the batch is
+        shingled and registry-joined once; docs reaching ``threshold``
+        distinct benchmark-shingle hits are returned as the flagged
+        (doc_id, n_bench_shingles) frame (for the caller to quarantine
+        and exclude), and the evidence fold covers ONLY the admitted
+        remainder — keyed on the admitted ids, so a quarantined
+        re-crawl's prior evidence stays (its old text remains the
+        corpus's current version)."""
+        ids = docs.select("doc_id").distinct().localCheckpoint()
+        hits = self._hits(spark, docs).localCheckpoint()
+        flagged = (
+            hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_shingles"))
+            .filter(col("n_bench_shingles") >= threshold)
+            .localCheckpoint()  # consumers: caller's audit write + anti-joins
+        )
+        admitted = ids.join(flagged.select("doc_id"), ["doc_id"], "left_anti")
+        self._fold_evidence(
+            spark,
+            admitted,
+            hits.join(flagged.select("doc_id"), ["doc_id"], "left_anti"),
+            watermark,
+        )
+        return flagged
+
     def probe(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
         """(doc_id, n_bench_shingles) for every doc in ``docs`` carrying
         at least one benchmark shingle — a pure read against the
         registry, NO state fold. This is the pre-admission check of the
         quarantine gate (DocIngest(contamination_quarantine=...)): the
         verdict must exist BEFORE the doc enters the corpus, whereas
-        ``screen`` records evidence for docs already admitted."""
-        reg_sh = self._registry(spark).select("shingle").distinct()
-        return (
-            contamination_shingles(docs, keys=("doc_id",))
-            .join(F.broadcast(reg_sh), ["shingle"])
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_shingles"))
+        ``screen`` records evidence for docs already admitted. The
+        combined gate-and-screen path is ``screen_gated`` (one shared
+        shingling instead of two)."""
+        return self._hits(spark, docs).groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_shingles")
         )
 
     def delete(self, spark: SparkSession, doc_ids: DataFrame) -> None:

@@ -74,6 +74,12 @@ class MinHashIndex:
         todo = [(wm, docs) for wm, docs in batches if wm > wm0]
         if not todo:
             return False
+        if [wm for wm, _ in todo] != sorted({wm for wm, _ in todo}):
+            # validate BEFORE any publish (matches ComponentIndex) — and
+            # makes todo[-1] the true max high-mark below
+            raise ValueError(
+                "upsert_coalesced: watermarks must be strictly increasing"
+            )
         from pyspark.sql import functions as F
 
         union = todo[0][1].select("doc_id", "text")

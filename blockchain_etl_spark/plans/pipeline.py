@@ -473,12 +473,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_shingles(load_table(spark, sf_dir, "documents"))
 
 
+def _sql_in_list(benchmarks: tuple) -> str:
+    """Explicit SQL IN list: tuple repr would render a 1-element tuple as
+    ('x',) — a trailing comma DuckDB rejects. One helper, every caller."""
+    return "(" + ", ".join(repr(b) for b in benchmarks) + ")"
+
+
 def _contamination_sql_ctes(benchmarks: tuple) -> str:
     """Shared train/test/per-doc CTE chain for the contamination oracles —
     ONE SQL mirror of _contamination_per_doc for any benchmark tuple."""
-    # explicit IN list: tuple repr would render a 1-element tuple as
-    # ('x',) — a trailing comma DuckDB rejects.
-    in_list = "(" + ", ".join(repr(b) for b in benchmarks) + ")"
+    in_list = _sql_in_list(benchmarks)
     return f"""{_SHINGLES_SQL},
     train AS (
       SELECT DISTINCT shingle FROM sh
@@ -1432,7 +1436,7 @@ from .dedup import _SHINGLE_ROWS_SQL as _MLS_SHINGLES_SQL  # noqa: E402
     "two pending batches' maintenance replays in memory — per-step "
     "component labels and the eval-wins policy preserved exactly, "
     "property-tested ≡ sequential — with ONE publish per index, cutting "
-    "the serialized job floor ~15-20%% (A/B, warm, same session). "
+    "the serialized job floor ~15-20% (A/B, warm, same session). "
     "Remaining cost is the two propagation fixpoints and two durable "
     "publishes the contract requires.",
 )
@@ -1604,9 +1608,9 @@ def doc_contamination_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH {_SHINGLES_SQL},
     bench AS (SELECT DISTINCT shingle FROM sh
-              WHERE source IN {"(" + ", ".join(repr(b) for b in _MATRIX_BENCHMARKS) + ")"}),
+              WHERE source IN {_sql_in_list(_MATRIX_BENCHMARKS)}),
     train AS (SELECT doc_id, shingle FROM sh
-              WHERE source NOT IN {"(" + ", ".join(repr(b) for b in _MATRIX_BENCHMARKS) + ")"})
+              WHERE source NOT IN {_sql_in_list(_MATRIX_BENCHMARKS)})
     SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_shingles
     FROM train t JOIN bench b ON b.shingle = t.shingle
     GROUP BY t.doc_id

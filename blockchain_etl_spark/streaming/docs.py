@@ -183,11 +183,14 @@ class DocIngest:
             # pre-admission decontamination gate: flagged docs are written
             # to the quarantine audit trail (overwrite-idempotent chunk,
             # like the corpus chunks) and excluded BEFORE any index sees
-            # them; work is one batch shingling + broadcast registry join
-            flagged = (
-                self.contamination.probe(spark, firsts.select("doc_id", "text"))
-                .filter(col("n_bench_shingles") >= self.quarantine_threshold)
-                .localCheckpoint()  # consumers: audit write + anti-join
+            # them. screen_gated shares ONE batch shingling + broadcast
+            # registry join between the gate and the admitted docs'
+            # evidence fold (so the separate screen below is skipped).
+            flagged = self.contamination.screen_gated(
+                spark,
+                firsts.select("doc_id", "text"),
+                self.quarantine_threshold,
+                watermark=batch_id,
             )
             flagged.write.mode("overwrite").parquet(
                 os.path.join(self.out_dir, "quarantine", f"chunk={batch_id}")
@@ -218,11 +221,13 @@ class DocIngest:
             self.lexical.upsert(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
             )
-        if self.contamination is not None:
+        if self.contamination is not None and self.quarantine_threshold is None:
             # ingest-time decontamination: screen ONLY the docs entering
             # the corpus against the benchmark registry and record their
             # verdicts (work ∝ batch); its own watermark makes the
-            # evidence replacement replay-safe like every plane above
+            # evidence replacement replay-safe like every plane above.
+            # (With the quarantine gate on, screen_gated above already
+            # folded the admitted docs' evidence from the shared pass.)
             self.contamination.screen(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
             )

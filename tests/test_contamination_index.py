@@ -252,3 +252,39 @@ def test_quarantine_requires_screen(spark, tmp_path):
 
     with pytest.raises(ValueError, match="contamination_screen"):
         DocIngest(str(tmp_path / "bad"), contamination_quarantine=1)
+
+
+def test_quarantined_recrawl_keeps_prior_evidence(spark, tmp_path):
+    """A doc admitted with below-threshold evidence, then re-crawled with
+    heavily contaminated text: the re-crawl is quarantined, the corpus
+    keeps the OLD text, and the evidence keeps the OLD rows — the
+    admitted-ids-keyed replacement must not retract state for a doc
+    whose corpus version did not change."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(
+        str(tmp_path / "lake"),
+        contamination_screen=True,
+        contamination_quarantine=2,
+    )
+    ing.contamination.build(spark, _bench(spark))
+    v1 = (3, TRAIN[2][1] + " extra padding tokens beyond the minimum gate")
+    ing.process_batch(
+        spark.createDataFrame([(v1[0], v1[1], "en")], ["doc_id", "text", "lang"]),
+        0,
+    )
+    assert {d for (_, d) in _evidence(ing.contamination, spark)} == {3}
+    before = _evidence(ing.contamination, spark)
+    # re-crawl of doc 3 quoting evalA doc 900 fully -> quarantined
+    ing.process_batch(
+        spark.createDataFrame(
+            [(3, TRAIN[0][1] + " padded beyond the minimum token gate", "en")],
+            ["doc_id", "text", "lang"],
+        ),
+        1,
+    )
+    assert {r.doc_id for r in ing.read_quarantine(spark).collect()} == {3}
+    corpus = {(r.doc_id, r.text) for r in ing.read_corpus(spark).collect()}
+    assert corpus == {v1}  # old text still the corpus version
+    assert _evidence(ing.contamination, spark) == before
+    assert _matrix(ing.contamination, spark) == _batch_matrix(spark, [v1])

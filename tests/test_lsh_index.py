@@ -109,3 +109,17 @@ def test_upsert_coalesced_equals_sequential(spark, tmp_path):
     fresh = MinHashIndex(str(tmp_path / "dup"))
     with pytest.raises(ValueError, match="more than one batch"):
         fresh.upsert_coalesced(spark, [(1, b1), (2, b1)])
+
+
+def test_upsert_coalesced_rejects_misordered_watermarks(spark, tmp_path):
+    import pytest
+
+    docs = _docs(spark)
+    b1 = docs.filter("doc_id < 2")
+    b2 = docs.filter("doc_id >= 2")
+    ix = MinHashIndex(str(tmp_path / "ord"))
+    # misordered input must raise BEFORE any publish — otherwise the
+    # last element's watermark would under-record the replay high-mark
+    with pytest.raises(ValueError, match="strictly increasing"):
+        ix.upsert_coalesced(spark, [(2, b2), (1, b1)])
+    assert ix.target.watermark() == -1  # nothing published
