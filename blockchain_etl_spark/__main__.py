@@ -323,6 +323,61 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_contamination(args) -> int:
+    """Read the MAINTAINED decontamination report from a DocIngest
+    directory (contamination_screen=True layout): the per-benchmark
+    matrix comes from the persisted registry + evidence state, the
+    quarantine count from the audit trail — never a corpus rescan
+    (operators/contamination_index.py)."""
+    import os
+
+    from .operators.contamination_index import ContaminationIndex
+    from .streaming.docs import DocIngest
+
+    ix = ContaminationIndex(os.path.join(args.dir, "contam_index"))
+    spark = _spark()
+    try:
+        matrix = ix.matrix(spark)
+    except FileNotFoundError:
+        print("no maintained contamination registry at", args.dir)
+        return 1
+    print(f"evidence folded through batch watermark {ix.evidence.watermark()}")
+    for row in matrix.orderBy("benchmark").collect():
+        print(
+            f"benchmark={row.benchmark} docs={row.n_docs}"
+            f" hit={row.n_docs_contaminated}"
+            f" worst_ppm={row.max_containment_ppm}"
+        )
+    nq = DocIngest(args.dir).read_quarantine(spark).count()
+    print(f"quarantined docs: {nq}")
+    return 0
+
+
+def cmd_novelty(args) -> int:
+    """Read the MAINTAINED Heaps/novelty curve from a DocIngest directory
+    (novelty_state=True layout): one row per folded crawl with cumulative
+    and marginal novelty ppm — the stop-crawling telemetry, fresh as of
+    the last streamed batch (operators/vocab_state.py)."""
+    import os
+
+    from .operators.vocab_state import ShingleVocabState
+
+    st = ShingleVocabState(os.path.join(args.dir, "novelty_state"))
+    spark = _spark()
+    df = st.read_curve(spark)
+    if df is None:
+        print("no maintained novelty state at", args.dir)
+        return 1
+    print(f"folded through batch watermark {st.watermark()}")
+    for row in df.orderBy("batch_id").collect():
+        print(
+            f"batch={row.batch_id} docs={row.n_docs} vocab={row.vocab_size}"
+            f" novelty_ppm={row.novelty_ppm}"
+            f" batch_novelty_ppm={row.batch_novelty_ppm}"
+        )
+    return 0
+
+
 def cmd_search(args) -> int:
     """BM25 known-item probes against the MAINTAINED lexical index of a
     DocIngest directory (lexical_index=True layout): ranks come from the
@@ -430,6 +485,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dir", required=True, help="DocIngest out_dir (component_index=True layout)")
     s.add_argument("--limit", type=int, default=20)
     s.set_defaults(fn=cmd_splits)
+
+    s = sub.add_parser("contamination", help="maintained decontamination matrix + quarantine count from a DocIngest dir")
+    s.add_argument("--dir", required=True, help="DocIngest out_dir (contamination_screen=True layout)")
+    s.set_defaults(fn=cmd_contamination)
+
+    s = sub.add_parser("novelty", help="maintained Heaps/novelty curve from a DocIngest dir")
+    s.add_argument("--dir", required=True, help="DocIngest out_dir (novelty_state=True layout)")
+    s.set_defaults(fn=cmd_novelty)
 
     s = sub.add_parser("search", help="BM25 probes against a DocIngest dir's maintained lexical index")
     s.add_argument("--dir", required=True, help="DocIngest out_dir (lexical_index=True layout)")

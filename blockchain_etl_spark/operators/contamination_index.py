@@ -82,6 +82,47 @@ class ContaminationIndex:
             )
         return reg
 
+    def add_benchmark(
+        self, spark: SparkSession, bench_docs: DataFrame, corpus: DataFrame
+    ) -> None:
+        """Adopt a NEW eval set after ingest has been running: merge its
+        shingles into the registry and backfill evidence for the shingles
+        the registry did not already contain by probing the CURRENT
+        corpus once — the one targeted historical scan a new benchmark
+        genuinely requires (future crawls then screen against the
+        enlarged registry for free). Shingles already present keep their
+        evidence untouched (it is shingle-grain, so it serves every
+        benchmark containing the shingle); backfill joins only the NEW
+        shingles against the corpus, and appended rows cannot duplicate
+        existing ones by construction. Equivalent to having built the
+        union registry up front and screened every batch against it
+        (tests/test_contamination_index.py)."""
+        old = self.registry.read(spark)
+        new_sh = contamination_shingles(bench_docs, keys=("source", "doc_id"))
+        if old is None:
+            self.build(spark, bench_docs)
+            fresh_sh = new_sh.select("shingle").distinct()
+        else:
+            fresh_sh = (
+                new_sh.select("shingle")
+                .distinct()
+                .join(old.select("shingle"), ["shingle"], "left_anti")
+                .localCheckpoint()  # consumers: registry merge + backfill
+            )
+            self.registry.merge_with(
+                spark, new_sh, lambda tgt, upd: tgt.unionByName(upd).distinct()
+            )
+        backfill = (
+            contamination_shingles(corpus.select("doc_id", "text"), keys=("doc_id",))
+            .join(F.broadcast(fresh_sh), ["shingle"])
+            .select("shingle", "doc_id")
+        )
+        self.evidence.merge_with(
+            spark,
+            backfill,
+            lambda tgt, upd: upd if tgt is None else tgt.unionByName(upd),
+        )
+
     def _hits(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
         """(shingle, doc_id) registry hits of a batch — ONE shingling plus
         one broadcast registry join, the shared core of screen / probe /

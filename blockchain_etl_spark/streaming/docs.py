@@ -294,6 +294,18 @@ class DocIngest:
             watermark=batch_id,
         )
 
+    def add_benchmark(self, spark: SparkSession, bench_docs: DataFrame) -> None:
+        """Adopt a new eval set mid-stream: merge its shingles into the
+        contamination registry and backfill evidence over the CURRENT
+        corpus (one targeted scan — the only historical work a new
+        benchmark requires; subsequent crawls screen against the enlarged
+        registry at no extra cost). Requires contamination_screen=True."""
+        if self.contamination is None:
+            raise ValueError("add_benchmark requires contamination_screen=True")
+        self.contamination.add_benchmark(
+            spark, bench_docs, self.read_corpus(spark).select("doc_id", "text")
+        )
+
     def read_quarantine(self, spark: SparkSession) -> DataFrame:
         """(doc_id, n_bench_shingles) for every doc the contamination
         gate refused — the audit trail of what never entered the corpus.

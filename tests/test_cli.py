@@ -224,3 +224,37 @@ def test_cli_search(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "qid=0 rank=1" in out and "folded through batch watermark 1" in out
     assert main(["search", "--dir", str(tmp_path / "nothing")]) == 1
+
+
+def test_cli_contamination_and_novelty(spark, tmp_path, capsys):
+    """contamination + novelty read their MAINTAINED planes from a
+    DocIngest layout — no corpus rescan; empty layouts fail clearly."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    d = str(tmp_path / "cn")
+    ing = DocIngest(
+        d,
+        contamination_screen=True,
+        contamination_quarantine=2,
+        novelty_state=True,
+    )
+    bench = spark.createDataFrame(
+        [("evalA", 900, "the quick brown fox jumps over the lazy dog tonight")],
+        ["source", "doc_id", "text"],
+    )
+    ing.contamination.build(spark, bench)
+    tail = " ".join(f"w{i}x{i * 7 % 5}" for i in range(200))
+    rows = [(i, f"{tail} doc{i}") for i in range(4)] + [
+        (9, "intro words then the quick brown fox jumps over the lazy dog "
+            "tonight and some trailing filler words to pass quality gates")
+    ]
+    ing.process_batch(spark.createDataFrame(rows, ["doc_id", "text"]), batch_id=1)
+
+    assert main(["contamination", "--dir", d]) == 0
+    out = capsys.readouterr().out
+    assert "benchmark=evalA" in out and "quarantined docs: 1" in out
+    assert main(["novelty", "--dir", d]) == 0
+    out = capsys.readouterr().out
+    assert "batch=1" in out and "batch_novelty_ppm=" in out
+    assert main(["contamination", "--dir", str(tmp_path / "none")]) == 1
+    assert main(["novelty", "--dir", str(tmp_path / "none")]) == 1

@@ -288,3 +288,71 @@ def test_quarantined_recrawl_keeps_prior_evidence(spark, tmp_path):
     assert corpus == {v1}  # old text still the corpus version
     assert _evidence(ing.contamination, spark) == before
     assert _matrix(ing.contamination, spark) == _batch_matrix(spark, [v1])
+
+
+BENCH_C = [("evalC", 903, "purple mountain majesty rises above the fruited plain today")]
+
+
+def test_add_benchmark_equals_union_registry_from_scratch(spark, tmp_path):
+    """Adopting a new eval set mid-stream (registry merge + one targeted
+    corpus backfill) must equal having built the union registry up front
+    and screened everything against it."""
+    train_v2 = TRAIN + [
+        (5, "travel notes purple mountain majesty rises above the fruited "
+            "plain today and beyond"),
+    ]
+    # path A: build evalA+evalB, screen corpus, then adopt evalC later
+    a = ContaminationIndex(str(tmp_path / "a"))
+    a.build(spark, _bench(spark))
+    a.screen(spark, _train(spark, train_v2), watermark=1)
+    a.add_benchmark(
+        spark,
+        spark.createDataFrame(BENCH_C, ["source", "doc_id", "text"]),
+        _train(spark, train_v2),
+    )
+    # path B: union registry from scratch
+    b = ContaminationIndex(str(tmp_path / "b"))
+    b.build(
+        spark,
+        _bench(spark).unionByName(
+            spark.createDataFrame(BENCH_C, ["source", "doc_id", "text"])
+        ),
+    )
+    b.screen(spark, _train(spark, train_v2), watermark=1)
+    assert _evidence(a, spark) == _evidence(b, spark)
+    assert _matrix(a, spark) == _matrix(b, spark)
+    # the new benchmark actually matched the corpus (backfill ran)
+    assert any(d == 5 for (_, d) in _evidence(a, spark))
+    # and later screens see the enlarged registry
+    extra = [(6, "more purple mountain majesty rises above the fruited plain "
+                 "today content here")]
+    a.screen(spark, _train(spark, extra), watermark=2)
+    b.screen(spark, _train(spark, extra), watermark=2)
+    assert _evidence(a, spark) == _evidence(b, spark)
+
+
+def test_add_benchmark_with_overlapping_shingles_keeps_evidence_exact(
+    spark, tmp_path
+):
+    """A new benchmark sharing shingles with an existing one must not
+    duplicate evidence rows (backfill touches only genuinely-new
+    shingles)."""
+    a = ContaminationIndex(str(tmp_path / "ov"))
+    a.build(spark, _bench(spark))
+    a.screen(spark, _train(spark), watermark=1)
+    before = _evidence(a, spark)
+    # evalD quotes evalA doc 900 verbatim: zero new shingles... plus one
+    # genuinely new phrase
+    dup_bench = [
+        ("evalD", 904, "the quick brown fox jumps over the lazy dog tonight"),
+        ("evalD", 905, "completely novel benchmark phrase appearing nowhere else"),
+    ]
+    a.add_benchmark(
+        spark,
+        spark.createDataFrame(dup_bench, ["source", "doc_id", "text"]),
+        _train(spark),
+    )
+    assert _evidence(a, spark) == before  # no corpus doc matched the new phrase
+    # evalD now reports through the SHARED shingle evidence
+    rows = {r.benchmark: r for r in a.matrix(spark).collect()}
+    assert rows["evalD"].n_docs_contaminated == 1  # doc 904 via doc 1's quote
