@@ -60,7 +60,8 @@ class ChunkDFIndex:
             chunk_rows_from_text(docs)
             .select("doc_id", "chunk_hash")
             .distinct()
-            .localCheckpoint()  # feeds the delta union AND the docs merge
+            .localCheckpoint(eager=False)  # reused by the delta union AND
+            # the docs merge; the df merge's publish materializes it
         )
         pos = new_sets.select("chunk_hash", F.lit(1).cast("long").alias("doc_df"))
         old_docs = self.docs_target.read(spark)

@@ -197,9 +197,11 @@ class DocIngest:
             )
             firsts = firsts.join(flagged.select("doc_id"), ["doc_id"], "left_anti")
         # chunk write is overwrite-idempotent; replays rewrite the same dir.
-        # localCheckpoint: three consumers below (write, hash merge, index
-        # upsert) must agree on the fresh set even under re-computation.
-        fresh = firsts.localCheckpoint()
+        # localCheckpoint: the consumers below (write, hash merge, index
+        # upserts) must agree on the fresh set even under re-computation;
+        # lazy — the chunk write right below materializes it inside its own
+        # job instead of paying a separate barrier (A/B: ~8-10% docs/sec)
+        fresh = firsts.localCheckpoint(eager=False)
         fresh.drop("h", "n_tokens", "distinct_fp").write.mode("overwrite").parquet(
             os.path.join(self.out_dir, "docs", f"chunk={batch_id}")
         )
