@@ -296,6 +296,35 @@ class DocIngest:
             watermark=batch_id,
         )
 
+    def run_stream(self, spark: SparkSession, input_dir: str, schema) -> None:
+        """Drive the crawler-facing pipeline as an actual Structured
+        Streaming job — the document twin of BlockIngest.run_stream:
+        every pending crawl file matching ``input_dir`` (a directory or
+        a glob such as ``crawls/c*.parquet``, like the chain ingest's
+        ``chunk=*``) is processed in bounded microbatches through
+        ``process_batch`` (availableNow),
+        then the query stops. The checkpoint under
+        ``_stream_checkpoint/`` makes re-invocation pick up ONLY files
+        that arrived since the last run, and foreachBatch's monotone
+        epoch ids line up with the per-plane merge watermarks, so a
+        crashed microbatch replays idempotently — the same batch-first,
+        streaming-second design as the chain ingest (SURVEY §7.1)."""
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one crawl file per microbatch
+            .parquet(input_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.out_dir, "_stream_checkpoint"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     def add_benchmark(self, spark: SparkSession, bench_docs: DataFrame) -> None:
         """Adopt a new eval set mid-stream: merge its shingles into the
         contamination registry and backfill evidence over the CURRENT

@@ -286,3 +286,35 @@ def test_streamed_lexical_index_equals_batch_over_clean_corpus(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_run_stream_end_to_end_and_incremental_restart(spark, tmp_path):
+    """DocIngest.run_stream: the crawler pipeline as a real Structured
+    Streaming job — corpus converges to the batch clean recompute, and a
+    SECOND invocation processes only files that arrived after the first
+    (checkpoint offsets), folding them on top of the existing state."""
+    docs = _docs(spark).cache()
+    in_dir = str(tmp_path / "crawls")
+    schema = docs.schema
+    docs.filter(col("doc_id") < 200).write.parquet(in_dir + "/c0.parquet")
+    docs.filter((col("doc_id") >= 200) & (col("doc_id") < 400)).write.parquet(
+        in_dir + "/c1.parquet"
+    )
+
+    ing = DocIngest(str(tmp_path / "lake"))
+    ing.run_stream(spark, in_dir + "/c*.parquet", schema)
+    first = docs.filter(col("doc_id") < 400)
+    got = {(r.doc_id, r.text) for r in ing.read_corpus(spark).select("doc_id", "text").collect()}
+    want = {(r.doc_id, r.text) for r in _batch_clean(spark, first).select("doc_id", "text").collect()}
+    assert got == want
+
+    # late files: only the delta is processed on the next invocation
+    docs.filter(col("doc_id") >= 400).write.parquet(in_dir + "/c2.parquet")
+    ing.run_stream(spark, in_dir + "/c*.parquet", schema)
+    got = {(r.doc_id, r.text) for r in ing.read_corpus(spark).select("doc_id", "text").collect()}
+    want = {(r.doc_id, r.text) for r in _batch_clean(spark, docs).select("doc_id", "text").collect()}
+    assert got == want
+    # the maintained MinHash index covers exactly the admitted corpus
+    idx_ids = {r.doc_id for r in ing.index.signatures(spark).select("doc_id").collect()}
+    assert idx_ids == {d for d, _ in want}
+    docs.unpersist()
