@@ -41,6 +41,36 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_ingest_docs(args) -> int:
+    """Crawler-facing ingest: stream crawl parquet files through the full
+    document pipeline (quality gate -> dedup -> corpus append + every
+    enabled maintained plane). Re-invocation picks up only files that
+    arrived since the last run (streaming checkpoint)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .streaming.docs import DocIngest
+
+    ing = DocIngest(
+        args.out,
+        component_index=args.components,
+        drift_state=args.drift,
+        lexical_index=args.lexical,
+        novelty_state=args.novelty,
+        contamination_screen=args.screen,
+        contamination_quarantine=args.quarantine,
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    ing.run_stream(_spark(), args.input, schema)
+    print(f"corpus through batch watermark {ing.hashes.watermark()}")
+    return 0
+
+
 def cmd_compact(args) -> int:
     from .streaming.ingest import TABLES, BlockIngest
 
@@ -412,6 +442,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--inventories", action="store_true")
     s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("ingest-docs", help="stream crawl parquet files through the document pipeline")
+    s.add_argument("--input", required=True, help="crawl file glob, e.g. crawls/c*.parquet")
+    s.add_argument("--out", required=True, help="DocIngest out_dir")
+    s.add_argument("--components", action="store_true")
+    s.add_argument("--drift", action="store_true")
+    s.add_argument("--lexical", action="store_true")
+    s.add_argument("--novelty", action="store_true")
+    s.add_argument("--screen", action="store_true",
+                   help="contamination screen (build the registry first)")
+    s.add_argument("--quarantine", type=int, default=None,
+                   help="quarantine threshold (distinct benchmark-shingle hits)")
+    s.set_defaults(fn=cmd_ingest_docs)
 
     s = sub.add_parser("compact", help="fold blockrange dirs into height buckets")
     s.add_argument("--out", required=True)

@@ -258,3 +258,28 @@ def test_cli_contamination_and_novelty(spark, tmp_path, capsys):
     assert "batch=1" in out and "batch_novelty_ppm=" in out
     assert main(["contamination", "--dir", str(tmp_path / "none")]) == 1
     assert main(["novelty", "--dir", str(tmp_path / "none")]) == 1
+
+
+def test_cli_ingest_docs_stream(spark, tmp_path, capsys):
+    """ingest-docs streams crawl files through the document pipeline and
+    resumes from the streaming checkpoint on re-invocation."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    crawls = str(tmp_path / "crawls")
+    docs.filter(F.col("doc_id") < 200).write.parquet(crawls + "/c0.parquet")
+    out = str(tmp_path / "lake")
+    assert main(["ingest-docs", "--input", crawls + "/c*.parquet",
+                 "--out", out, "--novelty"]) == 0
+    txt = capsys.readouterr().out
+    assert "corpus through batch watermark 0" in txt
+    # a later crawl file: only the delta is processed
+    docs.filter(F.col("doc_id") >= 200).write.parquet(crawls + "/c1.parquet")
+    assert main(["ingest-docs", "--input", crawls + "/c*.parquet",
+                 "--out", out, "--novelty"]) == 0
+    txt = capsys.readouterr().out
+    assert "corpus through batch watermark 1" in txt
+    assert main(["novelty", "--dir", out]) == 0
+    assert "batch=1" in capsys.readouterr().out
