@@ -52,6 +52,7 @@ def cmd_ingest_docs(args) -> int:
 
     ing = DocIngest(
         args.out,
+        vector_index=args.vectors,
         component_index=args.components,
         drift_state=args.drift,
         lexical_index=args.lexical,
@@ -361,10 +362,10 @@ def cmd_contamination(args) -> int:
     (operators/contamination_index.py)."""
     import os
 
-    from .operators.contamination_index import ContaminationIndex
     from .streaming.docs import DocIngest
 
-    ix = ContaminationIndex(os.path.join(args.dir, "contam_index"))
+    ing = DocIngest(args.dir, contamination_screen=True)
+    ix = ing.contamination
     spark = _spark()
     try:
         matrix = ix.matrix(spark)
@@ -378,7 +379,9 @@ def cmd_contamination(args) -> int:
             f" hit={row.n_docs_contaminated}"
             f" worst_ppm={row.max_containment_ppm}"
         )
-    nq = DocIngest(args.dir).read_quarantine(spark).count()
+    # distinct ids: a doc re-crawled with different contaminated text is
+    # refused once per crawl but is ONE refused doc
+    nq = ing.read_quarantine(spark).select("doc_id").distinct().count()
     print(f"quarantined docs: {nq}")
     return 0
 
@@ -446,6 +449,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("ingest-docs", help="stream crawl parquet files through the document pipeline")
     s.add_argument("--input", required=True, help="crawl file glob, e.g. crawls/c*.parquet")
     s.add_argument("--out", required=True, help="DocIngest out_dir")
+    s.add_argument("--vectors", action="store_true")
     s.add_argument("--components", action="store_true")
     s.add_argument("--drift", action="store_true")
     s.add_argument("--lexical", action="store_true")

@@ -96,21 +96,33 @@ class ContaminationIndex:
         shingles against the corpus, and appended rows cannot duplicate
         existing ones by construction. Equivalent to having built the
         union registry up front and screened every batch against it
-        (tests/test_contamination_index.py)."""
+        (tests/test_contamination_index.py).
+
+        ``corpus`` must be CURRENT texts, one row per doc id (the
+        DocIngest wrapper passes read_corpus_current) — superseded
+        re-crawl texts would resurrect evidence their re-crawl's screen
+        already retracted.
+
+        Crash ordering: the evidence BACKFILL commits FIRST and both
+        folds are distinct-idempotent, so either crash window converges
+        on retry — after a backfill-then-crash, the retry's fresh_sh is
+        still computed against the OLD registry, re-derives the same
+        rows, and distinct() collapses them. The reverse order would
+        silently LOSE the one historical scan forever: once the registry
+        lists the shingles, a retry's anti-join finds nothing new to
+        backfill. The transient window (evidence for a benchmark the
+        registry does not list yet) is invisible to matrix(), which
+        joins through the registry."""
         old = self.registry.read(spark)
         new_sh = contamination_shingles(bench_docs, keys=("source", "doc_id"))
         if old is None:
-            self.build(spark, bench_docs)
             fresh_sh = new_sh.select("shingle").distinct()
         else:
             fresh_sh = (
                 new_sh.select("shingle")
                 .distinct()
                 .join(old.select("shingle"), ["shingle"], "left_anti")
-                .localCheckpoint()  # consumers: registry merge + backfill
-            )
-            self.registry.merge_with(
-                spark, new_sh, lambda tgt, upd: tgt.unionByName(upd).distinct()
+                .localCheckpoint()  # consumers: backfill now, nothing after
             )
         backfill = (
             contamination_shingles(corpus.select("doc_id", "text"), keys=("doc_id",))
@@ -120,8 +132,16 @@ class ContaminationIndex:
         self.evidence.merge_with(
             spark,
             backfill,
-            lambda tgt, upd: upd if tgt is None else tgt.unionByName(upd),
+            lambda tgt, upd: (
+                upd.distinct() if tgt is None else tgt.unionByName(upd).distinct()
+            ),
         )
+        if old is None:
+            self.build(spark, bench_docs)
+        else:
+            self.registry.merge_with(
+                spark, new_sh, lambda tgt, upd: tgt.unionByName(upd).distinct()
+            )
 
     def _hits(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
         """(shingle, doc_id) registry hits of a batch — ONE shingling plus

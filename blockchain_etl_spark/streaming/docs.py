@@ -19,6 +19,7 @@ Nothing ever rescans the stored corpus.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -305,21 +306,47 @@ class DocIngest:
         ``process_batch`` (availableNow),
         then the query stops. The checkpoint under
         ``_stream_checkpoint/`` makes re-invocation pick up ONLY files
-        that arrived since the last run, and foreachBatch's monotone
-        epoch ids line up with the per-plane merge watermarks, so a
-        crashed microbatch replays idempotently — the same batch-first,
-        streaming-second design as the chain ingest (SURVEY §7.1)."""
+        that arrived since the last run, and batch ids line up with the
+        per-plane merge watermarks, so a crashed microbatch replays
+        idempotently — the same batch-first, streaming-second design as
+        the chain ingest (SURVEY §7.1).
+
+        Batch ids are ``base + epoch`` where ``base`` is pinned to
+        ``hashes.watermark() + 1`` when the checkpoint is CREATED and
+        persisted beside it: foreachBatch epochs restart at 0 for a
+        fresh checkpoint, and raw epochs over a lake that already holds
+        batches (direct process_batch history, or a deleted checkpoint)
+        would fall at or below the stored watermark — the replay guard
+        would silently drop them while the file source still marked
+        their files committed. The pinned base keeps replayed epochs at
+        their ORIGINAL ids (chunk overwrites stay idempotent) and puts a
+        fresh checkpoint's epochs strictly above the stored watermark
+        (re-listed files then dedup by content through the hash
+        inventory). Do not interleave direct process_batch calls while a
+        checkpointed stream is in use — they would advance the watermark
+        past ids the stream has already assigned."""
+        ckpt = os.path.join(self.out_dir, "_stream_checkpoint")
+        base_file = os.path.join(self.out_dir, "_stream_checkpoint_base.json")
+        if os.path.exists(base_file) and os.path.isdir(ckpt):
+            with open(base_file) as f:
+                base = json.load(f)["base"]
+        else:
+            base = self.hashes.watermark() + 1
+            os.makedirs(self.out_dir, exist_ok=True)
+            tmp = base_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"base": base}, f)
+            os.replace(tmp, base_file)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)  # one crawl file per microbatch
             .parquet(input_dir)
         )
         q = (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option(
-                "checkpointLocation",
-                os.path.join(self.out_dir, "_stream_checkpoint"),
+            stream.writeStream.foreachBatch(
+                lambda batch, epoch: self.process_batch(batch, base + epoch)
             )
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -328,14 +355,21 @@ class DocIngest:
     def add_benchmark(self, spark: SparkSession, bench_docs: DataFrame) -> None:
         """Adopt a new eval set mid-stream: merge its shingles into the
         contamination registry and backfill evidence over the CURRENT
-        corpus (one targeted scan — the only historical work a new
-        benchmark requires; subsequent crawls screen against the enlarged
-        registry at no extra cost). Requires contamination_screen=True."""
+        corpus texts — ``read_corpus_current``, not ``read_corpus``: a
+        re-crawled doc's superseded chunk rows must not resurrect
+        evidence the re-crawl's screen already retracted (one targeted
+        scan — the only historical work a new benchmark requires;
+        subsequent crawls screen against the enlarged registry at no
+        extra cost). An empty corpus (registry built before the first
+        crawl) merges the registry with a zero-row backfill. Requires
+        contamination_screen=True."""
         if self.contamination is None:
             raise ValueError("add_benchmark requires contamination_screen=True")
-        self.contamination.add_benchmark(
-            spark, bench_docs, self.read_corpus(spark).select("doc_id", "text")
-        )
+        try:
+            corpus = self.read_corpus_current(spark).select("doc_id", "text")
+        except FileNotFoundError:
+            corpus = spark.createDataFrame([], "doc_id long, text string")
+        self.contamination.add_benchmark(spark, bench_docs, corpus)
 
     def read_quarantine(self, spark: SparkSession) -> DataFrame:
         """(doc_id, n_bench_shingles) for every doc the contamination
@@ -352,6 +386,11 @@ class DocIngest:
         )
 
     def read_corpus(self, spark: SparkSession) -> DataFrame:
+        """Every admitted crawl row, one per (doc, crawl) — a re-crawled
+        doc (changed text → new hash → re-admitted) appears once per
+        crawl that admitted it. Consumers that need one CURRENT text per
+        doc id (the semantics the maintained indexes keep, which retract
+        a re-crawl's previous state) should use ``read_corpus_current``."""
         import glob as _glob
 
         base = os.path.join(self.out_dir, "docs")
@@ -362,4 +401,22 @@ class DocIngest:
             spark.read.option("basePath", base)
             .parquet(*chunks)
             .drop("chunk")
+        )
+
+    def read_corpus_current(self, spark: SparkSession) -> DataFrame:
+        """One row per doc id: the LATEST admitted crawl's text (max
+        chunk wins) — the doc-grain view matching the maintained
+        indexes' current-text state."""
+        import glob as _glob
+
+        base = os.path.join(self.out_dir, "docs")
+        chunks = _glob.glob(os.path.join(base, "chunk=*"))
+        if not chunks:
+            raise FileNotFoundError(base)
+        rows = spark.read.option("basePath", base).parquet(*chunks)
+        w = Window.partitionBy("doc_id").orderBy(col("chunk").desc())
+        return (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(col("__rn") == 1)
+            .drop("__rn", "chunk")
         )

@@ -356,3 +356,94 @@ def test_add_benchmark_with_overlapping_shingles_keeps_evidence_exact(
     # evalD now reports through the SHARED shingle evidence
     rows = {r.benchmark: r for r in a.matrix(spark).collect()}
     assert rows["evalD"].n_docs_contaminated == 1  # doc 904 via doc 1's quote
+
+
+def test_add_benchmark_ignores_superseded_recrawl_texts(spark, tmp_path):
+    """A doc re-crawled CLEAN before a new benchmark is adopted: the
+    superseded chunk still holds the old text, but add_benchmark must
+    backfill from CURRENT texts only — resurrecting evidence the
+    re-crawl's screen already retracted would poison the matrix."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(str(tmp_path / "lake"), contamination_screen=True)
+    ing.contamination.build(spark, _bench(spark))
+    # v1 contains the phrase evalC will later adopt
+    v1 = "travel notes purple mountain majesty rises above the fruited plain today and beyond"
+    v2 = "scrubbed clean rewrite body with enough plain words to pass the quality gate fine"
+    ing.process_batch(
+        spark.createDataFrame([(7, v1, "en")], ["doc_id", "text", "lang"]), 0
+    )
+    ing.process_batch(  # re-crawl: new hash, admitted, supersedes v1
+        spark.createDataFrame([(7, v2, "en")], ["doc_id", "text", "lang"]), 1
+    )
+    assert {r.doc_id for r in ing.read_corpus(spark).collect()} == {7}
+    assert ing.read_corpus(spark).count() == 2  # both crawl rows retained
+    cur = ing.read_corpus_current(spark).collect()
+    assert len(cur) == 1 and cur[0].text == v2
+    ing.add_benchmark(
+        spark, spark.createDataFrame(BENCH_C, ["source", "doc_id", "text"])
+    )
+    # v1's phrase must NOT have produced evidence for doc 7
+    assert not any(d == 7 for (_, d) in _evidence(ing.contamination, spark))
+    rows = {r.benchmark: r for r in ing.contamination.matrix(spark).collect()}
+    assert rows["evalC"].n_docs_contaminated == 0
+
+
+def test_add_benchmark_on_empty_corpus_merges_registry(spark, tmp_path):
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    ing = DocIngest(str(tmp_path / "lake"), contamination_screen=True)
+    ing.contamination.build(spark, _bench(spark))
+    ing.add_benchmark(  # no crawls yet: registry merge + zero-row backfill
+        spark, spark.createDataFrame(BENCH_C, ["source", "doc_id", "text"])
+    )
+    rows = {r.benchmark for r in ing.contamination.matrix(spark).collect()}
+    assert rows == {"evalA", "evalB", "evalC"}
+    # first crawl screens against the enlarged registry
+    ing.process_batch(
+        spark.createDataFrame(
+            [(5, "travel notes purple mountain majesty rises above the "
+                 "fruited plain today and beyond", "en")],
+            ["doc_id", "text", "lang"],
+        ),
+        0,
+    )
+    assert any(d == 5 for (_, d) in _evidence(ing.contamination, spark))
+
+
+def test_add_benchmark_crash_window_converges_on_retry(spark, tmp_path):
+    """Crash between the evidence backfill (commits FIRST) and the
+    registry merge: retrying add_benchmark must converge to the clean
+    one-shot state — the distinct folds absorb the duplicate backfill."""
+    train_v2 = TRAIN + [
+        (5, "travel notes purple mountain majesty rises above the fruited "
+            "plain today and beyond"),
+    ]
+    a = ContaminationIndex(str(tmp_path / "a"))
+    a.build(spark, _bench(spark))
+    a.screen(spark, _train(spark, train_v2), watermark=1)
+    bench_c = spark.createDataFrame(BENCH_C, ["source", "doc_id", "text"])
+    # simulate the crash: apply ONLY the evidence-backfill half
+    fresh = (
+        contamination_shingles(bench_c, keys=("doc_id",))
+        .select("shingle").distinct()
+        .join(a.registry.read(spark).select("shingle"), ["shingle"], "left_anti")
+    )
+    backfill = (
+        contamination_shingles(_train(spark, train_v2), keys=("doc_id",))
+        .join(fresh, ["shingle"]).select("shingle", "doc_id")
+    )
+    a.evidence.merge_with(
+        spark, backfill,
+        lambda tgt, upd: upd.distinct() if tgt is None
+        else tgt.unionByName(upd).distinct(),
+    )
+    # retry completes both halves
+    a.add_benchmark(spark, bench_c, _train(spark, train_v2))
+
+    b = ContaminationIndex(str(tmp_path / "b"))
+    b.build(spark, _bench(spark))
+    b.screen(spark, _train(spark, train_v2), watermark=1)
+    b.add_benchmark(spark, bench_c, _train(spark, train_v2))
+    assert _evidence(a, spark) == _evidence(b, spark)
+    assert _matrix(a, spark) == _matrix(b, spark)

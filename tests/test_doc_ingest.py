@@ -318,3 +318,26 @@ def test_run_stream_end_to_end_and_incremental_restart(spark, tmp_path):
     idx_ids = {r.doc_id for r in ing.index.signatures(spark).select("doc_id").collect()}
     assert idx_ids == {d for d, _ in want}
     docs.unpersist()
+
+
+def test_run_stream_over_lake_with_direct_batch_history(spark, tmp_path):
+    """Epoch/watermark collision guard: a lake built by direct
+    process_batch calls (watermark already advanced) later driven by
+    run_stream must still ingest the stream's files — the pinned base
+    keeps foreachBatch epochs strictly above the stored watermark."""
+    docs = _docs(spark).cache()
+    ing = DocIngest(str(tmp_path / "lake"))
+    ing.process_batch(docs.filter(col("doc_id") < 200), 0)
+    ing.process_batch(
+        docs.filter((col("doc_id") >= 200) & (col("doc_id") < 400)), 1
+    )
+    assert ing.hashes.watermark() == 1
+
+    in_dir = str(tmp_path / "crawls")
+    docs.filter(col("doc_id") >= 400).write.parquet(in_dir + "/c0.parquet")
+    ing.run_stream(spark, in_dir + "/c*.parquet", docs.schema)
+    got = {(r.doc_id, r.text) for r in ing.read_corpus(spark).select("doc_id", "text").collect()}
+    want = {(r.doc_id, r.text) for r in _batch_clean(spark, docs).select("doc_id", "text").collect()}
+    assert got == want  # the streamed file was NOT silently dropped
+    assert ing.hashes.watermark() >= 2
+    docs.unpersist()
