@@ -110,18 +110,30 @@ class ComponentIndex:
     # ------------------------------------------------------------------ API
 
     def upsert(
-        self, spark: SparkSession, doc_ids: DataFrame, watermark: int | None = None
+        self,
+        spark: SparkSession,
+        doc_ids: DataFrame,
+        watermark: int | None = None,
+        hidden_ids: DataFrame | None = None,
     ) -> bool:
         """Fold a batch's documents (frame with a doc_id column — their
         signatures must already be in the MinHash index) into the label
         table. Handles both fresh ids and re-crawled ids (whose old edges
         may have vanished with their old signature). Returns False on a
-        watermark-replayed batch."""
+        watermark-replayed batch. ``hidden_ids``: doc ids whose
+        signatures must NOT be visible to this fold — a catch-up caller
+        (DocIngest.doctor) replaying history while the signature table
+        is already ahead hides the later batches so the fold sees
+        exactly the signature set the original step saw."""
         if watermark is not None and watermark <= self.labels_t.watermark():
             return False
         ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=False)
         state = self._fold(
-            spark, self.labels_t.read(spark), batch_ids=ids, deleted_ids=None
+            spark,
+            self.labels_t.read(spark),
+            batch_ids=ids,
+            deleted_ids=None,
+            hidden_ids=hidden_ids,
         )
         self.labels_t.merge_with(
             spark, state, lambda _t, u: u, watermark=watermark
@@ -205,22 +217,32 @@ class ComponentIndex:
                 "indexed or appears in more than one batch — replay those "
                 "batches through upsert()/delete() in order instead"
             )
-        seen = state.select("doc_id") if state is not None else None
         # the signature table is already final: hash it into band rows
         # ONCE for every step's candidate-edge view
         bands = band_rows(self.mh.signatures(spark)).localCheckpoint(
             eager=False
         )
-        for _, ids in todo:
-            ids = ids.localCheckpoint(eager=False)
-            seen = ids if seen is None else seen.unionByName(ids)
-            seen = seen.localCheckpoint(eager=False)
+        # Each step must see stored ∪ batches-so-far. Expressed as an
+        # ANTI-join against the not-yet-applied LATER batches (suffix
+        # unions, batch-sized and shrinking) rather than a semi-join
+        # against the cumulative seen set — the seen set is corpus-sized
+        # once state exists, and broadcasting it would OOM at the
+        # large-corpus regime; the later set never exceeds the pending
+        # backlog the caller just handed us.
+        id_frames = [
+            ids.localCheckpoint(eager=False) for _, ids in todo
+        ]
+        laters: "list[DataFrame]" = [None] * len(id_frames)  # type: ignore[list-item]
+        laters[-1] = spark.createDataFrame([], "doc_id long")
+        for i in range(len(id_frames) - 2, -1, -1):
+            laters[i] = id_frames[i + 1].unionByName(laters[i + 1])
+        for i, ids in enumerate(id_frames):
             state = self._fold(
                 spark,
                 state,
                 batch_ids=ids,
                 deleted_ids=None,
-                visible_ids=seen,
+                hidden_ids=laters[i],
                 insert_only=True,
                 bands=bands,
             ).localCheckpoint(eager=False)
@@ -250,27 +272,29 @@ class ComponentIndex:
         prev: DataFrame | None,
         batch_ids: DataFrame | None,
         deleted_ids: DataFrame | None,
-        visible_ids: DataFrame | None = None,
+        hidden_ids: DataFrame | None = None,
         insert_only: bool = False,
         bands: DataFrame | None = None,
     ) -> DataFrame:
         """One maintenance step as a pure frame fold: returns the new
         (doc_id, label, split) state after applying the batch to ``prev``
         — no publish, so sequential upserts and the coalesced catch-up
-        share this code verbatim. ``visible_ids`` restricts the
-        candidate-edge view to already-applied docs (coalesced mode,
-        where the signature table is ahead of the fold); ``insert_only``
-        skips the re-crawl probe when the caller has proven the batch is
-        fresh; ``bands`` lets the coalesced loop hash the signature
-        table into band rows ONCE for all steps."""
+        share this code verbatim. ``hidden_ids`` HIDES the given doc ids
+        from the candidate-edge view (coalesced mode, where the signature
+        table is ahead of the fold: the not-yet-applied later batches
+        must not create edges early — an anti-join on the batch-sized
+        pending set, never a broadcast of the corpus-sized visible set);
+        ``insert_only`` skips the re-crawl probe when the caller has
+        proven the batch is fresh; ``bands`` lets the coalesced loop hash
+        the signature table into band rows ONCE for all steps."""
         if bands is None:
             sig = self.mh.signatures(spark)
             bands_all = band_rows(sig)
         else:
             bands_all = bands
-        if visible_ids is not None:
+        if hidden_ids is not None:
             bands_all = bands_all.join(
-                F.broadcast(visible_ids), ["doc_id"], "left_semi"
+                F.broadcast(hidden_ids), ["doc_id"], "left_anti"
             )
 
         empty_ids = spark.createDataFrame([], "doc_id long")
@@ -285,18 +309,18 @@ class ComponentIndex:
             # (near-dup pairs could then straddle split boundaries with
             # no error). Backfill by upserting the existing corpus ids as
             # the first batch instead.
-            # (in coalesced mode visible_ids == this step's batch, so the
-            # filtered view cannot hold orphans — skip the probe job; the
-            # probe reads bands_all, which is defined on every path,
-            # rather than sig, which only exists when bands is None)
+            # (in coalesced mode the anti-join hides only the LATER
+            # batches, so pre-existing orphan signatures stay visible
+            # here and the probe catches them exactly as in sequential
+            # mode; the probe reads bands_all, which is defined on every
+            # path, rather than sig, which only exists when bands is
+            # None)
             orphan = (
-                None
-                if visible_ids is not None
-                else bands_all.select("doc_id")
+                bands_all.select("doc_id")
                 .distinct()
                 .join(batch_ids, ["doc_id"], "left_anti")
             )
-            if orphan is not None and orphan.take(1):
+            if orphan.take(1):
                 raise ValueError(
                     "ComponentIndex bootstrap: the MinHash index already "
                     "holds documents outside this first batch — labels "

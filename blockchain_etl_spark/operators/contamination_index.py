@@ -69,8 +69,22 @@ class ContaminationIndex:
     def build(self, spark: SparkSession, bench_docs: DataFrame) -> None:
         """Shingle the benchmark documents (source, doc_id, text) into the
         immutable registry. Idempotent by content: rebuilding with the
-        same eval sets publishes an identical table."""
+        same eval sets re-publishes an identical table; building over an
+        existing registry with a DIFFERENT shingle set raises — a silent
+        replace would drop previously adopted benchmarks from matrix()
+        and strand their evidence rows. Grow the registry with
+        ``add_benchmark`` instead."""
         sh = contamination_shingles(bench_docs, keys=("source", "doc_id"))
+        old = self.registry.read(spark)
+        if old is not None:
+            old = old.select(*sh.columns)
+            if sh.exceptAll(old).take(1) or old.exceptAll(sh).take(1):
+                raise ValueError(
+                    f"{self.registry.path}: a non-empty benchmark registry "
+                    "already exists and the new shingle set differs — "
+                    "build() is one-time; adopt additional eval sets with "
+                    "add_benchmark()"
+                )
         self.registry.merge_with(spark, sh, lambda target, upd: upd)
 
     def _registry(self, spark: SparkSession) -> DataFrame:

@@ -93,9 +93,13 @@ class ShingleVocabState:
     ``corpus_novelty_maintained`` registered query, whose oracle
     recomputes the per-checkpoint curve from raw text.
 
-    Scale shape per fold: shingle the batch once (batch-sized), one
-    anti-join against the vocab table shuffling on the shingle, two
-    1-row aggregates, one appended row. Nothing rescans the corpus.
+    Scale shape per fold: shingle the batch once (batch-sized), ONE
+    anti-join against the vocab table (the fresh set is counted and
+    appended verbatim — no per-fold re-aggregate of the cumulative
+    vocab; vocab_size rides the curve row as a running total), one
+    batch-sized postings aggregate, one appended row. Nothing rescans
+    the corpus, and the only stamp-derived full-vocab count sits on the
+    rare crash-replay path.
     """
 
     def __init__(self, path: str):
@@ -114,25 +118,37 @@ class ShingleVocabState:
             return False
         sh = shingle_rows_from_text(docs).localCheckpoint(eager=False)
 
-        def add_absent(target: DataFrame | None, upd: DataFrame) -> DataFrame:
-            fresh = upd.select("shingle").distinct()
-            if target is None:
-                return fresh.withColumn(
-                    "first_batch", F.lit(watermark).cast("long")
-                )
-            return target.unionByName(
-                fresh.join(target.select("shingle"), ["shingle"], "left_anti")
-                .withColumn("first_batch", F.lit(watermark).cast("long"))
+        # Per-batch work ∝ batch: the novel-shingle set is the batch's
+        # distinct shingles anti-joined against the vocab ONCE, counted,
+        # and appended verbatim — no cumulative-table re-aggregate per
+        # fold. vocab_size rides the curve row as a running total.
+        if self.vocab.watermark() >= watermark:
+            # crash-replay window (vocab committed, curve not): the
+            # anti-join would now find nothing, so derive the batch's
+            # novel count from the first_batch stamp instead — the rare
+            # path the stamp exists for.
+            n_new = (
+                self.vocab.read(spark)
+                .filter(col("first_batch") == watermark)
+                .count()
             )
-
-        self.vocab.merge_with(spark, sh, add_absent, watermark=watermark)
-        voc = self.vocab.read(spark)
-        agg = voc.agg(
-            F.count(F.lit(1)).cast("long").alias("v"),
-            F.count(F.when(col("first_batch") == watermark, 1))
-            .cast("long")
-            .alias("nv"),
-        ).collect()[0]
+        else:
+            fresh = sh.select("shingle").distinct()
+            old = self.vocab.read(spark)
+            if old is not None:
+                fresh = fresh.join(
+                    old.select("shingle"), ["shingle"], "left_anti"
+                )
+            fresh = fresh.withColumn(
+                "first_batch", F.lit(watermark).cast("long")
+            ).localCheckpoint(eager=False)
+            n_new = fresh.count()
+            self.vocab.merge_with(
+                spark,
+                fresh,
+                lambda tgt, u: u if tgt is None else tgt.unionByName(u),
+                watermark=watermark,
+            )
         # nd counts every batch doc (a sub-3-token doc contributes no
         # shingles but is still a crawled document); np counts distinct
         # (doc, shingle) postings
@@ -145,7 +161,7 @@ class ShingleVocabState:
         prev = self._last_row(spark)
         n_docs = prev["n_docs"] + int(batch["nd"])
         n_postings = prev["n_postings"] + int(batch["np"])
-        vocab_size = int(agg["v"])
+        vocab_size = prev["vocab_size"] + int(n_new)
         row = [
             (
                 int(watermark),
@@ -153,8 +169,8 @@ class ShingleVocabState:
                 n_postings,
                 vocab_size,
                 vocab_size * 1_000_000 // n_postings if n_postings else 0,
-                int(agg["nv"]),
-                int(agg["nv"]) * 1_000_000 // int(batch["np"])
+                int(n_new),
+                int(n_new) * 1_000_000 // int(batch["np"])
                 if int(batch["np"])
                 else 0,
             )
@@ -173,15 +189,18 @@ class ShingleVocabState:
         return True
 
     def _last_row(self, spark: SparkSession) -> dict:
+        zero = {"n_docs": 0, "n_postings": 0, "vocab_size": 0}
         cur = self.curve.read(spark)
         if cur is None:
-            return {"n_docs": 0, "n_postings": 0}
+            return zero
         rows = cur.orderBy(col("batch_id").desc()).limit(1).collect()
-        return (
-            {"n_docs": 0, "n_postings": 0}
-            if not rows
-            else {"n_docs": rows[0]["n_docs"], "n_postings": rows[0]["n_postings"]}
-        )
+        if not rows:
+            return zero
+        return {
+            "n_docs": rows[0]["n_docs"],
+            "n_postings": rows[0]["n_postings"],
+            "vocab_size": rows[0]["vocab_size"],
+        }
 
     def read_curve(self, spark: SparkSession) -> DataFrame | None:
         """(batch_id, n_docs, n_postings, vocab_size, novelty_ppm,
