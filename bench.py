@@ -114,7 +114,18 @@ def main() -> None:
     # unparsed). Emit the line compact, and if it still exceeds the budget,
     # keep the SLOWEST queries (the informative ones) plus summary stats
     # for the rest; BENCH_DETAIL.json always has everything.
-    budget = 1900
+    print(emit_line(result, timings))
+    spark.stop()
+
+
+def emit_line(result: dict, timings: dict, budget: int = 1900) -> str:
+    """The ONE stdout JSON line, provably under ``budget`` chars: keep
+    the SLOWEST queries plus summary stats for the rest, dropping five
+    at a time until the line fits (queries are the only unbounded part
+    of the payload, so the loop always terminates under budget as long
+    as the fixed summary keys fit — tests/test_bench_line.py asserts
+    both against the LIVE registry, so a new long query name cannot
+    silently push the artifact past the driver's window)."""
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > budget:
         ranked = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -129,8 +140,7 @@ def main() -> None:
             )
             slim["detail_file"] = "BENCH_DETAIL.json"
             line = json.dumps(slim, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line
 
 
 def _bench_ingest(spark) -> float:
