@@ -41,16 +41,10 @@ def cmd_ingest(args) -> int:
     return 0
 
 
-def cmd_ingest_docs(args) -> int:
-    """Crawler-facing ingest: stream crawl parquet files through the full
-    document pipeline (quality gate -> dedup -> corpus append + every
-    enabled maintained plane). Re-invocation picks up only files that
-    arrived since the last run (streaming checkpoint)."""
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
-
+def _doc_ingest(args):
     from .streaming.docs import DocIngest
 
-    ing = DocIngest(
+    return DocIngest(
         args.out,
         vector_index=args.vectors,
         component_index=args.components,
@@ -60,6 +54,16 @@ def cmd_ingest_docs(args) -> int:
         contamination_screen=args.screen,
         contamination_quarantine=args.quarantine,
     )
+
+
+def cmd_ingest_docs(args) -> int:
+    """Crawler-facing ingest: stream crawl parquet files through the full
+    document pipeline (quality gate -> dedup -> corpus append + every
+    enabled maintained plane). Re-invocation picks up only files that
+    arrived since the last run (streaming checkpoint)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ing = _doc_ingest(args)
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -69,6 +73,43 @@ def cmd_ingest_docs(args) -> int:
     )
     ing.run_stream(_spark(), args.input, schema)
     print(f"corpus through batch watermark {ing.hashes.watermark()}")
+    return 0
+
+
+def cmd_doctor(args) -> int:
+    """Cross-plane watermark audit — and heal — for a DocIngest dir:
+    report every maintained plane's committed watermark, then (with
+    --heal) roll stragglers forward from the durable corpus chunks.
+    Exit 0 when the pipeline ends consistent, 1 otherwise (cron-able)."""
+    ing = _doc_ingest(args)
+    rep = ing.audit()
+    for k, v in sorted(rep["planes"].items()):
+        print(f"  {k}: {v}")
+    print(f"target batch: {rep['target']}")
+    if rep["stragglers"]:
+        print(f"stragglers: {rep['stragglers']}")
+    if rep["ahead"]:
+        print(f"ahead (need their crawl replayed from the source): {rep['ahead']}")
+    if rep["unhealable"]:
+        print(f"unhealable (chunk lost): {rep['unhealable']}")
+    if args.heal and rep["stragglers"]:
+        healed = ing.doctor(_spark())
+        print(f"healed batches: {healed}")
+        rep = ing.audit()
+    print(f"consistent: {rep['consistent']}")
+    return 0 if rep["consistent"] else 1
+
+
+def cmd_release_quarantine(args) -> int:
+    """Re-screen every quarantined doc under the CURRENT policy (this
+    invocation's --quarantine threshold) by re-admitting the set through
+    the normal ingest path as batch --batch; still-contaminated docs are
+    re-quarantined, the rest enter the corpus and every plane."""
+    spark = _spark()
+    ing = _doc_ingest(args)
+    n = ing.release_quarantine(spark, args.batch)
+    nq = ing.read_quarantine(spark).select("doc_id").distinct().count()
+    print(f"re-screened {n} quarantined docs; still quarantined: {nq}")
     return 0
 
 
@@ -446,19 +487,35 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--inventories", action="store_true")
     s.set_defaults(fn=cmd_ingest)
 
+    def _plane_flags(s):
+        s.add_argument("--out", required=True, help="DocIngest out_dir")
+        s.add_argument("--vectors", action="store_true")
+        s.add_argument("--components", action="store_true")
+        s.add_argument("--drift", action="store_true")
+        s.add_argument("--lexical", action="store_true")
+        s.add_argument("--novelty", action="store_true")
+        s.add_argument("--screen", action="store_true",
+                       help="contamination screen (build the registry first)")
+        s.add_argument("--quarantine", type=int, default=None,
+                       help="quarantine threshold (distinct benchmark-shingle hits)")
+
     s = sub.add_parser("ingest-docs", help="stream crawl parquet files through the document pipeline")
     s.add_argument("--input", required=True, help="crawl file glob, e.g. crawls/c*.parquet")
-    s.add_argument("--out", required=True, help="DocIngest out_dir")
-    s.add_argument("--vectors", action="store_true")
-    s.add_argument("--components", action="store_true")
-    s.add_argument("--drift", action="store_true")
-    s.add_argument("--lexical", action="store_true")
-    s.add_argument("--novelty", action="store_true")
-    s.add_argument("--screen", action="store_true",
-                   help="contamination screen (build the registry first)")
-    s.add_argument("--quarantine", type=int, default=None,
-                   help="quarantine threshold (distinct benchmark-shingle hits)")
+    _plane_flags(s)
     s.set_defaults(fn=cmd_ingest_docs)
+
+    s = sub.add_parser("doctor", help="cross-plane watermark audit/heal for a DocIngest dir")
+    _plane_flags(s)
+    s.add_argument("--heal", action="store_true",
+                   help="roll straggler planes forward from the corpus chunks")
+    s.set_defaults(fn=cmd_doctor)
+
+    s = sub.add_parser("release-quarantine",
+                       help="re-screen quarantined docs under the current policy")
+    _plane_flags(s)
+    s.add_argument("--batch", type=int, required=True,
+                   help="batch id for the re-admission (next unused id)")
+    s.set_defaults(fn=cmd_release_quarantine)
 
     s = sub.add_parser("compact", help="fold blockrange dirs into height buckets")
     s.add_argument("--out", required=True)

@@ -1638,6 +1638,252 @@ def doc_contamination_screen_verdicts(
 
 
 # --------------------------------------------------------------------------
+# Cross-plane watermark consistency — one DocIngest batch commits up to
+# eight maintained planes in sequence (the doc-pipeline analog of the
+# reference's 12 handlers inside ONE transaction per block,
+# /root/reference/src/be_db_follower.erl:86-108). A crash between plane
+# commits strands them at different watermarks; DocIngest.audit() reports
+# the divergence and DocIngest.doctor() rolls stragglers forward from the
+# durable corpus chunks. This gate CRASHES an ingest mid-batch on
+# purpose, heals it with the doctor, and reports every plane's watermark
+# and state row count — the oracle recomputes each plane's row count from
+# raw text, so a hash match proves "all planes at watermark W ≡ the batch
+# recompute at W".
+# --------------------------------------------------------------------------
+_PWA_NGRAM = (
+    "unnest(list_filter(list_transform(toks, (w, i) -> "
+    "CASE WHEN i <= len(toks) - {k} THEN {expr} END), "
+    "s -> s IS NOT NULL))"
+)
+_PWA_3G = _PWA_NGRAM.format(
+    k=2, expr="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+)
+_PWA_5G = _PWA_NGRAM.format(
+    k=4,
+    expr="toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' "
+    "|| toks[i+3] || ' ' || toks[i+4]",
+)
+
+
+def _pwa_sql() -> str:
+    from .text import _CHUNK_TOKENS
+
+    in_list = _sql_in_list(_MATRIX_BENCHMARKS)
+    return f"""
+    WITH tq AS (
+      SELECT doc_id, text, (doc_id % 4) AS b, md5(text) AS h, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
+             END AS dfp
+      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '),
+                                             w -> length(w) > 0) AS toks
+            FROM documents
+            WHERE source NOT IN {in_list} AND doc_id % 2 = 0) t),
+    adm AS MATERIALIZED (
+      SELECT doc_id, h, toks FROM (
+        SELECT doc_id, h, toks,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+        FROM tq WHERE n_tokens >= 10 AND dfp >= 150000) z
+      WHERE rn = 1),
+    sh3 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, {_PWA_3G} AS shingle FROM adm) t),
+    terms AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, {_PWA_3G} AS term
+        FROM adm) t
+      GROUP BY doc_id, term),
+    ch AS (
+      SELECT DISTINCT md5(array_to_string(
+               list_slice(toks, 1 + {_CHUNK_TOKENS} * i,
+                          {_CHUNK_TOKENS} * (i + 1)), ' ')) AS chunk_hash
+      FROM (SELECT toks,
+                   unnest(range(CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0)
+                                     AS BIGINT))) AS i
+            FROM adm) z),
+    tok AS (SELECT DISTINCT unnest(toks) AS w FROM adm),
+    sh5 AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, {_PWA_5G} AS shingle FROM adm) t),
+    bench5 AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT {_PWA_5G} AS shingle
+        FROM (SELECT list_filter(string_split(text, ' '),
+                                 w -> length(w) > 0) AS toks
+              FROM documents WHERE source IN {in_list}) b) t),
+    evid AS (SELECT s.doc_id, s.shingle
+             FROM sh5 s JOIN bench5 r ON r.shingle = s.shingle)
+    SELECT 'corpus_chunks' AS plane, CAST(2 AS BIGINT) AS watermark,
+           CAST(COUNT(*) AS BIGINT) AS n_rows FROM adm
+    UNION ALL SELECT 'hash_inventory', CAST(2 AS BIGINT),
+           CAST(COUNT(DISTINCT h) AS BIGINT) FROM adm
+    UNION ALL SELECT 'mh_index', CAST(2 AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM sh3
+    UNION ALL SELECT 'comp_index', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM adm
+    UNION ALL SELECT 'chunk_df', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM ch
+    UNION ALL SELECT 'lex_postings', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM terms
+    UNION ALL SELECT 'lex_doclen', CAST(2 AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM terms
+    UNION ALL SELECT 'contam_index', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM evid
+    UNION ALL SELECT 'novelty_curve', CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+    UNION ALL SELECT 'novelty_vocab', CAST(2 AS BIGINT),
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) FROM sh3
+    UNION ALL SELECT 'drift_state', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM tok
+    """
+
+
+@register(
+    "pipeline_watermark_audit",
+    sql=_pwa_sql(),
+    survey_ops=("T1",),
+    doc="Cross-plane watermark doctor gate: a DocIngest with SEVEN "
+    "maintained planes (corpus, hash inventory, MinHash signatures, "
+    "near-dup components, chunk-df, BM25 postings+doclen, contamination "
+    "evidence, novelty vocab/curve, unigram drift) ingests the even "
+    "train slice in two crawl batches, CRASHES batch 2 between the "
+    "chunk-df and lexical plane commits (injected fault), and is healed "
+    "by DocIngest.doctor() — which rolls every straggler plane forward "
+    "from the durable corpus chunk, the reference's "
+    "one-transaction-per-block contract (be_db_follower.erl:86-108) "
+    "re-established after the fact. The "
+    "query returns every plane's committed watermark and state row "
+    "count; the oracle recomputes the counts from raw text, so the "
+    "driver hash proves all planes at watermark 2 equal the batch "
+    "recompute at 2. The audit/doctor pair is what makes eight "
+    "separately-committed planes safe as a SYSTEM at 100 TB: work is "
+    "∝ the missed batches, never the corpus.",
+)
+def pipeline_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.docs import DocIngest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.filter(col("source").isin(*_MATRIX_BENCHMARKS)).select(
+        "source", "doc_id", "text"
+    )
+    train = docs.filter(
+        ~col("source").isin(*_MATRIX_BENCHMARKS) & (col("doc_id") % 2 == 0)
+    ).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="pipeline_doctor_gate_")
+    ing = DocIngest(
+        os.path.join(base, "lake"),
+        component_index=True,
+        drift_state=True,
+        lexical_index=True,
+        contamination_screen=True,
+        novelty_state=True,
+    )
+    try:
+        ing.contamination.build(spark, bench)
+        batches = [train.filter(col("doc_id") % 4 == m) for m in (0, 2)]
+        ing.process_batch(batches[0], 1)
+
+        # fault injection: die between the chunk_df and lexical plane
+        # commits of batch 2 — mh/components/chunk_df land at 2, the
+        # lexical/evidence/novelty/drift/hash planes stay at 1
+        class _Crash(Exception):
+            pass
+
+        orig = ing.lexical.upsert
+
+        def _boom(*a, **k):
+            raise _Crash()
+
+        ing.lexical.upsert = _boom
+        try:
+            ing.process_batch(batches[1], 2)
+            raise RuntimeError("fault injection did not fire")
+        except _Crash:
+            pass
+        finally:
+            ing.lexical.upsert = orig
+        rep = ing.audit()
+        if rep["consistent"] or "lex_index" not in rep["stragglers"]:
+            raise RuntimeError(f"expected a lexical straggler, got {rep}")
+        healed = ing.doctor(spark)
+        if healed != [2]:
+            raise RuntimeError(f"doctor replayed {healed}, expected [2]")
+        rep = ing.audit()
+        if not rep["consistent"]:
+            raise RuntimeError(f"inconsistent after doctor: {rep}")
+
+        rows = [
+            (
+                "corpus_chunks",
+                rep["planes"]["corpus_chunks"],
+                ing.read_corpus(spark).count(),
+            ),
+            (
+                "hash_inventory",
+                ing.hashes.watermark(),
+                ing.hashes.read(spark).count(),
+            ),
+            (
+                "mh_index",
+                ing.index.target.watermark(),
+                ing.index.signatures(spark).count(),
+            ),
+            (
+                "comp_index",
+                ing.components.labels_t.watermark(),
+                ing.components.labels(spark).count(),
+            ),
+            (
+                "chunk_df",
+                ing.chunk_df.df_target.watermark(),
+                ing.chunk_df.doc_df(spark).count(),
+            ),
+            (
+                "lex_postings",
+                ing.lexical.postings.watermark(),
+                ing.lexical.postings.read(spark).count(),
+            ),
+            (
+                "lex_doclen",
+                ing.lexical.doclen.watermark(),
+                ing.lexical.doclen.read(spark).count(),
+            ),
+            (
+                "contam_index",
+                ing.contamination.evidence.watermark(),
+                ing.contamination.evidence.read(spark).count(),
+            ),
+            (
+                "novelty_curve",
+                ing.novelty.curve.watermark(),
+                ing.novelty.read_curve(spark).count(),
+            ),
+            (
+                "novelty_vocab",
+                ing.novelty.vocab.watermark(),
+                ing.novelty.vocab.read(spark).count(),
+            ),
+            (
+                "drift_state",
+                ing.drift.watermark(),
+                ing.drift.read_counts(spark).count(),
+            ),
+        ]
+        return spark.createDataFrame(
+            [(p, int(w), int(n)) for p, w, n in rows],
+            "plane string, watermark long, n_rows long",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Split-leakage audit — the WHY behind component-atomic splits, as a
 # measured number: count near-dup candidate pairs (the MinHash-LSH
 # universe — the pairs a real pipeline acts on) whose endpoints land in

@@ -163,6 +163,24 @@ class DocIngest:
             # first-run crash window (chunk written, merges not yet) still
             # replays fine — the watermark only advances on merge commit.
             return
+        # Divergence guard (metadata-only — reads pointer files, runs no
+        # jobs): if the planes sit at DIFFERENT watermarks, a prior batch
+        # crashed mid-commit. Its own replay (batch_id == the highest
+        # committed mark) converges through the per-plane guards, but a
+        # NEW batch id would advance the straggler planes PAST the
+        # crashed batch — they would silently never fold it. Refuse and
+        # point at doctor(); the streaming runner never trips this (it
+        # replays crashed epochs in order before new ones).
+        wms = self.plane_watermarks()
+        marks = [v for k, v in wms.items() if k != "corpus_chunks"]
+        mx = max(marks + [wms["corpus_chunks"]])
+        if min(marks) < mx and batch_id != mx:
+            raise RuntimeError(
+                f"{self.out_dir}: maintained planes are at divergent "
+                f"watermarks {wms} and batch {batch_id} is not the "
+                "crashed batch's replay — run doctor() (or replay batch "
+                f"{mx} from the source) before ingesting new batches"
+            )
         q = quality_features(batch)
         good = q.filter(
             (col("n_tokens") >= MIN_TOKENS) & (col("distinct_fp") >= MIN_DISTINCT_FP)
@@ -193,7 +211,13 @@ class DocIngest:
                 self.quarantine_threshold,
                 watermark=batch_id,
             )
-            flagged.write.mode("overwrite").parquet(
+            # quarantine keeps the full document rows, not just the
+            # verdict: a flagged doc never reaches the corpus, so its
+            # text survives ONLY here — release_quarantine() re-admits
+            # from these rows when the policy later relaxes
+            firsts.join(flagged, ["doc_id"]).drop(
+                "h", "n_tokens", "distinct_fp"
+            ).write.mode("overwrite").parquet(
                 os.path.join(self.out_dir, "quarantine", f"chunk={batch_id}")
             )
             firsts = firsts.join(flagged.select("doc_id"), ["doc_id"], "left_anti")
@@ -206,6 +230,29 @@ class DocIngest:
         fresh.drop("h", "n_tokens", "distinct_fp").write.mode("overwrite").parquet(
             os.path.join(self.out_dir, "docs", f"chunk={batch_id}")
         )
+        self._fold_planes(
+            spark, fresh, batch_id, screen_evidence=self.quarantine_threshold is None
+        )
+
+    def _fold_planes(
+        self,
+        spark: SparkSession,
+        fresh: DataFrame,
+        batch_id: int,
+        screen_evidence: bool,
+        hidden_ids: DataFrame | None = None,
+    ) -> None:
+        """Fold one ADMITTED batch (doc_id, text, h, ...) into every
+        enabled maintained plane, hash-inventory LAST — the plane-commit
+        sequence shared verbatim by the live ingest (``process_batch``)
+        and the catch-up healer (``doctor``), so a healed plane replays
+        exactly the fold it missed. ``screen_evidence``: fold the
+        admitted docs' contamination evidence here (False when the
+        caller already folded it through ``screen_gated``'s shared
+        pass). ``hidden_ids``: later batches' doc ids the doctor hides
+        from the component fold when the signature table is ahead of
+        the history being replayed (every other plane is doc-local, so
+        future signatures cannot contaminate its fold)."""
         self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
         if self.components is not None:
             # AFTER the signature upsert (call-order contract): component
@@ -213,7 +260,10 @@ class DocIngest:
             # batch. Covers fresh ids and re-crawls (changed text → new
             # hash → the doc passes the anti-join and lands in ``fresh``).
             self.components.upsert(
-                spark, fresh.select("doc_id"), watermark=batch_id
+                spark,
+                fresh.select("doc_id"),
+                watermark=batch_id,
+                hidden_ids=hidden_ids,
             )
         self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
         if self.lexical is not None:
@@ -224,13 +274,16 @@ class DocIngest:
             self.lexical.upsert(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
             )
-        if self.contamination is not None and self.quarantine_threshold is None:
+        if self.contamination is not None and screen_evidence:
             # ingest-time decontamination: screen ONLY the docs entering
             # the corpus against the benchmark registry and record their
             # verdicts (work ∝ batch); its own watermark makes the
             # evidence replacement replay-safe like every plane above.
-            # (With the quarantine gate on, screen_gated above already
-            # folded the admitted docs' evidence from the shared pass.)
+            # (With the quarantine gate on, process_batch's screen_gated
+            # already folded the admitted docs' evidence from the shared
+            # pass and passes screen_evidence=False; the doctor replays
+            # admitted-doc evidence through here — screen() keys the
+            # replacement on the same admitted ids, so the folds agree.)
             self.contamination.screen(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
             )
@@ -266,6 +319,16 @@ class DocIngest:
             if not os.path.isdir(self.vectors._centroids):
                 if vecs.take(1):
                     self.vectors.build(spark, vecs, n_cells=8)
+                    # stamp the bootstrap batch on the inventory:
+                    # build()'s merge is unwatermarked (rebuild
+                    # semantics — watermarks restart per generation),
+                    # but as a PLANE commit this batch must be
+                    # replay-guarded and visible to audit()/doctor()
+                    inv0 = self.vectors._inventory()
+                    inv0.merge_with(
+                        spark, inv0.read(spark), lambda _t, u: u,
+                        watermark=batch_id,
+                    )
             else:
                 self.vectors.upsert(spark, vecs, watermark=batch_id)
                 # a re-crawl that SHRANK a document supersedes only the
@@ -297,6 +360,189 @@ class DocIngest:
             watermark=batch_id,
         )
 
+    # ------------------------------------------------- cross-plane doctor
+
+    def plane_watermarks(self) -> "dict[str, int]":
+        """Committed watermark of every ENABLED maintained plane, plus
+        ``corpus_chunks`` (the newest COMPLETE ``docs/chunk=<id>`` dir —
+        _SUCCESS present) and ``hash_inventory`` (the global replay
+        guard, committed last). After a clean batch every value is
+        equal; a crash between plane commits leaves a suffix of the
+        commit order one batch behind — the divergence ``audit`` reports
+        and ``doctor`` heals. -1 = plane has never committed."""
+        wms: "dict[str, int]" = {
+            "corpus_chunks": max(self._complete_chunks(), default=-1),
+            "mh_index": self.index.target.watermark(),
+            "chunk_df": self.chunk_df.df_target.watermark(),
+        }
+        if self.components is not None:
+            wms["comp_index"] = self.components.labels_t.watermark()
+        if self.lexical is not None:
+            wms["lex_index"] = min(
+                self.lexical.postings.watermark(),
+                self.lexical.doclen.watermark(),
+            )
+        if self.contamination is not None:
+            wms["contam_index"] = self.contamination.evidence.watermark()
+        if self.novelty is not None:
+            wms["novelty_state"] = self.novelty.watermark()
+        if self.drift is not None:
+            wms["drift_state"] = self.drift.watermark()
+        if self.vectors is not None and os.path.isdir(self.vectors._centroids):
+            # a never-built vector index is DORMANT, not behind: the
+            # bootstrap waits for the first batch that yields a vector,
+            # so until then there is no state to be stale
+            wms["vec_index"] = self.vectors._inventory().watermark()
+        wms["hash_inventory"] = self.hashes.watermark()
+        return wms
+
+    def _complete_chunks(self) -> "list[int]":
+        """Ascending ids of corpus chunk dirs whose write COMMITTED
+        (_SUCCESS marker) — the durable per-batch record of admitted
+        docs the doctor can re-fold planes from. A chunk dir without
+        _SUCCESS is in-flight crash debris and is never replayed from."""
+        import glob as _glob
+
+        out = []
+        for d in _glob.glob(os.path.join(self.out_dir, "docs", "chunk=*")):
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                out.append(int(os.path.basename(d).split("=", 1)[1]))
+        return sorted(out)
+
+    def audit(self) -> dict:
+        """Cross-plane watermark consistency report — the doc-pipeline
+        analog of the reference's one-transaction-per-block contract
+        (be_db_follower.erl:86-108 commits all 12 handlers or none;
+        here each plane commits separately with the hash inventory
+        last, so a crash can strand planes at different watermarks).
+        Returns ``{"planes": {...}, "consistent": bool, "target": W,
+        "stragglers": {plane: wm}, "unhealable": [ids]}`` where target
+        is the newest complete corpus chunk (or the hash watermark if
+        ahead — a chunk dir lost after commit), stragglers are planes
+        behind target, and unhealable lists batch ids a straggler needs
+        that have NO complete chunk to re-fold from (source replay
+        required — e.g. a crash before the chunk write committed)."""
+        wms = self.plane_watermarks()
+        chunks = self._complete_chunks()
+        target = max(wms["corpus_chunks"], wms["hash_inventory"])
+        planes = {k: v for k, v in wms.items() if k != "corpus_chunks"}
+        stragglers = {k: v for k, v in planes.items() if v < target}
+        # a plane can also be AHEAD of the corpus: screen_gated commits
+        # the quarantine evidence BEFORE the chunk write, so a crash in
+        # that window leaves contam_index at W with no chunk W. The
+        # doctor cannot roll that forward (no durable batch) — only a
+        # source-side replay of crawl W heals it, and idempotently
+        # (evidence replacement keys on the batch's doc ids).
+        ahead = {k: v for k, v in planes.items() if v > target}
+        # batches PROVABLY lost: ids some plane or the hash inventory
+        # recorded, inside a straggler's gap, with no surviving chunk.
+        # (Batch ids need not be contiguous, so id-range gaps prove
+        # nothing; ids nothing recorded — e.g. retention-deleted chunks
+        # below every watermark — are caught by doctor()'s doc-coverage
+        # probe instead, which compares the admitted doc set against the
+        # surviving chunks.)
+        low = min(stragglers.values()) if stragglers else target
+        known = {v for v in planes.values() if v >= 0} | set(chunks)
+        unhealable = sorted(
+            i for i in known if low < i <= target and i not in set(chunks)
+        )
+        return {
+            "planes": wms,
+            "consistent": not stragglers and not ahead,
+            "target": target,
+            "stragglers": stragglers,
+            "ahead": ahead,
+            "unhealable": unhealable,
+        }
+
+    def doctor(self, spark: SparkSession) -> "list[int]":
+        """Heal every straggler plane by replaying the missed batches
+        from the durable corpus chunks, IN ORDER, through the exact
+        plane-fold sequence of the live ingest (``_fold_planes``) —
+        each plane's own watermark guard skips the folds it already
+        committed, so only the missing history runs and a fully
+        consistent pipeline is a cheap no-op scan. Returns the batch
+        ids replayed. Raises when a straggler needs a batch with no
+        complete chunk (the corpus itself lost the batch — only a
+        source-side replay of that crawl can heal it; run the stream).
+
+        Not crash-free itself — but crashing mid-doctor just leaves a
+        smaller divergence, and re-running converges (same folds, same
+        guards). Do not run concurrently with a live ingest."""
+        rep = self.audit()
+        if not rep["stragglers"]:
+            # nothing to roll forward; an ahead-only divergence (see
+            # audit) waits for the source to replay its crawl
+            return []
+        if rep["unhealable"]:
+            raise ValueError(
+                f"{self.out_dir}: batches {rep['unhealable']} are missing "
+                "from the corpus chunks but at least one plane needs them "
+                "— replay those crawls from the source (run_stream picks "
+                "them up; doctor can only re-fold durable chunks)"
+            )
+        low = min(rep["stragglers"].values())
+        todo = [
+            i for i in self._complete_chunks() if low < i <= rep["target"]
+        ]
+        # doc-coverage probe: the hash inventory is the ledger of every
+        # admitted doc; if retention (or an accident) deleted a chunk
+        # whose id nothing recorded, the id-based audit cannot see it —
+        # but its DOCS are missing from the surviving chunks, and a
+        # backfill folding only what survives would be silently
+        # incomplete. Ids-only anti-join, one probe job.
+        stored = self.hashes.read(spark)
+        if stored is not None:
+            chunk_ids = spark.read.option("basePath", os.path.join(self.out_dir, "docs")).parquet(
+                *[
+                    os.path.join(self.out_dir, "docs", f"chunk={i}")
+                    for i in self._complete_chunks()
+                ]
+            ).select(col("doc_id").alias("canonical_doc_id")).distinct()
+            lost = stored.select("canonical_doc_id").distinct().join(
+                chunk_ids, ["canonical_doc_id"], "left_anti"
+            )
+            if lost.take(1):
+                raise ValueError(
+                    f"{self.out_dir}: the surviving corpus chunks no "
+                    "longer cover every admitted document (a chunk was "
+                    "deleted?) — a straggler healed from them would be "
+                    "silently incomplete; restore the chunk or replay "
+                    "its crawl from the source"
+                )
+        freshes = {
+            i: spark.read.parquet(
+                os.path.join(self.out_dir, "docs", f"chunk={i}")
+            )
+            .withColumn("h", F.md5("text"))
+            .localCheckpoint(eager=False)
+            for i in todo
+        }
+        # suffix unions of LATER batches' ids, hidden from each step's
+        # component fold: the signature table may already be ahead of
+        # the label history being replayed, and future signatures must
+        # not create edges early (the upsert_coalesced discipline —
+        # batch-sized anti-join frames, never a corpus-sized set)
+        laters: "dict[int, DataFrame | None]" = {todo[-1]: None}
+        for j in range(len(todo) - 2, -1, -1):
+            nxt = freshes[todo[j + 1]].select("doc_id").distinct()
+            prev_later = laters[todo[j + 1]]
+            laters[todo[j]] = (
+                nxt if prev_later is None else nxt.unionByName(prev_later)
+            )
+        for i in todo:
+            # evidence for admitted docs replays through screen() —
+            # identical fold to screen_gated's admitted-side on this
+            # already-gated chunk (quarantined docs never reached it)
+            self._fold_planes(
+                spark,
+                freshes[i],
+                i,
+                screen_evidence=True,
+                hidden_ids=laters[i],
+            )
+        return todo
+
     def run_stream(self, spark: SparkSession, input_dir: str, schema) -> None:
         """Drive the crawler-facing pipeline as an actual Structured
         Streaming job — the document twin of BlockIngest.run_stream:
@@ -313,7 +559,7 @@ class DocIngest:
 
         Batch ids are ``base + epoch`` where ``base`` is pinned to
         ``hashes.watermark() + 1`` when the checkpoint is CREATED and
-        persisted beside it: foreachBatch epochs restart at 0 for a
+        persisted inside it: foreachBatch epochs restart at 0 for a
         fresh checkpoint, and raw epochs over a lake that already holds
         batches (direct process_batch history, or a deleted checkpoint)
         would fall at or below the stored watermark — the replay guard
@@ -325,14 +571,37 @@ class DocIngest:
         inventory). Do not interleave direct process_batch calls while a
         checkpointed stream is in use — they would advance the watermark
         past ids the stream has already assigned."""
+        # The base lives INSIDE the checkpoint directory so the two can
+        # never desynchronize: deleting the checkpoint deletes the base
+        # (fresh base re-pinned above the stored watermark), and a
+        # checkpoint that somehow lost its base is refused rather than
+        # silently re-based — a recomputed base under a live checkpoint
+        # would replay a crashed in-flight epoch under a DIFFERENT batch
+        # id, orphaning the crashed attempt's chunk dirs and breaking
+        # chunk-overwrite idempotence.
         ckpt = os.path.join(self.out_dir, "_stream_checkpoint")
-        base_file = os.path.join(self.out_dir, "_stream_checkpoint_base.json")
-        if os.path.exists(base_file) and os.path.isdir(ckpt):
+        base_file = os.path.join(ckpt, "_process_batch_base.json")
+        legacy = os.path.join(self.out_dir, "_stream_checkpoint_base.json")
+        if (
+            os.path.isdir(ckpt)
+            and not os.path.exists(base_file)
+            and os.path.exists(legacy)
+        ):
+            os.replace(legacy, base_file)  # pre-r10 layout migration
+        if os.path.isdir(ckpt):
+            if not os.path.exists(base_file):
+                raise RuntimeError(
+                    f"{ckpt}: streaming checkpoint exists without its "
+                    "pinned batch-id base — re-deriving the base could "
+                    "replay an in-flight epoch under a different batch "
+                    "id. Restore the base file or delete the whole "
+                    "checkpoint directory to start fresh."
+                )
             with open(base_file) as f:
                 base = json.load(f)["base"]
         else:
             base = self.hashes.watermark() + 1
-            os.makedirs(self.out_dir, exist_ok=True)
+            os.makedirs(ckpt, exist_ok=True)
             tmp = base_file + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"base": base}, f)
@@ -375,15 +644,63 @@ class DocIngest:
         """(doc_id, n_bench_shingles) for every doc the contamination
         gate refused — the audit trail of what never entered the corpus.
         Empty frame (same schema) before any batch quarantined."""
+        docs = self._read_quarantine_full(spark)
+        if docs is None:
+            return spark.createDataFrame([], "doc_id long, n_bench_shingles long")
+        return docs.select("doc_id", "n_bench_shingles")
+
+    def _read_quarantine_full(self, spark: SparkSession) -> DataFrame | None:
         import glob as _glob
 
         base = os.path.join(self.out_dir, "quarantine")
         chunks = _glob.glob(os.path.join(base, "chunk=*"))
         if not chunks:
-            return spark.createDataFrame([], "doc_id long, n_bench_shingles long")
-        return (
-            spark.read.option("basePath", base).parquet(*chunks).drop("chunk")
+            return None
+        return spark.read.option("basePath", base).parquet(*chunks)
+
+    def release_quarantine(self, spark: SparkSession, batch_id: int) -> int:
+        """Re-screen every quarantined document under the CURRENT policy
+        (this instance's registry + threshold) by re-admitting the full
+        quarantine set through the NORMAL ingest path as one fresh batch
+        — every maintained plane sees the released docs as new arrivals,
+        still-contaminated docs land straight back in the new batch's
+        quarantine chunk, and the old chunks are dropped only AFTER the
+        batch commits (a crash in between re-lists some docs in both the
+        old and new chunks — an audit-trail duplicate, never a lost
+        document, and re-running release converges: re-admitted docs
+        dedup through the hash inventory). Returns the number of docs
+        put through re-screening (0 = quarantine was empty).
+
+        The workflow for a policy change: construct the DocIngest with
+        the NEW ``contamination_quarantine`` threshold (the registry
+        itself is add-only) and call this once with the next batch id.
+        Property: release under a relaxed policy converges to the state
+        of having ingested with that policy from the start
+        (tests/test_quarantine_release.py)."""
+        import glob as _glob
+
+        if self.quarantine_threshold is None:
+            raise ValueError("release_quarantine requires the quarantine gate")
+        q = self._read_quarantine_full(spark)
+        if q is None:
+            return 0
+        old_chunks = _glob.glob(
+            os.path.join(self.out_dir, "quarantine", "chunk=*")
         )
+        n = q.select("doc_id").distinct().count()
+        if n:
+            self.process_batch(
+                q.drop("n_bench_shingles", "chunk"), batch_id
+            )
+        import shutil
+
+        keep = os.path.join(
+            self.out_dir, "quarantine", f"chunk={batch_id}"
+        )
+        for d in old_chunks:
+            if os.path.abspath(d) != os.path.abspath(keep):
+                shutil.rmtree(d, ignore_errors=True)
+        return n
 
     def read_corpus(self, spark: SparkSession) -> DataFrame:
         """Every admitted crawl row, one per (doc, crawl) — a re-crawled

@@ -1,0 +1,146 @@
+"""Quarantine release: re-admitting quarantined docs under a relaxed
+policy must converge to the state of having ingested with that policy
+from the start — same corpus doc set, same hash inventory, same
+signatures/postings/doclen/chunk-df/evidence/drift, and an empty (or
+correctly re-flagged) quarantine. Released docs flow through the NORMAL
+process_batch path, so every maintained plane sees them as fresh
+arrivals; crash ordering (re-admit first, drop old chunks after) means a
+document can transiently appear twice in the audit trail but can never
+be lost."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from blockchain_etl_spark.streaming.docs import DocIngest
+
+_WORDS = [f"tok{i}" for i in range(41)]
+_BWORDS = [f"bench{i}" for i in range(41)]  # disjoint vocab: only docs
+# built FROM a benchmark text can share 5-grams with the registry
+
+
+def _text(seed: int, n: int = 16) -> str:
+    w = _BWORDS if seed >= 900 else _WORDS
+    return " ".join(w[(seed * 11 + j * 5) % 41] for j in range(n))
+
+
+def _data(spark):
+    """Batch 1 and 2 of train docs; docs 7 and 15 share ALL their text
+    with benchmark doc 900/901 (heavily contaminated — quarantined at a
+    strict threshold), doc 8 shares a smaller overlap (passes a relaxed
+    threshold but is flagged at the strict one)."""
+    b1 = [Row(doc_id=d, text=_text(d), lang="en") for d in range(7)]
+    b1.append(Row(doc_id=7, text=_text(900), lang="en"))
+    # doc 8: six benchmark tokens (= exactly two registry 5-grams) then
+    # clean text — flagged at threshold 2, passes a relaxed threshold
+    b1.append(
+        Row(
+            doc_id=8,
+            text=" ".join(_text(901).split()[:6]) + " " + _text(30),
+            lang="en",
+        )
+    )
+    b2 = [Row(doc_id=d, text=_text(d), lang="en") for d in range(10, 15)]
+    b2.append(Row(doc_id=15, text=_text(901), lang="en"))
+    bench = [
+        Row(source="src0", doc_id=900, text=_text(900)),
+        Row(source="src0", doc_id=901, text=_text(901)),
+    ]
+    return (
+        spark.createDataFrame(b1),
+        spark.createDataFrame(b2),
+        spark.createDataFrame(bench),
+    )
+
+
+def _run(spark, path, threshold, release_to=None):
+    b1, b2, bench = _data(spark)
+    ing = DocIngest(
+        str(path),
+        lexical_index=True,
+        drift_state=True,
+        contamination_screen=True,
+        contamination_quarantine=threshold,
+    )
+    ing.contamination.build(spark, bench)
+    ing.process_batch(b1, 1)
+    ing.process_batch(b2, 2)
+    if release_to is not None:
+        relaxed = DocIngest(
+            str(path),
+            lexical_index=True,
+            drift_state=True,
+            contamination_screen=True,
+            contamination_quarantine=release_to,
+        )
+        relaxed.release_quarantine(spark, 3)
+        return relaxed
+    return ing
+
+
+def _invariant_state(spark, ing):
+    """The batch-order-insensitive planes (novelty/curve timing and chunk
+    layout legitimately differ when docs arrive later)."""
+    return {
+        "corpus": sorted(
+            (r.doc_id, r.text) for r in ing.read_corpus(spark).collect()
+        ),
+        "hashes": sorted(tuple(r) for r in ing.hashes.read(spark).collect()),
+        "sigs": sorted(tuple(r) for r in ing.index.signatures(spark).collect()),
+        "chunk_df": sorted(tuple(r) for r in ing.chunk_df.doc_df(spark).collect()),
+        "postings": sorted(
+            tuple(r) for r in ing.lexical.postings.read(spark).collect()
+        ),
+        "doclen": sorted(
+            tuple(r) for r in ing.lexical.doclen.read(spark).collect()
+        ),
+        "evidence": sorted(
+            tuple(r) for r in ing.contamination.evidence.read(spark).collect()
+        ),
+        "drift": sorted(tuple(r) for r in ing.drift.read_counts(spark).collect()),
+        "quarantine": sorted(
+            tuple(r) for r in ing.read_quarantine(spark).collect()
+        ),
+    }
+
+
+def test_release_under_relaxed_policy_equals_fresh_ingest(spark, tmp_path):
+    strict, relaxed = 2, 1000
+    # strict run quarantines the contaminated docs
+    ing = _run(spark, tmp_path / "strict", strict)
+    qd = {r.doc_id for r in ing.read_quarantine(spark).collect()}
+    assert qd == {7, 8, 15}
+    # release everything under a threshold nothing reaches
+    healed = _run(spark, tmp_path / "released", strict, release_to=relaxed)
+    golden = _run(spark, tmp_path / "golden", relaxed)
+    assert _invariant_state(spark, healed) == _invariant_state(spark, golden)
+    assert healed.read_quarantine(spark).count() == 0
+    assert healed.audit()["consistent"]
+
+
+def test_release_requarantines_still_contaminated_docs(spark, tmp_path):
+    # release under the SAME strict policy: every doc is re-flagged into
+    # the new batch's chunk, nothing enters the corpus, nothing is lost
+    ing = _run(spark, tmp_path / "lake", 2, release_to=2)
+    q = {
+        (r.doc_id, r.n_bench_shingles)
+        for r in ing.read_quarantine(spark).collect()
+    }
+    assert {d for d, _ in q} == {7, 8, 15}
+    admitted = {r.doc_id for r in ing.read_corpus(spark).collect()}
+    assert admitted.isdisjoint({7, 8, 15})
+    # old chunk dirs were dropped — each doc is listed exactly once
+    assert len(q) == 3
+    assert ing.audit()["consistent"]
+
+
+def test_release_empty_quarantine_is_a_noop(spark, tmp_path):
+    ing = _run(spark, tmp_path / "lake", 10_000)  # nothing flagged
+    assert ing.release_quarantine(spark, 3) == 0
+
+
+def test_release_requires_the_gate(spark, tmp_path):
+    ing = DocIngest(str(tmp_path / "lake"), contamination_screen=True)
+    with pytest.raises(ValueError, match="quarantine"):
+        ing.release_quarantine(spark, 1)
