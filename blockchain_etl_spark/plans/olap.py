@@ -2569,3 +2569,100 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Excess-capacity suppliers — the TPC-H Q20 shape (nested semi-join chain:
+# suppkey IN a set defined by an aggregate HAVING over a correlated
+# per-(part, supplier) subquery, with the part list itself a semi-join).
+# This corpus has no partsupp/availqty, so "capacity" is what the supplier
+# demonstrably shipped: a (supplier, part) pair is in EXCESS when its
+# all-time shipped quantity is more than double what the 1997 demand year
+# took — idle capacity the buyer should renegotiate. Scoped to PROMO parts
+# and three nations, counted per supplier.
+# --------------------------------------------------------------------------
+_Q20_NATIONS = ("NATION_3", "NATION_7", "NATION_11")
+_Q20_YEAR = 1997
+
+
+@register(
+    "excess_capacity_suppliers",
+    sql=f"""
+    WITH ps AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty,
+             SUM(CASE WHEN year(l.l_shipdate) = {_Q20_YEAR}
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS y_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY l.l_suppkey, l.l_partkey),
+    excess AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+      FROM ps WHERE y_qty > 0 AND total_qty > 2 * y_qty
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, e.n_excess_parts
+    FROM excess e
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN {_Q20_NATIONS}
+    """,
+    survey_ops=("J8", "J10"),
+    doc="TPC-H Q20-shaped excess-capacity audit: suppliers (in a nation "
+    "set) having PROMO parts whose all-time shipped quantity exceeds "
+    f"double the {_Q20_YEAR} demand — the textbook form is suppkey IN "
+    "(SELECT ... WHERE partkey IN (part filter) AND availqty > correlated "
+    "SUM over the fact), i.e. a quantifier over a correlated aggregate "
+    "two levels deep (J8 + J10 composed). Spark-first plan: the part "
+    "filter broadcasts BEFORE the fact moves; both the correlated SUM and "
+    "its 1997 slice collapse into ONE conditional hash aggregate at "
+    "(supplier, part) grain with map-side combine (the exchange carries "
+    "partial aggregates, never raw fact rows — cheaper at 100 TB than "
+    "pinning a single raw-fact shuffle); the HAVING prunes to excess "
+    "pairs, the supplier rollup is pair-grain, and supplier x nation "
+    "joins by broadcast. No correlated re-scan of the fact, no self-join. "
+    "Reference analog: the set-membership gating of "
+    "src/be_db_follower.erl:86-108 handler filters composed with J10's "
+    "correlated-aggregate semantics.",
+)
+def excess_capacity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(col("n_name").isin(*_Q20_NATIONS))
+        .select("n_nationkey")
+    )
+    ps = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("total_qty"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN year(l_shipdate) = {_Q20_YEAR}"
+                    " THEN CAST(l_quantity AS BIGINT) ELSE 0 END"
+                )
+            ).alias("y_qty"),
+        )
+    )
+    excess = (
+        ps.filter((col("y_qty") > 0) & (col("total_qty") > 2 * col("y_qty")))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excess_parts"))
+    )
+    dim = supplier.join(
+        broadcast(nation), col("s_nationkey") == col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return excess.join(
+        broadcast(dim), col("l_suppkey") == col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_excess_parts")

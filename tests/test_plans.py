@@ -245,6 +245,20 @@ def test_waiting_suppliers_single_fact_shuffle(plan):
     assert re.search(r"hashpartitioning\(l_orderkey", p)
 
 
+def test_excess_capacity_two_partial_agg_exchanges(plan):
+    # Q20 shape: the correlated per-(part, supplier) SUM and its demand-year
+    # slice collapse into ONE conditional hash aggregate — the textbook
+    # nested quantifier (suppkey IN (... availqty > correlated SUM)) never
+    # re-scans or self-joins the fact. Both exchanges carry map-side
+    # partial aggregates (pair grain, then supplier grain), never raw fact
+    # rows; part / nation / supplier all broadcast.
+    p = plan("excess_capacity_suppliers")
+    assert n_exchanges(p) == 2, p
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"hashpartitioning\(l_suppkey[^,)]*, l_partkey", p), p
+    assert "partial_sum" in p, p
+
+
 def test_moving_stats_single_shared_shuffle(plan):
     # the repartition("user_id") serves BOTH the (user_id, day) aggregate
     # and the user_id window — exactly one exchange in the whole plan.

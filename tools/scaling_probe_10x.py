@@ -54,13 +54,34 @@ _DOMAIN_SRC = {
 }
 _DIMS = ("region", "nation")
 
+# name columns that are a pure function of the row's key in the base
+# generator: replicas regenerate them from the SHIFTED key instead of
+# copying the base string verbatim. Verbatim-replicated names gave every
+# name 10 copies, inflating the SymSpell candidate-pair population ~100x
+# (the round-9 confound on name_match_eval / customer_name_match); the
+# regenerated names have exactly the collision statistics a genuinely
+# 10x-larger corpus would have (all unique, same format, same length).
+_KEYED_NAMES = {
+    "customer": ("c_name", "Customer#%09d", "c_custkey"),
+    "supplier": ("s_name", "Supplier#%09d", "s_suppkey"),
+}
+
+_BUILD_VERSION = "v2-fresh-names"
+
 
 def build_scaled(spark) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.functions import col
 
-    if os.path.isdir(SCALED) and os.path.exists(os.path.join(SCALED, "_DONE")):
-        return
+    done = os.path.join(SCALED, "_DONE")
+    if os.path.isdir(SCALED) and os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == _BUILD_VERSION:
+                return
+        # stale layout from an older probe version — rebuild from scratch
+        import shutil
+
+        shutil.rmtree(SCALED, ignore_errors=True)
     os.makedirs(SCALED, exist_ok=True)
     spans: dict[str, int] = {}
     for dom, (tbl, c) in _DOMAIN_SRC.items():
@@ -92,6 +113,11 @@ def build_scaled(spark) -> None:
             rep = src
             for c, dom in keys:
                 rep = rep.withColumn(c, (col(c) + F.lit(i * spans[dom])).cast("long"))
+            if tbl in _KEYED_NAMES and i > 0:
+                name_col, fmt, key_col = _KEYED_NAMES[tbl]
+                rep = rep.withColumn(
+                    name_col, F.format_string(fmt, col(key_col))
+                )
             if tbl == "documents" and i > 0:
                 # FRESH text: same length as the base doc, words drawn
                 # deterministically from the global vocabulary — natural
@@ -125,13 +151,18 @@ def build_scaled(spark) -> None:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(os.path.join(SCALED, f"{tbl}.parquet"))
     with open(os.path.join(SCALED, "_DONE"), "w") as f:
-        f.write("ok")
+        f.write(_BUILD_VERSION)
 
 
 def main() -> None:
     reps = 2
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        # re-probe a subset and MERGE into the existing SCALING_10X.json
+        # (family aggregates recomputed over the merged per-query rows)
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     from blockchain_etl_spark.plans.registry import QUERIES, get_queries
     from blockchain_etl_spark.session import get_spark
 
@@ -142,6 +173,7 @@ def main() -> None:
         name: fn
         for name, fn in get_queries().items()
         if QUERIES[name].fn.__module__.rsplit(".", 1)[-1] in FAMILIES
+        and (only is None or name in only)
     }
 
     def run_all(sf_dir: str) -> dict[str, float]:
@@ -168,14 +200,18 @@ def main() -> None:
     t10 = run_all(SCALED)
 
     rows = {}
+    if only is not None and os.path.exists(os.path.join(REPO, "SCALING_10X.json")):
+        with open(os.path.join(REPO, "SCALING_10X.json")) as f:
+            rows = json.load(f).get("queries", {})
     fams: dict[str, dict[str, float]] = {}
     for name in sorted(set(t1) & set(t10)):
         ratio = round(t10[name] / t1[name], 2) if t1[name] > 0 else None
         rows[name] = {"sf0.1_sec": t1[name], "sf1.0_sec": t10[name], "ratio": ratio}
+    for name, r in rows.items():
         fam = QUERIES[name].fn.__module__.rsplit(".", 1)[-1]
         f = fams.setdefault(fam, {"sf0.1_sec": 0.0, "sf1.0_sec": 0.0, "n": 0})
-        f["sf0.1_sec"] += t1[name]
-        f["sf1.0_sec"] += t10[name]
+        f["sf0.1_sec"] += r["sf0.1_sec"]
+        f["sf1.0_sec"] += r["sf1.0_sec"]
         f["n"] += 1
     for f in fams.values():
         f["ratio"] = round(f["sf1.0_sec"] / f["sf0.1_sec"], 2) if f["sf0.1_sec"] else None
@@ -186,10 +222,13 @@ def main() -> None:
         "reps": reps,
         "note": (
             "10x corpus with FRESH doc text (deterministic draws from the "
-            "base vocabulary, base length distribution) and fresh "
-            "embeddings; relational tables key-consistent replicas; ratio "
-            "= sf1.0/sf0.1 min-of-reps wall. Linear work reads ratio in "
-            "[1, 10] (fixed overhead dilutes the data term)."
+            "base vocabulary, base length distribution), fresh "
+            "embeddings, and FRESH key-derived customer/supplier names "
+            "(replicas regenerate name = f(shifted key), so name "
+            "collision statistics match a genuinely 10x corpus instead "
+            "of 10 verbatim copies); relational tables key-consistent "
+            "replicas; ratio = sf1.0/sf0.1 min-of-reps wall. Linear work "
+            "reads ratio in [1, 10] (fixed overhead dilutes the data term)."
         ),
         "families": dict(sorted(fams.items())),
         "queries": rows,
