@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
+from ..functions.numeric import dsum, dsum_expr
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -2666,3 +2667,217 @@ def excess_capacity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excess.join(
         broadcast(dim), col("l_suppkey") == col("s_suppkey")
     ).select("s_suppkey", "s_name", "n_excess_parts")
+
+
+# --------------------------------------------------------------------------
+# Important part values — the TPC-H Q11 shape (HAVING against a GLOBAL
+# aggregate scalar subquery): parts whose traded value through suppliers
+# of a nation group exceeds a fixed fraction of the group's total traded
+# value. No partsupp table in this corpus, so "stock value" is the traded
+# value observed in the fact table. The classic concentration screen.
+# --------------------------------------------------------------------------
+_Q11_NATIONS = ("NATION_5", "NATION_14")
+_Q11_FRACTION_DENOM = 1000  # keep parts with value > total / 1000
+
+
+@register(
+    "important_part_value",
+    sql=f"""
+    WITH v AS (
+      SELECT l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN {_Q11_NATIONS}
+      GROUP BY l.l_partkey),
+    t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
+    SELECT v.l_partkey, v.value_cents
+    FROM v CROSS JOIN t
+    WHERE v.value_cents * {_Q11_FRACTION_DENOM} > t.total_cents
+    """,
+    survey_ops=("J10", "A6"),
+    doc="TPC-H Q11-shaped value-concentration screen: per-part traded "
+    "value through a nation group's suppliers, kept where the part's "
+    f"value exceeds 1/{_Q11_FRACTION_DENOM} of the group total. The "
+    "global scalar subquery in HAVING is the per-part value frame "
+    "re-aggregated to ONE row and broadcast back over itself (never a "
+    "second fact scan); the supplier x nation filter broadcasts BEFORE "
+    "the fact's single map-combined shuffle on l_partkey; the threshold "
+    "comparison is integer cents cross-multiplied — no division, no "
+    "float. The lazy localCheckpoint shares the part-value frame "
+    "between the total and the filter without recomputing it.",
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice"
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(col("n_name").isin(*_Q11_NATIONS))
+        .select("n_nationkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("value_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = v.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        v.crossJoin(broadcast(t))
+        .filter(col("value_cents") * _Q11_FRACTION_DENOM > col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sales-opportunity customers — the TPC-H Q22 shape (scalar AVG subquery
+# + NOT EXISTS anti-join, rolled up by country group): customers in a
+# nation group holding more than the group's average positive balance who
+# have NEVER placed an order — the untapped-demand report.
+# --------------------------------------------------------------------------
+_Q22_NATIONS = (1, 5, 9, 13, 17, 21, 24)
+_Q22_RECENT = "2000-06-01"  # dormant = no order on/after this date
+
+
+@register(
+    "sales_opportunity_customers",
+    sql=f"""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_nationkey IN {_Q22_NATIONS}),
+    t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS pos_sum,
+                 CAST(COUNT(*) AS BIGINT) AS pos_cnt
+          FROM pool WHERE bal_cents > 0),
+    hot AS (SELECT p.c_custkey, p.c_nationkey, p.bal_cents
+            FROM pool p CROSS JOIN t
+            WHERE p.bal_cents * t.pos_cnt > t.pos_sum),
+    dormant AS (
+      SELECT h.* FROM hot h
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = h.c_custkey
+                          AND o.o_orderdate >= DATE '{_Q22_RECENT}'))
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM dormant
+    GROUP BY c_nationkey
+    """,
+    survey_ops=("J6", "J10"),
+    doc="TPC-H Q22-shaped untapped-demand report: nation-group customers "
+    "above the group's average POSITIVE balance (the scalar AVG subquery "
+    "rides a broadcast 1-row singleton, compared cross-multiplied as "
+    "bal x cnt > sum so no division enters the predicate) anti-joined "
+    f"against RECENT orders (NOT EXISTS an order since {_Q22_RECENT} — "
+    "every customer here eventually orders, so dormancy is recency), "
+    "rolled up per nation in integer cents. Scale shape: the customer "
+    "dim filters and compares map-side; the only fact-grain work is the "
+    "anti-join, whose date filter pushes to the parquet scan and which "
+    "shuffles a single pruned o_custkey column against the (tiny) "
+    "hot-customer frame; the "
+    "rollup is dormant-customer-grain. Composes the above_avg_balance "
+    "(J10) and customers_without_orders (J6) primitives the way the "
+    "textbook query does.",
+)
+def sales_opportunity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(col("c_nationkey").isin(*_Q22_NATIONS))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = pool.filter(col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("long").alias("pos_sum"),
+        F.count(F.lit(1)).cast("long").alias("pos_cnt"),
+    )
+    hot = pool.crossJoin(broadcast(t)).filter(
+        col("bal_cents") * col("pos_cnt") > col("pos_sum")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(col("o_orderdate") >= _Q22_RECENT)
+        .select("o_custkey")
+    )
+    dormant = hot.join(
+        orders, hot.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top quarter supplier — the TPC-H Q15 shape (argmax over an aggregate
+# view, TIES RETAINED): the supplier(s) with the maximum revenue in a
+# quarter. The textbook form materializes a revenue view and compares it
+# to its own scalar MAX; a global ORDER BY ... LIMIT 1 would both lose
+# ties and pay a full sort.
+# --------------------------------------------------------------------------
+_Q15_QUARTER = ("1997-01-01", "1997-04-01")
+
+
+@register(
+    "top_quarter_supplier",
+    sql=f"""
+    WITH r AS (
+      SELECT l_suppkey,
+             {dsum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{_Q15_QUARTER[0]}'
+        AND l_shipdate < DATE '{_Q15_QUARTER[1]}'
+      GROUP BY l_suppkey),
+    t AS (SELECT MAX(total_revenue) AS max_rev FROM r)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM r CROSS JOIN t
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = t.max_rev
+    """,
+    survey_ops=("A6", "W3"),
+    doc="TPC-H Q15-shaped quarter-champion lookup: per-supplier quarter "
+    "revenue (date filter pushed to the parquet scan, ONE map-combined "
+    "fact shuffle on l_suppkey, exact-decimal accumulation so the double "
+    "compares bit-identically on both engines), then the scalar MAX of "
+    "the (small) revenue frame broadcasts back over it as a 1-row "
+    "singleton and the equality filter RETAINS ties — no global sort, no "
+    "LIMIT-1 tie loss. The supplier dim joins by broadcast after the "
+    "argmax prunes to a handful of rows. The lazy localCheckpoint shares "
+    "the revenue frame between the MAX and the filter without "
+    "recomputing the fact aggregate.",
+)
+def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    r = (
+        li.filter(
+            (col("l_shipdate") >= _Q15_QUARTER[0])
+            & (col("l_shipdate") < _Q15_QUARTER[1])
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)"), "total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    t = r.agg(F.max("total_revenue").alias("max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        r.crossJoin(broadcast(t))
+        .filter(col("total_revenue") == col("max_rev"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -2009,3 +2009,96 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("CAST(n_cross_pairs * 1000000 div n_pairs AS BIGINT)"))
         .alias("leak_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): rank raw-pool documents by
+# how in-domain they look, importance = log p_target(doc) − log p_raw(doc)
+# under bag-of-words unigram LMs fit on the target set and the raw pool.
+# The deterministic stand-in for hashed-ngram DSIR: log-probabilities ride
+# the integer bit-length surrogate (bitlen(N) − bitlen(count) ≈ log2(N/c),
+# the doc_unigram_surprisal technique), so both engines compute the exact
+# same integer score — no log() ulp drift. Target counts are add-one
+# smoothed (a raw token absent from the target must not produce -inf);
+# raw counts need no smoothing (every scored token occurs in the pool by
+# construction).
+# --------------------------------------------------------------------------
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_TOP = 50
+
+
+@register(
+    "dsir_importance_select",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+                                                w -> length(w) > 0)) AS w
+      FROM documents),
+    tgt AS (SELECT w, COUNT(*) AS c_t FROM tok
+            WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY w),
+    raw AS (SELECT w, COUNT(*) AS c_r FROM tok
+            WHERE source <> '{_DSIR_TARGET_SOURCE}' GROUP BY w),
+    tots AS (SELECT (SELECT CAST(SUM(c_t) AS BIGINT) FROM tgt) AS n_t,
+                    (SELECT CAST(SUM(c_r) AS BIGINT) FROM raw) AS n_r),
+    scored AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM( (length(bin(n_r)) - length(bin(c_r)))
+                     - (length(bin(n_t)) - length(bin(COALESCE(c_t, 0) + 1)))
+                  ) AS BIGINT) AS dsir_bits
+      FROM tok
+      JOIN raw USING (w)
+      LEFT JOIN tgt USING (w)
+      CROSS JOIN tots
+      WHERE tok.source <> '{_DSIR_TARGET_SOURCE}'
+      GROUP BY tok.doc_id)
+    SELECT doc_id, n_tokens, dsir_bits
+    FROM scored
+    ORDER BY dsir_bits DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+    survey_ops=(),
+    doc="DSIR importance selection: the raw pool ranked by integer-exact "
+    "log p_target − log p_raw under unigram LMs (bit-length surrogate, "
+    "add-one smoothing on the target side), top-k kept with a doc_id "
+    "tie-break. Scale shape: ONE corpus tokenization pass feeds both "
+    "vocabularies and the scoring join; the vocabularies are Zipf-small "
+    "and broadcast, so the score is a map-side projection over token "
+    "rows; per-doc reduce shuffles doc-grain partials and the top-k is "
+    "TakeOrderedAndProject (no global sort). The totals ride a broadcast "
+    "1-row singleton derived from the vocab aggregates, never a second "
+    "corpus scan.",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), w -> length(w) > 0)")).alias("w"),
+    ).localCheckpoint(eager=False)
+    is_tgt = col("source") == _DSIR_TARGET_SOURCE
+    tgt = tok.filter(is_tgt).groupBy("w").agg(F.count(F.lit(1)).alias("c_t"))
+    raw = tok.filter(~is_tgt).groupBy("w").agg(F.count(F.lit(1)).alias("c_r"))
+    # totals from the (small) vocab frames — never a second corpus pass
+    tots = (
+        tgt.agg(F.sum("c_t").cast("long").alias("n_t"))
+        .crossJoin(raw.agg(F.sum("c_r").cast("long").alias("n_r")))
+    )
+    bits = F.expr(
+        "(length(bin(n_r)) - length(bin(c_r)))"
+        " - (length(bin(n_t)) - length(bin(COALESCE(c_t, 0) + 1)))"
+    )
+    scored = (
+        tok.filter(~is_tgt)
+        .join(F.broadcast(raw), ["w"])
+        .join(F.broadcast(tgt), ["w"], "left")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("long").alias("dsir_bits"),
+        )
+    )
+    return scored.orderBy(col("dsir_bits").desc(), col("doc_id")).limit(_DSIR_TOP)

@@ -259,6 +259,78 @@ def test_excess_capacity_two_partial_agg_exchanges(plan):
     assert "partial_sum" in p, p
 
 
+def test_important_part_value_single_fact_shuffle(plan):
+    # Q11 shape: the global scalar in HAVING is the part-value frame
+    # re-aggregated to one broadcast row — the fact shuffles exactly once
+    # (the l_partkey aggregate) and is never re-scanned for the total.
+    p = plan("important_part_value")
+    assert n_exchanges(p) == 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_sales_opportunity_anti_join_pruned_and_pushed(plan):
+    # Q22 shape: the recency cutoff reaches the orders parquet scan, the
+    # scalar-average comparison is a broadcast singleton (no extra
+    # exchange), and no sort-merge join appears at this size.
+    p = plan("sales_opportunity_customers")
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert n_exchanges(p) <= 2, p
+
+
+def test_top_quarter_supplier_argmax_without_sort(plan):
+    # Q15 shape: the scalar MAX broadcasts back over the revenue frame —
+    # ties retained by equality filter, never ORDER BY ... LIMIT 1. One
+    # fact shuffle; the date window reaches the parquet scan.
+    # The shared revenue frame sits behind a lazy localCheckpoint (one
+    # fact pass feeds both the MAX and the filter), which explains as
+    # Scan ExistingRDD — so the scan-level pushdown is asserted on the
+    # pre-checkpoint fragment below, and the final plan on what it shows:
+    # the singleton MAX's one tiny exchange, no sort, no SMJ.
+    p = plan("top_quarter_supplier")
+    assert n_exchanges(p) <= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"\(\d+\) Sort\b", p) is None, p
+
+
+def test_top_quarter_revenue_fragment_pushes_date_window(spark):
+    # the quarter window must reach the lineitem parquet scan — asserted
+    # on the revenue fragment BEFORE its localCheckpoint hides the scan.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from blockchain_etl_spark.plans.olap import _Q15_QUARTER
+    from blockchain_etl_spark.sources.testdata import load_table
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = load_table(spark, SF, "lineitem").select(
+            "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+        )
+        frag = li.filter(
+            (col("l_shipdate") >= _Q15_QUARTER[0])
+            & (col("l_shipdate") < _Q15_QUARTER[1])
+        ).groupBy("l_suppkey").agg(F.count(F.lit(1)))
+        p = frag._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "GreaterThanOrEqual(l_shipdate" in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dsir_importance_topk_no_global_sort(plan):
+    # DSIR selection: vocab joins broadcast, top-k is
+    # TakeOrderedAndProject — a global Sort or a shuffled vocab join
+    # would be the 100 TB anti-pattern.
+    p = plan("dsir_importance_select")
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_moving_stats_single_shared_shuffle(plan):
     # the repartition("user_id") serves BOTH the (user_id, day) aggregate
     # and the user_id window — exactly one exchange in the whole plan.
