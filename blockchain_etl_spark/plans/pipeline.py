@@ -1789,9 +1789,11 @@ def pipeline_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches = [train.filter(col("doc_id") % 4 == m) for m in (0, 2)]
         ing.process_batch(batches[0], 1)
 
-        # fault injection: die between the chunk_df and lexical plane
-        # commits of batch 2 — mh/components/chunk_df land at 2, the
-        # lexical/evidence/novelty/drift/hash planes stay at 1
+        # fault injection: the lexical plane's batch-2 fold dies. With
+        # concurrent plane folds the surviving planes still commit at 2
+        # (an arbitrary straggler subset, not a prefix); lexical and the
+        # hash replay guard stay at 1 — exactly the divergence doctor()
+        # heals by replaying batch 2 through the per-plane guards
         class _Crash(Exception):
             pass
 

@@ -252,28 +252,47 @@ class DocIngest:
         pass). ``hidden_ids``: later batches' doc ids the doctor hides
         from the component fold when the signature table is ahead of
         the history being replayed (every other plane is doc-local, so
-        future signatures cannot contaminate its fold)."""
+        future signatures cannot contaminate its fold).
+
+        CONCURRENCY: between the signature upsert (first — the component
+        fold reads signatures that must already include the batch) and
+        the hash-inventory merge (last — the replay guard), the plane
+        folds are mutually independent: each reads ``fresh`` plus its
+        own state and publishes to its own directory. They are submitted
+        CONCURRENTLY (driver threads; Spark schedules the jobs side by
+        side), which collapses the serialized per-plane job floor into
+        the slowest single plane. Durability semantics are unchanged: a
+        crash now leaves an ARBITRARY straggler subset instead of a
+        prefix, which audit()/doctor() were built to heal (per-plane
+        watermark replay — the crash-injection tests compare healed
+        state to a golden never-crashed ingest either way). ``fresh`` is
+        materialized before the threads fan out (by the chunk write in
+        process_batch or the signature upsert here), so the lazy
+        localCheckpoint never races across threads."""
         self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        tasks = []
         if self.components is not None:
             # AFTER the signature upsert (call-order contract): component
             # maintenance reads the signatures that already include this
             # batch. Covers fresh ids and re-crawls (changed text → new
             # hash → the doc passes the anti-join and lands in ``fresh``).
-            self.components.upsert(
+            tasks.append(("components", lambda: self.components.upsert(
                 spark,
                 fresh.select("doc_id"),
                 watermark=batch_id,
                 hidden_ids=hidden_ids,
-            )
-        self.chunk_df.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+            )))
+        tasks.append(("chunk_df", lambda: self.chunk_df.upsert(
+            spark, fresh.select("doc_id", "text"), watermark=batch_id
+        )))
         if self.lexical is not None:
             # lexical retrieval plane: the fresh docs' shingle postings and
             # lengths replace any prior crawl of the same ids; its own
             # watermark keeps the replacement replay-safe (the hash merge
             # below still commits last)
-            self.lexical.upsert(
+            tasks.append(("lexical", lambda: self.lexical.upsert(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
-            )
+            )))
         if self.contamination is not None and screen_evidence:
             # ingest-time decontamination: screen ONLY the docs entering
             # the corpus against the benchmark registry and record their
@@ -284,68 +303,31 @@ class DocIngest:
             # pass and passes screen_evidence=False; the doctor replays
             # admitted-doc evidence through here — screen() keys the
             # replacement on the same admitted ids, so the folds agree.)
-            self.contamination.screen(
+            tasks.append(("contamination", lambda: self.contamination.screen(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
-            )
+            )))
         if self.novelty is not None:
             # crawl-diversity telemetry: the maintained Heaps curve rows
             # key on the docs ADMITTED to the corpus, so the curve equals
             # the batch recompute over read_corpus() checkpoints; its own
             # watermark makes the fold replay-safe like every plane above
-            self.novelty.fold(
+            tasks.append(("novelty", lambda: self.novelty.fold(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
-            )
+            )))
         if self.drift is not None:
             # distribution telemetry: fold ONLY the docs that actually
             # entered the corpus (post quality + dedup), so the maintained
             # KL equals the batch drift over read_corpus() exactly; its
             # own watermark makes the fold replay-safe like every index
             # above (the hash merge below still commits last)
-            self.drift.fold(
+            tasks.append(("drift", lambda: self.drift.fold(
                 spark, fresh.select("doc_id", "text"), watermark=batch_id
-            )
+            )))
         if self.vectors is not None:
-            # retrieval plane: every fresh doc's chunks feature-hashed to
-            # dense vectors and folded into the persisted IVF index —
-            # bootstrap builds on the first non-empty batch (frozen coarse
-            # quantizer thereafter; refresh = explicit rebuild/compact).
-            # One materialization serves the emptiness probe, the
-            # build/upsert, and the shrink retraction below.
-            from ..plans.similarity import _CR_SEQ_CAP, chunk_vectors
-
-            vecs = chunk_vectors(fresh.select("doc_id", "text")).select(
-                "vec_id", "embedding"
-            ).localCheckpoint()
-            if not os.path.isdir(self.vectors._centroids):
-                if vecs.take(1):
-                    self.vectors.build(spark, vecs, n_cells=8)
-                    # stamp the bootstrap batch on the inventory:
-                    # build()'s merge is unwatermarked (rebuild
-                    # semantics — watermarks restart per generation),
-                    # but as a PLANE commit this batch must be
-                    # replay-guarded and visible to audit()/doctor()
-                    inv0 = self.vectors._inventory()
-                    inv0.merge_with(
-                        spark, inv0.read(spark), lambda _t, u: u,
-                        watermark=batch_id,
-                    )
-            else:
-                self.vectors.upsert(spark, vecs, watermark=batch_id)
-                # a re-crawl that SHRANK a document supersedes only the
-                # overlapping chunk ids; its old tail chunks would stay
-                # live forever (stale hits with dangling provenance).
-                # Tombstone every inventory id owned by a fresh doc that
-                # the new chunk set no longer contains. Candidate-sized:
-                # inventory ⋈ broadcast(fresh doc ids).
-                inv = self.vectors._inventory().read(spark)
-                if inv is not None:
-                    owned = inv.join(
-                        F.broadcast(fresh.select("doc_id").distinct()),
-                        F.expr(f"vec_id div {_CR_SEQ_CAP} = doc_id"),
-                    ).select("vec_id")
-                    stale = owned.join(vecs.select("vec_id"), ["vec_id"], "left_anti")
-                    if stale.take(1):
-                        self.vectors.delete(spark, stale)
+            tasks.append(("vectors", lambda: self._fold_vector_plane(
+                spark, fresh, batch_id
+            )))
+        self._run_plane_tasks(tasks)
         # the hash-inventory merge commits LAST: its watermark is the
         # replay guard at the top, so every index upsert above must be
         # durable before it advances — a crash anywhere in this method
@@ -359,6 +341,74 @@ class DocIngest:
             ),
             watermark=batch_id,
         )
+
+    @staticmethod
+    def _run_plane_tasks(tasks) -> None:
+        """Run the independent plane folds concurrently (driver threads —
+        Spark's scheduler runs their jobs side by side). ALL tasks run to
+        completion before any failure is re-raised, so a crash leaves
+        every surviving plane durably committed (the straggler subset the
+        doctor heals), never a thread still writing while the caller
+        unwinds. Single task → run inline (no thread overhead)."""
+        if not tasks:
+            return
+        if len(tasks) == 1:
+            tasks[0][1]()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+            futures = [(name, ex.submit(fn)) for name, fn in tasks]
+            first_err = None
+            for _name, fut in futures:
+                err = fut.exception()
+                if err is not None and first_err is None:
+                    first_err = err
+        if first_err is not None:
+            raise first_err
+
+    def _fold_vector_plane(self, spark, fresh, batch_id: int) -> None:
+        # retrieval plane: every fresh doc's chunks feature-hashed to
+        # dense vectors and folded into the persisted IVF index —
+        # bootstrap builds on the first non-empty batch (frozen coarse
+        # quantizer thereafter; refresh = explicit rebuild/compact).
+        # One materialization serves the emptiness probe, the
+        # build/upsert, and the shrink retraction below.
+        from ..plans.similarity import _CR_SEQ_CAP, chunk_vectors
+
+        vecs = chunk_vectors(fresh.select("doc_id", "text")).select(
+            "vec_id", "embedding"
+        ).localCheckpoint()
+        if not os.path.isdir(self.vectors._centroids):
+            if vecs.take(1):
+                self.vectors.build(spark, vecs, n_cells=8)
+                # stamp the bootstrap batch on the inventory:
+                # build()'s merge is unwatermarked (rebuild
+                # semantics — watermarks restart per generation),
+                # but as a PLANE commit this batch must be
+                # replay-guarded and visible to audit()/doctor()
+                inv0 = self.vectors._inventory()
+                inv0.merge_with(
+                    spark, inv0.read(spark), lambda _t, u: u,
+                    watermark=batch_id,
+                )
+        else:
+            self.vectors.upsert(spark, vecs, watermark=batch_id)
+            # a re-crawl that SHRANK a document supersedes only the
+            # overlapping chunk ids; its old tail chunks would stay
+            # live forever (stale hits with dangling provenance).
+            # Tombstone every inventory id owned by a fresh doc that
+            # the new chunk set no longer contains. Candidate-sized:
+            # inventory ⋈ broadcast(fresh doc ids).
+            inv = self.vectors._inventory().read(spark)
+            if inv is not None:
+                owned = inv.join(
+                    F.broadcast(fresh.select("doc_id").distinct()),
+                    F.expr(f"vec_id div {_CR_SEQ_CAP} = doc_id"),
+                ).select("vec_id")
+                stale = owned.join(vecs.select("vec_id"), ["vec_id"], "left_anti")
+                if stale.take(1):
+                    self.vectors.delete(spark, stale)
 
     # ------------------------------------------------- cross-plane doctor
 

@@ -193,11 +193,17 @@ def test_lost_chunk_after_crash_reads_as_ahead(spark, tmp_path):
     shutil.rmtree(tmp_path / "lake" / "docs" / "chunk=2")
     rep = ing.audit()
     assert not rep["consistent"] and not rep["stragglers"]
-    # contam_index committed its gated evidence before the chunk write,
-    # so it is ahead too
+    # contam_index committed its gated evidence before the chunk write;
+    # with CONCURRENT plane folds every non-crashed plane also completes
+    # before the failure re-raises, so the ahead set is everything except
+    # the crashed lexical plane and the hash replay guard (which commits
+    # strictly last and never ran)
     assert set(rep["ahead"]) == {
-        "mh_index", "comp_index", "chunk_df", "contam_index"
+        "mh_index", "comp_index", "chunk_df", "contam_index",
+        "novelty_state", "drift_state", "vec_index",
     }
+    assert "lex_index" not in rep["ahead"]
+    assert "hash_inventory" not in rep["ahead"]
     assert ing.doctor(spark) == []
     _, b2, _ = _corpus(spark)
     ing.process_batch(b2, 2)

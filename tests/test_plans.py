@@ -302,6 +302,10 @@ def test_top_quarter_revenue_fragment_pushes_date_window(spark):
     from blockchain_etl_spark.plans.olap import _Q15_QUARTER
     from blockchain_etl_spark.sources.testdata import load_table
 
+    # restore the PRIOR value: this module's `plan` fixture holds AQE off
+    # for every plan test — resetting to "true" here mid-module broke the
+    # later exchange-count gates (caught by the full-suite run)
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         li = load_table(spark, SF, "lineitem").select(
@@ -318,7 +322,7 @@ def test_top_quarter_revenue_fragment_pushes_date_window(spark):
         )
         assert "GreaterThanOrEqual(l_shipdate" in p, p
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_dsir_importance_topk_no_global_sort(plan):
