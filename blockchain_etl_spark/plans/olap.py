@@ -2881,3 +2881,92 @@ def top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-nation revenue — the TPC-H Q5 shape (the classic 6-way snowflake
+# join with a NON-KEY equi-condition: the supplier must sit in the SAME
+# nation as the customer). Revenue a region's nations keep "in-house",
+# the local-supplier-volume report.
+# --------------------------------------------------------------------------
+_Q5_REGIONS = ("ASIA", "EUROPE")
+_Q5_WINDOW = ("1996-01-01", "1998-01-01")
+
+
+@register(
+    "intra_nation_revenue",
+    sql=f"""
+    SELECT n.n_name,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name IN {_Q5_REGIONS}
+      AND o.o_orderdate >= DATE '{_Q5_WINDOW[0]}'
+      AND o.o_orderdate < DATE '{_Q5_WINDOW[1]}'
+    GROUP BY n.n_name
+    """,
+    survey_ops=("J4", "A6"),
+    doc="TPC-H Q5-shaped local-supplier-volume report: the 6-way "
+    "snowflake (lineitem, orders, customer, supplier, nation, region) "
+    "with the non-key intra-nation condition s_nationkey = c_nationkey, "
+    "rolled up per nation with exact-decimal revenue. Spark-first plan: "
+    "the ONLY fact-grain shuffle is lineitem x orders on the orderkey "
+    "(the date window pushes to the orders parquet scan first); "
+    "customer, supplier, and the region-filtered nation all broadcast, "
+    "and the intra-nation filter rides the supplier broadcast join's "
+    "non-key condition — no extra exchange. The final nation-grain "
+    "rollup moves map-combined partials only. The textbook plan order "
+    "(customer-first) would shuffle the fact twice; joining the "
+    "orderkey-partitioned side first and decorating with broadcast dims "
+    "keeps one.",
+)
+def intra_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (col("o_orderdate") >= _Q5_WINDOW[0])
+            & (col("o_orderdate") < _Q5_WINDOW[1])
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            broadcast(
+                load_table(spark, sf_dir, "region")
+                .filter(col("r_name").isin(*_Q5_REGIONS))
+                .select("r_regionkey")
+            ),
+            col("n_regionkey") == col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(
+            broadcast(supplier),
+            (col("l_suppkey") == col("s_suppkey"))
+            & (col("s_nationkey") == col("c_nationkey")),
+        )
+        .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+    )
+    return f.groupBy("n_name").agg(
+        dsum(F.expr("l_extendedprice * (1 - l_discount)"), "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )

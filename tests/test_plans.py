@@ -325,6 +325,20 @@ def test_top_quarter_revenue_fragment_pushes_date_window(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
+def test_intra_nation_revenue_single_fact_shuffle(plan):
+    # Q5 shape: one fact-grain shuffle (lineitem x orders on orderkey);
+    # customer/supplier/nation/region broadcast, the intra-nation
+    # condition rides the supplier join, the rollup moves nation-grain
+    # partials. Date window pushed to the orders scan.
+    p = plan("intra_nation_revenue")
+    # at sf0.001 even the orders join broadcasts, leaving only the
+    # nation-grain rollup; at scale the orderkey join adds the one
+    # fact-grain exchange — never more
+    assert n_exchanges(p) <= 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+
+
 def test_dsir_importance_topk_no_global_sort(plan):
     # DSIR selection: vocab joins broadcast, top-k is
     # TakeOrderedAndProject — a global Sort or a shuffled vocab join
