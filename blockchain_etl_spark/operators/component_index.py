@@ -312,14 +312,18 @@ class ComponentIndex:
             # (in coalesced mode the anti-join hides only the LATER
             # batches, so pre-existing orphan signatures stay visible
             # here and the probe catches them exactly as in sequential
-            # mode; the probe reads bands_all, which is defined on every
-            # path, rather than sig, which only exists when bands is
-            # None)
-            orphan = (
-                bands_all.select("doc_id")
-                .distinct()
-                .join(batch_ids, ["doc_id"], "left_anti")
-            )
+            # mode.) The probe reads the SIGNATURE table — one row per
+            # doc, ids-only column-pruned scan — never the band rows: a
+            # band-row probe would materialize the docs x n_bands band
+            # checkpoint as its first job just to answer an id-set
+            # question (measured ~2s of pure probe cost on the sf0.1
+            # splits gate).
+            sig_ids = self.mh.signatures(spark).select("doc_id")
+            if hidden_ids is not None:
+                sig_ids = sig_ids.join(
+                    F.broadcast(hidden_ids), ["doc_id"], "left_anti"
+                )
+            orphan = sig_ids.join(batch_ids, ["doc_id"], "left_anti")
             if orphan.take(1):
                 raise ValueError(
                     "ComponentIndex bootstrap: the MinHash index already "

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
-from ..functions.numeric import dsum, dsum_expr
+from ..functions.numeric import DEC, dsum, dsum_expr
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -2969,4 +2969,522 @@ def intra_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.groupBy("n_name").agg(
         dsum(F.expr("l_extendedprice * (1 - l_discount)"), "revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The remaining classic TPC-H shapes, completing the family (Q1→
+# pricing_summary, Q3→top_revenue_orders, Q4→order_priority_counts,
+# Q2-like→cheapest_supplier_per_part, Q5/Q11/Q15/Q17/Q18/Q20/Q21/Q22
+# above). Each exists for its PLAN lesson, stated per query.
+# --------------------------------------------------------------------------
+_Q6_YEAR = ("1997-01-01", "1998-01-01")
+
+
+@register(
+    "forecast_revenue_change",
+    sql=f"""
+    SELECT {dsum_expr('l_extendedprice * l_discount')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '{_Q6_YEAR[0]}' AND l_shipdate < DATE '{_Q6_YEAR[1]}'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    survey_ops=("A2",),
+    doc="TPC-H Q6-shaped what-if filter aggregate: revenue impact of "
+    "dropping small-quantity mid-discount lines in one year. The plan "
+    "lesson is PURE PUSHDOWN: every predicate (date window, discount "
+    "band, quantity cap) reaches the parquet scan, the projection is "
+    "two columns, and the whole query is scan → map-side partial sum → "
+    "one 1-row exchange. On 100 TB this is the query that must run at "
+    "I/O speed; any Exchange beyond the final singleton or any unpruned "
+    "column is a regression (plan-gated).",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (col("l_shipdate") >= _Q6_YEAR[0])
+            & (col("l_shipdate") < _Q6_YEAR[1])
+            & (col("l_discount") >= 0.05)
+            & (col("l_discount") <= 0.07)
+            & (col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.expr("l_extendedprice * l_discount"), "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+_Q7_PAIR = ("NATION_2", "NATION_7")
+
+
+@register(
+    "nation_pair_trade_volume",
+    sql=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = '{_Q7_PAIR[0]}' AND cn.n_name = '{_Q7_PAIR[1]}')
+       OR (sn.n_name = '{_Q7_PAIR[1]}' AND cn.n_name = '{_Q7_PAIR[0]}')
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+    survey_ops=("J4", "A6"),
+    doc="TPC-H Q7-shaped bilateral trade report: shipping volume between "
+    "a nation pair, both directions, by ship year. Plan lesson: the "
+    "DISJUNCTIVE cross-table predicate (either nation can be either "
+    "side) cannot prune the fact scan, but both nation dims broadcast "
+    "with their IN-list filter applied first, so the OR evaluates "
+    "map-side after broadcast joins — the only fact-grain exchange is "
+    "the lineitem x orders orderkey join, and the rollup is "
+    "pair x year grain. Exact-decimal revenue.",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        col("n_name").isin(*_Q7_PAIR)
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    sn = nation.select(
+        col("n_nationkey").alias("sn_key"), col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        col("n_nationkey").alias("cn_key"), col("n_name").alias("cust_nation")
+    )
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") == col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") == col("cn_key"))
+        .filter(
+            (
+                (col("supp_nation") == _Q7_PAIR[0])
+                & (col("cust_nation") == _Q7_PAIR[1])
+            )
+            | (
+                (col("supp_nation") == _Q7_PAIR[1])
+                & (col("cust_nation") == _Q7_PAIR[0])
+            )
+        )
+    )
+    return f.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        dsum(F.expr("l_extendedprice * (1 - l_discount)"), "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+_Q8_NATION = "NATION_2"
+_Q8_REGION = "ASIA"
+
+
+@register(
+    "nation_market_share",
+    sql=f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)) AS v,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{_Q8_REGION}')
+    SELECT o_year,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN v END),
+                         0) AS DOUBLE) AS nation_volume,
+           CAST(SUM(v) AS DOUBLE) AS total_volume,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN v END),
+                         0) AS DOUBLE) / CAST(SUM(v) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    survey_ops=("A6",),
+    doc="TPC-H Q8-shaped market-share trend: one nation's share of a "
+    "region's purchased volume per order year. Plan lesson: the share "
+    "is a CONDITIONAL aggregate over the SAME rows as the total — one "
+    "fact pass, one rollup, never two scans joined back; both the "
+    "numerator and denominator accumulate in exact DECIMAL and the "
+    "single double division at the end is deterministic on both "
+    "engines. Region filter prunes the customer-nation dim BEFORE "
+    "broadcast; the one fact-grain exchange is the orderkey join.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(col("r_name") == _Q8_REGION)
+        .select("r_regionkey")
+    )
+    cn = (
+        load_table(spark, sf_dir, "nation")
+        .join(broadcast(region), col("n_regionkey") == col("r_regionkey"))
+        .select(col("n_nationkey").alias("cn_key"))
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        col("n_nationkey").alias("sn_key"), col("n_name").alias("supp_nation")
+    )
+    v = F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})")
+    nation_v = F.when(col("supp_nation") == _Q8_NATION, col("v"))
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") == col("cn_key"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") == col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            v.alias("v"),
+            "supp_nation",
+        )
+    )
+    return f.groupBy("o_year").agg(
+        F.coalesce(F.sum(nation_v), F.lit(0)).cast("double").alias("nation_volume"),
+        F.sum("v").cast("double").alias("total_volume"),
+        (
+            F.coalesce(F.sum(nation_v), F.lit(0)).cast("double")
+            / F.sum("v").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+_Q9_PART = "bolt"
+
+
+@register(
+    "product_type_profit",
+    sql=f"""
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)'
+                      ' - l.l_quantity * p.p_retailprice * 0.4')} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{_Q9_PART}%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+    survey_ops=("A6",),
+    doc="TPC-H Q9-shaped product-line profit: per supplier nation and "
+    "order year, profit on a part family (revenue minus a 40%-of-retail "
+    "cost proxy — this corpus has no partsupp.supplycost). Plan lesson: "
+    "the LIKE-filtered part dim broadcasts BEFORE the fact moves, "
+    "shrinking the fact to the family's lines ahead of the orderkey "
+    "join (the one fact-grain exchange); supplier and nation broadcast; "
+    "the profit expression is a fixed per-row double evaluation "
+    "accumulated in exact DECIMAL, so both engines agree bit-for-bit.",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(col("p_name").like(f"%{_Q9_PART}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        col("n_nationkey"), col("n_name").alias("nation")
+    )
+    f = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+    )
+    return f.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        dsum(
+            F.expr(
+                "l_extendedprice * (1 - l_discount)"
+                " - l_quantity * p_retailprice * 0.4"
+            ),
+            "profit",
+        )
+    )
+
+
+_Q10_TOP = 20
+
+
+@register(
+    "returned_item_customers",
+    sql=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS lost_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_returned_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT {_Q10_TOP}
+    """,
+    survey_ops=("A6", "W3"),
+    doc="TPC-H Q10-shaped returned-item ranking: the customers who "
+    "returned the most revenue. Plan lesson: the returnflag predicate "
+    "pushes to the fact scan, the customer attribution rides the "
+    "orderkey join (one fact-grain exchange) plus a broadcast customer "
+    "dim, and the top-20 is TakeOrderedAndProject over the "
+    "customer-grain rollup — no global sort. Revenue is exact-decimal "
+    "so the DESC order (and the tie-break on c_custkey) is identical "
+    "on both engines.",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(F.expr("l_extendedprice * (1 - l_discount)"), "lost_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_returned_lines"),
+        )
+    )
+    return g.orderBy(col("lost_revenue").desc(), col("c_custkey")).limit(_Q10_TOP)
+
+
+_Q19_BRACKETS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#3", 10, 30, 10, 30),
+    ("Brand#5", 20, 50, 20, 40),
+)
+
+
+def _q19_pred_sql() -> str:
+    return " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in _Q19_BRACKETS
+    )
+
+
+@register(
+    "bracketed_discount_revenue",
+    sql=f"""
+    SELECT {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_q19_pred_sql()}
+    """,
+    survey_ops=("J4",),
+    doc="TPC-H Q19-shaped bracketed-predicate revenue: a DISJUNCTION of "
+    "three (brand, size-range, quantity-range) brackets spanning both "
+    "tables. Plan lesson: the cross-table OR cannot be pushed whole, "
+    "but Catalyst derives the single-table residuals — the part dim "
+    "pre-filters to the three brands/size union BEFORE broadcasting, "
+    "the fact scan keeps the derived quantity envelope, and the full "
+    "disjunction evaluates map-side inside the broadcast hash join. "
+    "Zero fact-grain exchanges: scan → broadcast join → 1-row reduce.",
+)
+def bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    pred = None
+    for b, s0, s1, q0, q1 in _Q19_BRACKETS:
+        c = (
+            (col("p_brand") == b)
+            & col("p_size").between(s0, s1)
+            & col("l_quantity").between(q0, q1)
+        )
+        pred = c if pred is None else (pred | c)
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            dsum(F.expr("l_extendedprice * (1 - l_discount)"), "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    sql="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey) g
+    GROUP BY c_count
+    """,
+    survey_ops=("A2",),
+    doc="TPC-H Q13-shaped customer-activity distribution: how many "
+    "customers placed N orders, INCLUDING the zero-order customers the "
+    "left join keeps (COUNT(o_orderkey) ignores the null of a "
+    "no-match row — the classic outer-join-count idiom). Plan lesson: "
+    "a double aggregation where the second stage's input is already "
+    "customer-grain — the fact-grain work is one map-combined count "
+    "per custkey; the distribution rollup moves |customers| rows, and "
+    "at 100 TB the left join shuffles orders' pruned o_custkey column "
+    "only.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    g = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return g.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_Q14_WINDOW = ("1997-03-01", "1997-06-01")
+
+
+@register(
+    "promo_revenue_share",
+    sql=f"""
+    SELECT {dsum_expr("CASE WHEN p.p_type = 'PROMO'"
+                      " THEN l.l_extendedprice * (1 - l.l_discount) END")}
+             AS promo_revenue,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           {dsum_expr("CASE WHEN p.p_type = 'PROMO'"
+                      " THEN l.l_extendedprice * (1 - l.l_discount) END")}
+             / {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS promo_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '{_Q14_WINDOW[0]}'
+      AND l.l_shipdate < DATE '{_Q14_WINDOW[1]}'
+    """,
+    survey_ops=("A6",),
+    doc="TPC-H Q14-shaped promo-revenue share over a ship-date window: "
+    "the conditional numerator and the total ride ONE fact pass (no "
+    "second scan joined back), the date window pushes to the fact scan, "
+    "the part-type dim broadcasts, and both sums accumulate in exact "
+    "DECIMAL with one double division at the end — the single-quarter "
+    "twin of nation_market_share's per-year trend.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (col("l_shipdate") >= _Q14_WINDOW[0])
+            & (col("l_shipdate") < _Q14_WINDOW[1])
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {DEC})")
+    promo = F.when(col("p_type") == "PROMO", rev)
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_share"
+            ),
+        )
+    )
+
+
+_Q16_TYPES = ("SMALL", "MEDIUM")
+_Q16_SIZES = (1, 9, 19, 29, 39)
+
+
+@register(
+    "part_supplier_diversity",
+    sql=f"""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type IN {_Q16_TYPES} AND p.p_size IN {_Q16_SIZES}
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    survey_ops=("J6", "A3"),
+    doc="TPC-H Q16-shaped supplier-diversity census: distinct supplier "
+    "count per (brand, size) for selected part families, EXCLUDING a "
+    "supplier blacklist (negative balance stands in for the reference's "
+    "complaint filter — this corpus has no comment columns). Plan "
+    "lesson: the NOT IN subquery becomes a broadcast anti-join on the "
+    "(tiny, pre-filtered) blacklist — never a shuffled NOT-IN-null "
+    "trap, s_suppkey is non-null by schema; the part attribute filters "
+    "prune the dim BEFORE broadcast; count(distinct) expands to the "
+    "classic two-level hash aggregate on the same (brand, size) "
+    "shuffle key.",
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            col("p_type").isin(*_Q16_TYPES) & col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    blacklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            broadcast(blacklist),
+            col("l_suppkey") == col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )

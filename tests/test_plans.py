@@ -339,6 +339,81 @@ def test_intra_nation_revenue_single_fact_shuffle(plan):
     assert "GreaterThanOrEqual(o_orderdate" in p, p
 
 
+def test_forecast_revenue_pure_pushdown_scan(plan):
+    # Q6 shape: every predicate reaches the parquet scan; the whole plan
+    # is scan → partial sum → one 1-row exchange. The I/O-speed query.
+    p = plan("forecast_revenue_change")
+    assert n_exchanges(p) == 1, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "LessThan(l_quantity,24" in p, p
+    assert "GreaterThanOrEqual(l_discount,0.05" in p, p
+
+
+def test_bracketed_revenue_single_table_residuals_pushed(plan):
+    # Q19 shape: the cross-table OR can't push whole, but Catalyst must
+    # derive the single-table residuals — brand/size union on the part
+    # scan, quantity envelope on the fact scan — and the join must stay
+    # broadcast with zero fact-grain exchanges.
+    p = plan("bracketed_discount_revenue")
+    assert n_exchanges(p) == 1, p  # the 1-row reduce only
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"PushedFilters:.*p_brand", p), p
+    assert re.search(r"PushedFilters:.*l_quantity", p), p
+
+
+def test_returned_item_customers_topk_no_global_sort(plan):
+    # Q10 shape: returnflag pushed to the fact scan, top-20 via
+    # TakeOrderedAndProject over the customer-grain rollup.
+    p = plan("returned_item_customers")
+    assert "TakeOrderedAndProject" in p, p
+    assert "EqualTo(l_returnflag,R)" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_trade_and_share_and_profit_single_fact_shuffle(plan):
+    # Q7/Q8/Q9 shapes: all dims broadcast (pair-filtered nations, the
+    # region-pruned customer nation, the LIKE-filtered part family), the
+    # conditional/exact-decimal rollups ride one exchange; at sf0.001
+    # even the orders join broadcasts, at scale it adds the one
+    # fact-grain exchange — never more.
+    for name in (
+        "nation_pair_trade_volume",
+        "nation_market_share",
+        "product_type_profit",
+    ):
+        p = plan(name)
+        assert n_exchanges(p) <= 2, (name, p)
+        assert "SortMergeJoin" not in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+
+
+def test_order_distribution_two_level_agg(plan):
+    # Q13 shape: outer-join count per customer, then the distribution
+    # rollup over customer-grain rows — two hash aggregates, no sort.
+    p = plan("customer_order_distribution")
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"\(\d+\) Sort\b", p) is None, p
+
+
+def test_promo_share_one_pass_with_pushed_window(plan):
+    # Q14 shape: conditional numerator + total in ONE fact pass; the
+    # ship-date window reaches the fact scan; part broadcasts.
+    p = plan("promo_revenue_share")
+    assert n_exchanges(p) == 1, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_supplier_diversity_anti_join_broadcast(plan):
+    # Q16 shape: the NOT IN blacklist is a broadcast anti-join; part
+    # attribute filters reach the part scan; count(distinct) rides the
+    # standard two-level expand on one shuffle key family.
+    p = plan("part_supplier_diversity")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"PushedFilters:.*p_size", p), p
+
+
 def test_dsir_importance_topk_no_global_sort(plan):
     # DSIR selection: vocab joins broadcast, top-k is
     # TakeOrderedAndProject — a global Sort or a shuffled vocab join
