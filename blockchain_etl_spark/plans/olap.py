@@ -2692,7 +2692,7 @@ _Q11_FRACTION_DENOM = 1000  # keep parts with value > total / 1000
       WHERE n.n_name IN {_Q11_NATIONS}
       GROUP BY l.l_partkey),
     t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
-    SELECT v.l_partkey, v.value_cents
+    SELECT v.l_partkey, CAST(v.value_cents AS BIGINT) AS value_cents
     FROM v CROSS JOIN t
     WHERE v.value_cents * {_Q11_FRACTION_DENOM} > t.total_cents
     """,
