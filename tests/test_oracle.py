@@ -55,6 +55,22 @@ def test_query_matches_oracle(spark, duck, name):
 
     s = _normalize(spark_pdf)
     d = _normalize(duck_pdf)
+    # the driver hashes FORMATTED values, so int64 123 vs float64 123.0 is
+    # a real failure numeric equality hides (DuckDB SUM over integers
+    # returns HUGEINT -> pandas float64; killed embedding_quantize_stats
+    # in r02, resurfaced on important_part_value in r10 — every exposed
+    # integer aggregate must CAST AS BIGINT). Flag the unambiguous trap:
+    # one side integer-kind, the other a NaN-free float column.
+    for col in s.columns:
+        ks, kd = s[col].dtype.kind, d[col].dtype.kind
+        if {ks, kd} == {"i", "f"} or {ks, kd} == {"u", "f"}:
+            floats = s[col] if ks == "f" else d[col]
+            assert floats.isna().any(), (
+                f"{name}: column {col} is integer on one engine and "
+                f"NaN-free float on the other (spark={s[col].dtype}, "
+                f"oracle={d[col].dtype}) — the driver's formatted value "
+                "hash will mismatch; CAST the oracle aggregate AS BIGINT"
+            )
     mismatches = []
     for col in s.columns:
         sv, dv = s[col].tolist(), d[col].tolist()
