@@ -41,18 +41,43 @@ def cmd_ingest(args) -> int:
     return 0
 
 
-def _doc_ingest(args):
+def _doc_ingest(args, detect_planes: bool = False):
     from .streaming.docs import DocIngest
 
+    vectors, components = args.vectors, args.components
+    drift, lexical, novelty = args.drift, args.lexical, args.novelty
+    screen, quarantine = args.screen, args.quarantine
+    if detect_planes:
+        # doctor/release must see EVERY plane the lake actually has: a
+        # forgotten flag would make audit() report a stale plane as
+        # consistent (it simply would not be listed) and heal/release
+        # would skip folding it — the monitoring signal the commands
+        # exist for would be silently wrong. Union the flags with the
+        # plane directories present on disk.
+        import os as _os
+
+        def _has(d: str) -> bool:
+            return _os.path.isdir(_os.path.join(args.out, d))
+
+        vectors = vectors or _has("vec_index")
+        components = components or _has("comp_index")
+        drift = drift or _has("drift_state")
+        lexical = lexical or _has("lex_index")
+        novelty = novelty or _has("novelty_state")
+        screen = screen or _has("contam_index")
+        if quarantine is None and _has("quarantine"):
+            # threshold value is irrelevant to audit/heal; releasing
+            # still takes the policy from the explicit flag
+            quarantine = 1
     return DocIngest(
         args.out,
-        vector_index=args.vectors,
-        component_index=args.components,
-        drift_state=args.drift,
-        lexical_index=args.lexical,
-        novelty_state=args.novelty,
-        contamination_screen=args.screen,
-        contamination_quarantine=args.quarantine,
+        vector_index=vectors,
+        component_index=components,
+        drift_state=drift,
+        lexical_index=lexical,
+        novelty_state=novelty,
+        contamination_screen=screen,
+        contamination_quarantine=quarantine,
     )
 
 
@@ -80,8 +105,10 @@ def cmd_doctor(args) -> int:
     """Cross-plane watermark audit — and heal — for a DocIngest dir:
     report every maintained plane's committed watermark, then (with
     --heal) roll stragglers forward from the durable corpus chunks.
-    Exit 0 when the pipeline ends consistent, 1 otherwise (cron-able)."""
-    ing = _doc_ingest(args)
+    Exit 0 when the pipeline ends consistent, 1 otherwise (cron-able).
+    Planes are auto-detected from the lake's directories (union of any
+    explicit flags) — a forgotten flag must not hide a stale plane."""
+    ing = _doc_ingest(args, detect_planes=True)
     rep = ing.audit()
     for k, v in sorted(rep["planes"].items()):
         print(f"  {k}: {v}")
@@ -104,9 +131,18 @@ def cmd_release_quarantine(args) -> int:
     """Re-screen every quarantined doc under the CURRENT policy (this
     invocation's --quarantine threshold) by re-admitting the set through
     the normal ingest path as batch --batch; still-contaminated docs are
-    re-quarantined, the rest enter the corpus and every plane."""
+    re-quarantined, the rest enter the corpus and every plane (planes
+    auto-detected from the lake's directories, so a forgotten flag
+    cannot make the released batch skip an existing index; the
+    quarantine THRESHOLD is the policy being applied and must be given
+    explicitly)."""
+    if args.quarantine is None:
+        raise SystemExit(
+            "release-quarantine: --quarantine THRESHOLD is required — it "
+            "IS the policy the quarantined docs are re-screened under"
+        )
     spark = _spark()
-    ing = _doc_ingest(args)
+    ing = _doc_ingest(args, detect_planes=True)
     n = ing.release_quarantine(spark, args.batch)
     nq = ing.read_quarantine(spark).select("doc_id").distinct().count()
     print(f"re-screened {n} quarantined docs; still quarantined: {nq}")

@@ -217,6 +217,27 @@ class ComponentIndex:
                 "indexed or appears in more than one batch — replay those "
                 "batches through upsert()/delete() in order instead"
             )
+        # signature-coverage guard: each step hides the NOT-yet-applied
+        # LATER batches (anti-join), which assumes the signature table
+        # holds exactly state ∪ passed batches. A caller coalescing only
+        # a PREFIX of its pending backlog would leave the un-passed
+        # batches' signatures visible to every step — edges created
+        # early, and endpoints with no label row could become component
+        # minima (the old visible-set semi-join made them invisible; the
+        # anti-join form must check instead). Ids-only probe, one job.
+        sig_ids = self.mh.signatures(spark).select("doc_id")
+        covered = all_ids if state is None else all_ids.unionByName(
+            state.select("doc_id")
+        )
+        uncovered = sig_ids.join(covered, ["doc_id"], "left_anti")
+        if uncovered.take(1):
+            raise ValueError(
+                "upsert_coalesced: the MinHash index holds documents "
+                "outside the stored state and the passed batches — pass "
+                "the FULL pending backlog (their signatures would create "
+                "candidate edges early and corrupt labels), or replay "
+                "through upsert() in order"
+            )
         # the signature table is already final: hash it into band rows
         # ONCE for every step's candidate-edge view
         bands = band_rows(self.mh.signatures(spark)).localCheckpoint(

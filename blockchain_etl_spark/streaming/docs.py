@@ -520,6 +520,40 @@ class DocIngest:
         smaller divergence, and re-running converges (same folds, same
         guards). Do not run concurrently with a live ingest."""
         rep = self.audit()
+        # doc-coverage probe — on EVERY invocation, consistent or not:
+        # the hash inventory is the ledger of every admitted doc; if
+        # retention (or an accident) deleted a chunk whose id nothing
+        # recorded, the id-based audit cannot see it (watermarks keep
+        # only the high mark, and with all planes consistent there is no
+        # straggler to trip over) — but its DOCS are missing from the
+        # surviving chunks, and any later backfill folding only what
+        # survives would be silently incomplete. Ids-only anti-join, one
+        # probe job per doctor run — the price of the claim "doctor
+        # detects a lost chunk".
+        stored = self.hashes.read(spark)
+        if stored is not None:
+            survivors = self._complete_chunks()
+            admitted = stored.select("canonical_doc_id").distinct()
+            if survivors:
+                chunk_ids = spark.read.option(
+                    "basePath", os.path.join(self.out_dir, "docs")
+                ).parquet(
+                    *[
+                        os.path.join(self.out_dir, "docs", f"chunk={i}")
+                        for i in survivors
+                    ]
+                ).select(col("doc_id").alias("canonical_doc_id")).distinct()
+                lost = admitted.join(chunk_ids, ["canonical_doc_id"], "left_anti")
+            else:
+                lost = admitted
+            if lost.take(1):
+                raise ValueError(
+                    f"{self.out_dir}: the surviving corpus chunks no "
+                    "longer cover every admitted document (a chunk was "
+                    "deleted?) — a straggler healed from them would be "
+                    "silently incomplete; restore the chunk or replay "
+                    "its crawl from the source"
+                )
         if not rep["stragglers"]:
             # nothing to roll forward; an ahead-only divergence (see
             # audit) waits for the source to replay its crawl
@@ -535,31 +569,6 @@ class DocIngest:
         todo = [
             i for i in self._complete_chunks() if low < i <= rep["target"]
         ]
-        # doc-coverage probe: the hash inventory is the ledger of every
-        # admitted doc; if retention (or an accident) deleted a chunk
-        # whose id nothing recorded, the id-based audit cannot see it —
-        # but its DOCS are missing from the surviving chunks, and a
-        # backfill folding only what survives would be silently
-        # incomplete. Ids-only anti-join, one probe job.
-        stored = self.hashes.read(spark)
-        if stored is not None:
-            chunk_ids = spark.read.option("basePath", os.path.join(self.out_dir, "docs")).parquet(
-                *[
-                    os.path.join(self.out_dir, "docs", f"chunk={i}")
-                    for i in self._complete_chunks()
-                ]
-            ).select(col("doc_id").alias("canonical_doc_id")).distinct()
-            lost = stored.select("canonical_doc_id").distinct().join(
-                chunk_ids, ["canonical_doc_id"], "left_anti"
-            )
-            if lost.take(1):
-                raise ValueError(
-                    f"{self.out_dir}: the surviving corpus chunks no "
-                    "longer cover every admitted document (a chunk was "
-                    "deleted?) — a straggler healed from them would be "
-                    "silently incomplete; restore the chunk or replay "
-                    "its crawl from the source"
-                )
         freshes = {
             i: spark.read.parquet(
                 os.path.join(self.out_dir, "docs", f"chunk={i}")
@@ -731,9 +740,55 @@ class DocIngest:
 
         if self.quarantine_threshold is None:
             raise ValueError("release_quarantine requires the quarantine gate")
+        # a stale batch id would make process_batch a silent replay no-op
+        # below — and the rmtree afterwards would then delete the ONLY
+        # copy of the quarantined documents (they never reached the
+        # corpus). Refuse up front.
+        wm = self.hashes.watermark()
+        if batch_id <= wm:
+            raise ValueError(
+                f"{self.out_dir}: release batch id {batch_id} is not past "
+                f"the committed watermark {wm} — process_batch would "
+                "silently skip it as a replay and the old quarantine "
+                "chunks (the only copy of those documents) would be "
+                "deleted. Pass a fresh batch id."
+            )
+        # a live streaming checkpoint OWNS this lake's batch-id space
+        # (ids = pinned base + epoch): consuming an id here would make
+        # the stream's later epoch with the same id a silent no-op that
+        # drops a crawl file. Release only with the stream stopped, then
+        # remove _stream_checkpoint/ — the next run_stream re-pins its
+        # base above this release and re-lists the input (convergent:
+        # already-admitted files dedup through the hash inventory).
+        if os.path.isdir(os.path.join(self.out_dir, "_stream_checkpoint")):
+            raise ValueError(
+                f"{self.out_dir}: a streaming checkpoint owns this "
+                "lake's batch-id space — stop the crawler, delete "
+                "_stream_checkpoint/, run release_quarantine, then "
+                "restart the stream (it re-pins its batch base above "
+                "the release)."
+            )
         q = self._read_quarantine_full(spark)
         if q is None:
             return 0
+        if "text" not in q.columns:
+            raise ValueError(
+                f"{self.out_dir}: quarantine chunks predate the full-row "
+                "layout (verdict-only schema, no document text) — there "
+                "is nothing to re-admit from them; re-crawl those doc "
+                "ids from the source instead"
+            )
+        # a doc quarantined by MULTIPLE crawls (re-crawled text, flagged
+        # again) has one row per crawl; re-admitting them all as one
+        # batch would put duplicate doc_id rows in a single corpus chunk
+        # and double-fold every plane. Latest crawl wins — the same
+        # current-text semantics the maintained indexes keep.
+        wq = Window.partitionBy("doc_id").orderBy(col("chunk").desc())
+        q = (
+            q.withColumn("__rn", F.row_number().over(wq))
+            .filter(col("__rn") == 1)
+            .drop("__rn")
+        )
         old_chunks = _glob.glob(
             os.path.join(self.out_dir, "quarantine", "chunk=*")
         )

@@ -435,3 +435,32 @@ def test_coalesced_catchup_rejects_non_inserts(spark, tmp_path):
             [(1, _batch(spark, [(5, _text(3))]).select("doc_id")),
              (2, _batch(spark, [(5, _text(3))]).select("doc_id"))],
         )
+
+
+def test_coalesced_prefix_of_backlog_raises(spark, tmp_path):
+    """upsert_coalesced hides NOT-yet-applied later batches by
+    anti-joining the PASSED batches — so signatures outside
+    state ∪ passed batches (a caller coalescing only a prefix of its
+    pending backlog) would create candidate edges early and could
+    publish labels referencing docs with no label row. The coverage
+    guard must refuse instead of silently corrupting."""
+    import pytest
+
+    mh, comp = _mk(tmp_path, "prefix")
+    b1 = _batch(spark, [(1, _text(1)), (2, _text(1, 1))])
+    b2 = _batch(spark, [(3, _text(50))])
+    b3 = _batch(spark, [(4, _text(1, 2))])  # near-dup of family A
+    for wm, b in ((1, b1), (2, b2), (3, b3)):
+        mh.upsert(spark, b, watermark=wm)
+    # signature table holds batches 1-3; coalescing only 1-2 must refuse
+    with pytest.raises(ValueError, match="pending backlog"):
+        comp.upsert_coalesced(
+            spark, [(1, b1.select("doc_id")), (2, b2.select("doc_id"))]
+        )
+    # the full backlog passes and equals ground truth
+    assert comp.upsert_coalesced(
+        spark,
+        [(1, b1.select("doc_id")), (2, b2.select("doc_id")),
+         (3, b3.select("doc_id"))],
+    )
+    assert _maintained(spark, comp) == _ground_truth(spark, mh)

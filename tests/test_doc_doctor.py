@@ -334,3 +334,19 @@ def test_doctor_backfills_plane_enabled_mid_lake(spark, tmp_path):
     assert sorted(
         tuple(r) for r in ing2.lexical.postings.read(spark).collect()
     ) == sorted(tuple(r) for r in golden.lexical.postings.read(spark).collect())
+
+
+def test_doctor_detects_lost_chunk_even_when_consistent(spark, tmp_path):
+    """Retention (or an accident) deletes a chunk whose id no watermark
+    records and whose docs every plane already folded: the id-based
+    audit reads CONSISTENT — only doctor()'s doc-coverage probe (hash
+    inventory vs surviving chunks, run on every invocation) can prove
+    the corpus lost admitted documents."""
+    import shutil
+
+    ing = _ingest(spark, tmp_path / "lake")
+    assert ing.audit()["consistent"]
+    shutil.rmtree(tmp_path / "lake" / "docs" / "chunk=1")
+    assert ing.audit()["consistent"]  # watermarks keep only the high mark
+    with pytest.raises(ValueError, match="no longer cover"):
+        ing.doctor(spark)

@@ -144,3 +144,90 @@ def test_release_requires_the_gate(spark, tmp_path):
     ing = DocIngest(str(tmp_path / "lake"), contamination_screen=True)
     with pytest.raises(ValueError, match="quarantine"):
         ing.release_quarantine(spark, 1)
+
+
+def test_release_with_stale_batch_id_refuses(spark, tmp_path):
+    # a stale id would make process_batch a silent replay no-op and the
+    # cleanup would then delete the ONLY copy of the quarantined docs
+    ing = _run(spark, tmp_path / "lake", 2)
+    with pytest.raises(ValueError, match="watermark"):
+        ing.release_quarantine(spark, 2)
+    assert {r.doc_id for r in ing.read_quarantine(spark).collect()} == {7, 8, 15}
+
+
+def test_release_under_live_stream_checkpoint_refuses(spark, tmp_path):
+    # a streaming checkpoint owns the lake's batch-id space (base+epoch):
+    # consuming an id here would silently drop a future crawl file
+    import os
+
+    ing = _run(spark, tmp_path / "lake", 2)
+    os.makedirs(
+        os.path.join(str(tmp_path / "lake"), "_stream_checkpoint"),
+        exist_ok=True,
+    )
+    with pytest.raises(ValueError, match="batch-id space"):
+        ing.release_quarantine(spark, 3)
+    assert {r.doc_id for r in ing.read_quarantine(spark).collect()} == {7, 8, 15}
+
+
+def test_release_of_requarantined_recrawl_keeps_latest_text(spark, tmp_path):
+    # doc 7 is quarantined by TWO crawls with different text; release
+    # must re-admit ONE row — the latest crawl's text — not both (which
+    # would duplicate doc_id inside one corpus chunk and double-fold
+    # every plane)
+    from pyspark.sql.functions import col
+
+    b1 = spark.createDataFrame([
+        Row(doc_id=7, text=_text(900), lang="en"),
+        Row(doc_id=1, text=_text(1), lang="en"),
+    ])
+    b2 = spark.createDataFrame([
+        Row(doc_id=7, text=_text(901), lang="en"),
+        Row(doc_id=2, text=_text(2), lang="en"),
+    ])
+    bench = spark.createDataFrame([
+        Row(source="src0", doc_id=900, text=_text(900)),
+        Row(source="src0", doc_id=901, text=_text(901)),
+    ])
+    ing = DocIngest(
+        str(tmp_path / "lake"),
+        contamination_screen=True,
+        contamination_quarantine=2,
+    )
+    ing.contamination.build(spark, bench)
+    ing.process_batch(b1, 1)
+    ing.process_batch(b2, 2)
+    qrows = ing._read_quarantine_full(spark).filter(col("doc_id") == 7)
+    assert qrows.count() == 2  # both crawls' rows are in the audit trail
+    relaxed = DocIngest(
+        str(tmp_path / "lake"),
+        contamination_screen=True,
+        contamination_quarantine=1000,
+    )
+    n = relaxed.release_quarantine(spark, 3)
+    assert n == 1
+    doc7 = relaxed.read_corpus(spark).filter(col("doc_id") == 7).collect()
+    assert len(doc7) == 1 and doc7[0].text == _text(901)
+    sigs7 = relaxed.index.signatures(spark).filter(col("doc_id") == 7)
+    assert sigs7.count() == 1
+
+
+def test_release_refuses_legacy_verdict_only_chunks(spark, tmp_path):
+    # pre-r10 quarantine chunks held (doc_id, n_bench_shingles) only —
+    # no text to re-admit; release must say so instead of crashing on a
+    # missing column mid-workflow
+    import os
+
+    lake2 = str(tmp_path / "lake2")
+    ing2 = DocIngest(
+        lake2, contamination_screen=True, contamination_quarantine=2
+    )
+    ing2.contamination.build(
+        spark,
+        spark.createDataFrame([Row(source="src0", doc_id=900, text=_text(900))]),
+    )
+    spark.createDataFrame([Row(doc_id=99, n_bench_shingles=5)]).write.parquet(
+        os.path.join(lake2, "quarantine", "chunk=1")
+    )
+    with pytest.raises(ValueError, match="verdict-only"):
+        ing2.release_quarantine(spark, 1)

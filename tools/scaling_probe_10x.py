@@ -208,6 +208,12 @@ def main() -> None:
         ratio = round(t10[name] / t1[name], 2) if t1[name] > 0 else None
         rows[name] = {"sf0.1_sec": t1[name], "sf1.0_sec": t10[name], "ratio": ratio}
     for name, r in rows.items():
+        if name not in QUERIES:
+            # a merged row from an older SCALING_10X.json whose query was
+            # renamed/removed — keep the row, but it has no family
+            print(f"# {name}: not in the live registry, skipping family "
+                  "rollup", file=sys.stderr)
+            continue
         fam = QUERIES[name].fn.__module__.rsplit(".", 1)[-1]
         f = fams.setdefault(fam, {"sf0.1_sec": 0.0, "sf1.0_sec": 0.0, "n": 0})
         f["sf0.1_sec"] += r["sf0.1_sec"]
