@@ -1,0 +1,43 @@
+"""Driver-local rows → DataFrame through the Arrow path.
+
+``spark.createDataFrame(<python list>)`` builds a local relation whose
+EXECUTION runs through a Python-worker scan stage — measured at multiple
+seconds per materialization in this environment (worker spawn dominates;
+the row count is irrelevant). Several operators and gate queries emit
+small driver-computed frames (a watermark report, a novelty-curve row, a
+BPE merge table) that then sit inside join/write lineages and pay that
+stage on every downstream action. Routing the same rows through a pandas
+DataFrame flips createDataFrame onto the Arrow converter, which executes
+JVM-side: ~15x faster per materialization, identical schema and values.
+
+Use this for every non-empty driver-local frame that a plan will act on.
+(Empty frames — ``createDataFrame([], schema)`` — stay as they are: an
+empty local relation never schedules a Python stage.)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_df(
+    spark: SparkSession,
+    rows: "Iterable[Sequence]",
+    schema: str,
+    columns: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Arrow-backed equivalent of ``spark.createDataFrame(rows, schema)``
+    for driver-local row lists. ``schema`` is the DDL string (it pins the
+    Spark-side types exactly as the list path would); ``columns`` defaults
+    to the DDL's field names."""
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if columns is None:
+        columns = [f.split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(rows, columns=list(columns))
+    return spark.createDataFrame(pdf, schema=schema)

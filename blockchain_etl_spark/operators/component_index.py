@@ -69,13 +69,82 @@ def _fresh_split(c):
     return F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
 
 
+# Above this many collected rows, the maintenance subgraph falls back to
+# distributed propagation. The incremental fold's graph is |batch| +
+# touched anchors BY DESIGN (module docstring) — a few thousand rows at
+# gate scale, bounded by the crawl batch in production — so it usually
+# fits the same budget as a broadcast side and a driver union-find
+# replaces an O(diameter)-round job loop with two collect jobs. The cap
+# keeps the path safe when a caller feeds a genuinely huge batch.
+_DRIVER_UF_CAP = 200_000
+
+
+def _driver_union_find(
+    node_ids: "list[int]", edge_rows: "list[tuple[int, int]]"
+) -> "list[tuple[int, int]]":
+    """Exact min-label components over a collected subgraph: returns
+    (doc_id, label) for every edge endpoint and every node, label = min
+    reachable id — bit-identical to propagate_min_labels' fixpoint."""
+    parent: "dict[int, int]" = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in edge_rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    for v in node_ids:
+        find(v)
+    mins: "dict[int, int]" = {}
+    for v in parent:
+        r = find(v)
+        if r not in mins or v < mins[r]:
+            mins[r] = v
+    return [(v, mins[find(v)]) for v in parent]
+
+
 def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Min-label propagation restricted to EDGE ENDPOINTS — the per-round
     shuffles move only the near-dup subgraph, never every singleton in
     ``nodes`` (which is the vast majority of any real corpus batch). Edge
     endpoints outside ``nodes`` (anchor labels) ride along; ``nodes``
-    members without edges label themselves outside the loop. Returns the
-    localCheckpointed union."""
+    members without edges label themselves outside the loop.
+
+    Fast path: the fold's subgraph is bounded (batch + touched anchors),
+    so when it collects under _DRIVER_UF_CAP rows the components are
+    solved with a driver-side union-find — the same class of move as
+    broadcasting a bounded join side, replacing the O(diameter) round
+    loop (one Spark job per round) with two bounded collects. Labels are
+    identical by construction (min reachable id); the distributed loop
+    remains the fallback for oversized batches and the cold corpus build
+    (plans/pipeline.py uses propagate_min_labels directly)."""
+    spark = nodes.sparkSession
+    # Checkpoint BEFORE sizing: a bare limit(cap).collect() would run
+    # CollectLimit's escalating partial waves, each recomputing the
+    # band-join lineage from scratch. count() materializes the
+    # checkpoint once; the collect below then reads cached blocks.
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    n_nodes = nodes.select("doc_id").localCheckpoint(eager=False)
+    if e.count() <= _DRIVER_UF_CAP and n_nodes.count() <= _DRIVER_UF_CAP:
+        import pandas as pd
+
+        edge_rows = [(r[0], r[1]) for r in e.collect()]
+        node_rows = [r[0] for r in n_nodes.collect()]
+        labeled = _driver_union_find(node_rows, edge_rows)
+        # Arrow path (pandas), NOT createDataFrame(list): a plain-list
+        # local relation executes through a Python-worker scan stage that
+        # costs seconds per materialization in the fold's downstream
+        # joins; the Arrow-converted frame is JVM-side at execution.
+        pdf = pd.DataFrame(labeled, columns=["doc_id", "label"]).astype("int64")
+        out = spark.createDataFrame(pdf, schema="doc_id long, label long").coalesce(1)
+        return out.localCheckpoint(eager=False)
+    edges, nodes = e, n_nodes
     endpoints = (
         edges.select(col("src").alias("doc_id"))
         .unionByName(edges.select(col("dst").alias("doc_id")))
@@ -211,12 +280,6 @@ class ComponentIndex:
         probe = dup.select("doc_id") if stored is None else (
             dup.select("doc_id").unionByName(stored)
         )
-        if probe.take(1):
-            raise ValueError(
-                "upsert_coalesced is insert-only: a doc id is already "
-                "indexed or appears in more than one batch — replay those "
-                "batches through upsert()/delete() in order instead"
-            )
         # signature-coverage guard: each step hides the NOT-yet-applied
         # LATER batches (anti-join), which assumes the signature table
         # holds exactly state ∪ passed batches. A caller coalescing only
@@ -224,13 +287,25 @@ class ComponentIndex:
         # batches' signatures visible to every step — edges created
         # early, and endpoints with no label row could become component
         # minima (the old visible-set semi-join made them invisible; the
-        # anti-join form must check instead). Ids-only probe, one job.
+        # anti-join form must check instead). Both guards — insert-only
+        # and coverage — run as ONE tagged probe job, ids only.
         sig_ids = self.mh.signatures(spark).select("doc_id")
         covered = all_ids if state is None else all_ids.unionByName(
             state.select("doc_id")
         )
         uncovered = sig_ids.join(covered, ["doc_id"], "left_anti")
-        if uncovered.take(1):
+        bad = (
+            probe.select(F.lit("insert_only").alias("why"))
+            .unionByName(uncovered.select(F.lit("uncovered").alias("why")))
+            .take(1)
+        )
+        if bad and bad[0].why == "insert_only":
+            raise ValueError(
+                "upsert_coalesced is insert-only: a doc id is already "
+                "indexed or appears in more than one batch — replay those "
+                "batches through upsert()/delete() in order instead"
+            )
+        if bad:
             raise ValueError(
                 "upsert_coalesced: the MinHash index holds documents "
                 "outside the stored state and the passed batches — pass "
@@ -330,29 +405,31 @@ class ComponentIndex:
             # (near-dup pairs could then straddle split boundaries with
             # no error). Backfill by upserting the existing corpus ids as
             # the first batch instead.
-            # (in coalesced mode the anti-join hides only the LATER
-            # batches, so pre-existing orphan signatures stay visible
-            # here and the probe catches them exactly as in sequential
-            # mode.) The probe reads the SIGNATURE table — one row per
+            # The probe reads the SIGNATURE table — one row per
             # doc, ids-only column-pruned scan — never the band rows: a
             # band-row probe would materialize the docs x n_bands band
             # checkpoint as its first job just to answer an id-set
             # question (measured ~2s of pure probe cost on the sf0.1
-            # splits gate).
-            sig_ids = self.mh.signatures(spark).select("doc_id")
-            if hidden_ids is not None:
-                sig_ids = sig_ids.join(
-                    F.broadcast(hidden_ids), ["doc_id"], "left_anti"
-                )
-            orphan = sig_ids.join(batch_ids, ["doc_id"], "left_anti")
-            if orphan.take(1):
-                raise ValueError(
-                    "ComponentIndex bootstrap: the MinHash index already "
-                    "holds documents outside this first batch — labels "
-                    "would silently omit them. Upsert the full existing "
-                    "corpus as the first component batch (or start both "
-                    "indexes together)."
-                )
+            # splits gate). In coalesced mode (insert_only=True) the
+            # probe is SKIPPED: upsert_coalesced already proved
+            # sig_ids ⊆ state ∪ passed batches before the first step,
+            # and with prev None and the later batches hidden that is
+            # exactly this check — one probe job saved per cold build.
+            if not insert_only:
+                sig_ids = self.mh.signatures(spark).select("doc_id")
+                if hidden_ids is not None:
+                    sig_ids = sig_ids.join(
+                        F.broadcast(hidden_ids), ["doc_id"], "left_anti"
+                    )
+                orphan = sig_ids.join(batch_ids, ["doc_id"], "left_anti")
+                if orphan.take(1):
+                    raise ValueError(
+                        "ComponentIndex bootstrap: the MinHash index "
+                        "already holds documents outside this first batch "
+                        "— labels would silently omit them. Upsert the "
+                        "full existing corpus as the first component "
+                        "batch (or start both indexes together)."
+                    )
             edges = lsh_candidate_pairs(
                 bands_all.join(F.broadcast(batch_ids), ["doc_id"])
             ).select(col("doc_a").alias("src"), col("doc_b").alias("dst"))

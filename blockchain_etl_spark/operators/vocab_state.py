@@ -175,7 +175,10 @@ class ShingleVocabState:
                 else 0,
             )
         ]
-        upd = spark.createDataFrame(
+        from ..functions.localframe import local_df
+
+        upd = local_df(
+            spark,
             row,
             "batch_id long, n_docs long, n_postings long, vocab_size long, "
             "novelty_ppm long, n_new_shingles long, batch_novelty_ppm long",

@@ -3488,3 +3488,72 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Hot-key salted join — the reference's reward-account hotspot
+# (migrations/1597773017-rewards.sql:17-36: one account receives most
+# payouts) as a driver-verified join gate. 70% of the fact rows are
+# remapped to ONE account, then the per-account rollup joins the supplier
+# dimension through operators/skew.py::salted_join: the hot key spreads
+# over 16 salt buckets so no reducer owns 70% of the fact side, and the
+# result PROVABLY equals the plain join (the DuckDB oracle runs the
+# unsalted SQL). Integer-cents arithmetic keeps the sum engine-exact.
+# --------------------------------------------------------------------------
+@register(
+    "reward_hotspot_salted_join",
+    sql="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_suppkey END AS acct,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS amt
+      FROM lineitem)
+    SELECT f.acct, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_payouts,
+           CAST(SUM(f.amt) AS BIGINT) AS amount_fp
+    FROM fact f JOIN supplier s ON s.s_suppkey = f.acct
+    GROUP BY f.acct, s.s_name
+    """,
+    survey_ops=("J2",),
+    doc="Skew-resilient join gate: lineitem remapped so ~70% of rows hit "
+    "account 1 (the reference's hot reward account, "
+    "migrations/1597773017-rewards.sql:17-36), joined to the supplier "
+    "dimension via salted_join (operators/skew.py) — fact rows salt into "
+    "16 buckets with pmod(hash(key, row-id)), the dim side explodes 16x, "
+    "and the join key becomes (acct, __salt) so the hot key spreads "
+    "across reducers instead of melting one. The oracle computes the "
+    "PLAIN unsalted join: hash equality is the salted ≡ plain contract. "
+    "tests/test_lake_skew.py bounds per-task input under heavy skew; "
+    "tests/test_plans.py pins the salt explode + (key, salt) shuffle in "
+    "the physical plan. At 100 TB this is the explicit fallback when "
+    "AQE's skew splitting cannot help (e.g. a broadcast-ineligible dim "
+    "with a single pathological key).",
+)
+def reward_hotspot_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    fact = li.select(
+        F.expr(
+            "CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_suppkey END"
+        ).alias("acct"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+        ).alias("amt"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        col("s_suppkey").alias("acct"), "s_name"
+    )
+    # model the 100 TB scenario the operator exists for: a dim too big to
+    # broadcast (at test scale supplier WOULD broadcast, which makes the
+    # salt moot — AQE/broadcast already wins that case). The hint forces
+    # the shuffled join so the plan gate can pin the (acct, __salt)
+    # partitioning actually spreading the hot key.
+    j = salted_join(fact, supp.hint("shuffle_hash"), "acct")
+    return j.groupBy("acct", "s_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_payouts"),
+        F.sum("amt").cast("long").alias("amount_fp"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
+from ..sources import testdata as _td
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -1378,8 +1379,9 @@ from .dedup import _SHINGLE_ROWS_SQL as _MLS_SHINGLES_SQL  # noqa: E402
 @register(
     "maintained_leakage_safe_splits",
     sql=f"""
-    WITH RECURSIVE docs_s AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    WITH RECURSIVE {_td.gate_cap_cte()},
+    docs_s AS (
+      SELECT doc_id, text FROM capped WHERE doc_id % 4 = 0),
     s AS ({_MLS_SHINGLES_SQL.replace("FROM documents", "FROM docs_s")}),
     {_MLS_MINHASH_SQL},
     e1 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1441,16 +1443,29 @@ from .dedup import _SHINGLE_ROWS_SQL as _MLS_SHINGLES_SQL  # noqa: E402
     "publishes the contract requires.",
 )
 def maintained_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import gate_shuffle
+
+    with gate_shuffle(spark):
+        return _maintained_leakage_safe_splits_body(spark, sf_dir)
+
+
+def _maintained_leakage_safe_splits_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     import os
     import shutil
     import tempfile
 
     from ..operators.component_index import ComponentIndex
     from ..operators.lsh_index import MinHashIndex
+    from ..sources.testdata import load_capped_documents
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+    # fixed-size gate corpus (see pipeline_watermark_audit): the
+    # maintained ≡ policy-recompute contract is size-invariant, so the
+    # gate ingests the md5-capped sample and the oracle caps identically
+    docs = load_capped_documents(spark, sf_dir).select("doc_id", "text").filter(
         col("doc_id") % 4 == 0
-    )
+    ).localCheckpoint()
     base = tempfile.mkdtemp(prefix="comp_index_gate_")
     mh = MinHashIndex(os.path.join(base, "mh"))
     comp = ComponentIndex(os.path.join(base, "comp"), mh)
@@ -1540,10 +1555,14 @@ def _contamination_plane(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from ..operators.contamination_index import ContaminationIndex
+    from ..sources.testdata import load_capped_documents
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # fixed-size gate corpus (see pipeline_watermark_audit): the
+    # maintained ≡ batch-screen contract is size-invariant, so the gate
+    # screens the md5-capped sample and both oracles cap identically
+    docs = load_capped_documents(spark, sf_dir).select(
         "doc_id", "source", "text"
-    )
+    ).localCheckpoint()
     bench = docs.filter(col("source").isin(*_MATRIX_BENCHMARKS)).select(
         "source", "doc_id", "text"
     )
@@ -1570,7 +1589,9 @@ def _contamination_plane(spark: SparkSession, sf_dir: str):
 @register(
     "doc_contamination_maintained",
     sql=f"""
-    WITH {_contamination_sql_ctes(_MATRIX_BENCHMARKS)}
+    WITH {_td.gate_cap_cte()},
+    {_contamination_sql_ctes(_MATRIX_BENCHMARKS).replace(
+        "FROM documents", "FROM capped").lstrip()}
     SELECT source AS benchmark,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            COUNT(*) FILTER (WHERE n_hit > 0) AS n_docs_contaminated,
@@ -1596,17 +1617,21 @@ def _contamination_plane(spark: SparkSession, sf_dir: str):
 def doc_contamination_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    ix, base = _contamination_plane(spark, sf_dir)
-    try:
-        return ix.matrix(spark).localCheckpoint()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    from ..session import gate_shuffle
+
+    with gate_shuffle(spark):
+        ix, base = _contamination_plane(spark, sf_dir)
+        try:
+            return ix.matrix(spark).localCheckpoint()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 @register(
     "doc_contamination_screen_verdicts",
     sql=f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_td.gate_cap_cte()},
+    {_SHINGLES_SQL.replace("FROM documents", "FROM capped").lstrip()},
     bench AS (SELECT DISTINCT shingle FROM sh
               WHERE source IN {_sql_in_list(_MATRIX_BENCHMARKS)}),
     train AS (SELECT doc_id, shingle FROM sh
@@ -1630,11 +1655,14 @@ def doc_contamination_screen_verdicts(
 ) -> DataFrame:
     import shutil
 
-    ix, base = _contamination_plane(spark, sf_dir)
-    try:
-        return ix.verdicts(spark).localCheckpoint()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    from ..session import gate_shuffle
+
+    with gate_shuffle(spark):
+        ix, base = _contamination_plane(spark, sf_dir)
+        try:
+            return ix.verdicts(spark).localCheckpoint()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -1666,11 +1694,13 @@ _PWA_5G = _PWA_NGRAM.format(
 
 
 def _pwa_sql() -> str:
+    from ..sources.testdata import gate_cap_cte
     from .text import _CHUNK_TOKENS
 
     in_list = _sql_in_list(_MATRIX_BENCHMARKS)
     return f"""
-    WITH tq AS (
+    WITH {gate_cap_cte()},
+    tq AS (
       SELECT doc_id, text, (doc_id % 4) AS b, md5(text) AS h, toks,
              CAST(len(toks) AS BIGINT) AS n_tokens,
              CASE WHEN len(toks) = 0 THEN NULL
@@ -1678,7 +1708,7 @@ def _pwa_sql() -> str:
              END AS dfp
       FROM (SELECT doc_id, text, list_filter(string_split(text, ' '),
                                              w -> length(w) > 0) AS toks
-            FROM documents
+            FROM capped
             WHERE source NOT IN {in_list} AND doc_id % 2 = 0) t),
     adm AS MATERIALIZED (
       SELECT doc_id, h, toks FROM (
@@ -1711,7 +1741,7 @@ def _pwa_sql() -> str:
         SELECT {_PWA_5G} AS shingle
         FROM (SELECT list_filter(string_split(text, ' '),
                                  w -> length(w) > 0) AS toks
-              FROM documents WHERE source IN {in_list}) b) t),
+              FROM capped WHERE source IN {in_list}) b) t),
     evid AS (SELECT s.doc_id, s.shingle
              FROM sh5 s JOIN bench5 r ON r.shingle = s.shingle)
     SELECT 'corpus_chunks' AS plane, CAST(2 AS BIGINT) AS watermark,
@@ -1757,18 +1787,34 @@ def _pwa_sql() -> str:
     "driver hash proves all planes at watermark 2 equal the batch "
     "recompute at 2. The audit/doctor pair is what makes eight "
     "separately-committed planes safe as a SYSTEM at 100 TB: work is "
-    "∝ the missed batches, never the corpus.",
+    "∝ the missed batches, never the corpus — and for the same reason "
+    "the GATE corpus is capped at a fixed md5-sampled doc count "
+    "(sources/testdata.py:GATE_DOC_CAP, oracle capped identically): "
+    "the contract being proved is size-invariant, so the gate's bench "
+    "cost must not grow with the lake.",
 )
 def pipeline_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import gate_shuffle
+
+    with gate_shuffle(spark):
+        return _pipeline_watermark_audit_body(spark, sf_dir)
+
+
+def _pipeline_watermark_audit_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     import os
     import shutil
     import tempfile
 
+    from ..sources.testdata import load_capped_documents
     from ..streaming.docs import DocIngest
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # one materialization of the gate corpus (≤ GATE_DOC_CAP rows) — the
+    # many plane folds below re-read it dozens of times
+    docs = load_capped_documents(spark, sf_dir).select(
         "doc_id", "source", "text"
-    )
+    ).localCheckpoint()
     bench = docs.filter(col("source").isin(*_MATRIX_BENCHMARKS)).select(
         "source", "doc_id", "text"
     )
@@ -1820,67 +1866,49 @@ def pipeline_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not rep["consistent"]:
             raise RuntimeError(f"inconsistent after doctor: {rep}")
 
-        rows = [
-            (
-                "corpus_chunks",
-                rep["planes"]["corpus_chunks"],
-                ing.read_corpus(spark).count(),
-            ),
-            (
-                "hash_inventory",
-                ing.hashes.watermark(),
-                ing.hashes.read(spark).count(),
-            ),
-            (
-                "mh_index",
-                ing.index.target.watermark(),
-                ing.index.signatures(spark).count(),
-            ),
-            (
-                "comp_index",
-                ing.components.labels_t.watermark(),
-                ing.components.labels(spark).count(),
-            ),
-            (
-                "chunk_df",
-                ing.chunk_df.df_target.watermark(),
-                ing.chunk_df.doc_df(spark).count(),
-            ),
-            (
-                "lex_postings",
-                ing.lexical.postings.watermark(),
-                ing.lexical.postings.read(spark).count(),
-            ),
-            (
-                "lex_doclen",
-                ing.lexical.doclen.watermark(),
-                ing.lexical.doclen.read(spark).count(),
-            ),
-            (
-                "contam_index",
-                ing.contamination.evidence.watermark(),
-                ing.contamination.evidence.read(spark).count(),
-            ),
-            (
-                "novelty_curve",
-                ing.novelty.curve.watermark(),
-                ing.novelty.read_curve(spark).count(),
-            ),
-            (
-                "novelty_vocab",
-                ing.novelty.vocab.watermark(),
-                ing.novelty.vocab.read(spark).count(),
-            ),
-            (
-                "drift_state",
-                ing.drift.watermark(),
-                ing.drift.read_counts(spark).count(),
-            ),
+        # one action for the whole report: each plane contributes a
+        # 1-row count aggregate (watermarks are driver-side pointer
+        # reads) and the union materializes in a single job — eleven
+        # separate .count() actions would pay eleven job round-trips
+        # for the same scan work
+        planes = [
+            ("corpus_chunks", rep["planes"]["corpus_chunks"],
+             ing.read_corpus(spark)),
+            ("hash_inventory", ing.hashes.watermark(),
+             ing.hashes.read(spark)),
+            ("mh_index", ing.index.target.watermark(),
+             ing.index.signatures(spark)),
+            ("comp_index", ing.components.labels_t.watermark(),
+             ing.components.labels(spark)),
+            ("chunk_df", ing.chunk_df.df_target.watermark(),
+             ing.chunk_df.doc_df(spark)),
+            ("lex_postings", ing.lexical.postings.watermark(),
+             ing.lexical.postings.read(spark)),
+            ("lex_doclen", ing.lexical.doclen.watermark(),
+             ing.lexical.doclen.read(spark)),
+            ("contam_index", ing.contamination.evidence.watermark(),
+             ing.contamination.evidence.read(spark)),
+            ("novelty_curve", ing.novelty.curve.watermark(),
+             ing.novelty.read_curve(spark)),
+            ("novelty_vocab", ing.novelty.vocab.watermark(),
+             ing.novelty.vocab.read(spark)),
+            ("drift_state", ing.drift.watermark(),
+             ing.drift.read_counts(spark)),
         ]
-        return spark.createDataFrame(
-            [(p, int(w), int(n)) for p, w, n in rows],
-            "plane string, watermark long, n_rows long",
-        ).localCheckpoint()
+        import functools
+
+        report = functools.reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                f.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+                    F.lit(p).alias("plane"),
+                    F.lit(int(w)).cast("long").alias("watermark"),
+                    "n_rows",
+                )
+                for p, w, f in planes
+            ],
+        )
+        return report.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
+from ..sources import testdata as _td
 from ..sources.testdata import load_table
 from .registry import register
 
@@ -1301,8 +1302,10 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
     )
-    sizes = spark.range(0).sparkSession.createDataFrame(
-        [(v,) for v in _VOCAB_SIZES], "vocab_size long"
+    from ..functions.localframe import local_df
+
+    sizes = local_df(
+        spark.range(0).sparkSession, [(v,) for v in _VOCAB_SIZES], "vocab_size long"
     )
     j = (
         sizes.crossJoin(F.broadcast(tot))
@@ -1417,7 +1420,10 @@ def _bpe_train_sql() -> str:
     "supplier_pagerank iterate-on-the-small-table shape.",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.createDataFrame(
+    from ..functions.localframe import local_df
+
+    return local_df(
+        spark,
         _bpe_trained_merges(spark, sf_dir),
         "merge_rank long, left_sym string, right_sym string, pair_count long",
     )
@@ -1780,9 +1786,10 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "corpus_novelty_maintained",
-    sql="""
-    WITH d AS (SELECT doc_id, 1 + (doc_id % 3) AS b, text
-               FROM documents WHERE doc_id % 4 = 2),
+    sql=f"""
+    WITH {_td.gate_cap_cte()},
+    d AS (SELECT doc_id, 1 + (doc_id % 3) AS b, text
+               FROM capped WHERE doc_id % 4 = 2),
     toks AS (SELECT doc_id, b,
                     list_filter(string_split(text, ' '),
                                 w -> length(w) > 0) AS toks
@@ -1840,16 +1847,31 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stop-crawling telemetry served without a corpus rescan.",
 )
 def corpus_novelty_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import gate_shuffle
+
+    with gate_shuffle(spark):
+        return _corpus_novelty_maintained_body(spark, sf_dir)
+
+
+def _corpus_novelty_maintained_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     import os
     import shutil
     import tempfile
 
     from ..operators.vocab_state import ShingleVocabState
 
+    from ..sources.testdata import load_capped_documents
+
+    # fixed-size gate corpus (see pipeline_watermark_audit): the
+    # maintained ≡ batch-Heaps contract is size-invariant, so the gate
+    # folds the md5-capped sample and the oracle caps identically
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_capped_documents(spark, sf_dir)
         .select("doc_id", "text")
         .filter(col("doc_id") % 4 == 2)
+        .localCheckpoint()
     )
     base = tempfile.mkdtemp(prefix="novelty_state_gate_")
     try:

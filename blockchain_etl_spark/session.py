@@ -46,3 +46,41 @@ def get_spark(app_name: str = "blockchain-etl-spark", master: str | None = None)
         )
     )
     return builder.getOrCreate()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def gate_shuffle(spark: SparkSession, partitions: int = 4):
+    """Pin a small static shuffle width (and AQE off) for the duration of
+    a fixed-size gate query, restoring the session defaults afterwards.
+
+    The maintained-plane driver gates ingest a corpus CAPPED at a fixed
+    doc count (sources/testdata.py:GATE_DOC_CAP) — their state frames are
+    a few thousand rows no matter the sf, so the session's 32-partition
+    shuffle width (sized for the sf-scaled relational plans) buys nothing,
+    and AQE's runtime re-planning — the right default for data whose
+    size is only known at run time — degenerates into pure overhead: AQE
+    materializes every query stage as its own async job, and a gate's
+    dozens of tiny plane folds fan out into HUNDREDS of ~100 ms stage
+    jobs (measured: 80 of a batch's 126 jobs were AQE stage
+    materializations, 6.2 s of 6.9 s wall). A static 4-partition plan
+    runs each action as ONE job. Production ingest of a real lake keeps
+    the session defaults: this pinning is correct BECAUSE the gate corpus
+    is size-invariant by design, not a general small-data tweak."""
+    conf = spark.conf
+    prev = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    conf.set("spark.sql.shuffle.partitions", str(partitions))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            conf.set(k, v)

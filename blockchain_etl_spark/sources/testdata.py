@@ -65,3 +65,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql plans)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# Fixed-size gate corpus for the maintained-plane driver gates. The
+# maintained-state ≡ raw-text-recompute contract those gates prove is
+# invariant to corpus size (the reference's follower cost is per block,
+# never per chain — be_db_follower.erl:86-108), so each gate ingests a
+# deterministic md5-sampled document subset CAPPED at a fixed count
+# regardless of sf: the correctness check is identical at every scale,
+# while the gate's bench cost stops growing with the lake. The sample is
+# engine-exact on both sides (Spark TakeOrderedAndProject / DuckDB ORDER
+# BY ... LIMIT over md5 of the decimal doc id — the same RNG-free device
+# as doc_weighted_sample), so the DuckDB oracle caps identically.
+# --------------------------------------------------------------------------
+GATE_DOC_CAP = 1200
+
+
+def gate_cap_cte(cap: int = GATE_DOC_CAP) -> str:
+    """DuckDB CTE body ``capped AS (...)`` — the oracle-side mirror of
+    load_capped_documents; splice it first in a gate's WITH chain and
+    read ``FROM capped`` where the Spark side reads the capped frame."""
+    return f"""capped AS (
+      SELECT d.* FROM documents d JOIN (
+        SELECT doc_id FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {cap}) c USING (doc_id))"""
+
+
+def load_capped_documents(
+    spark: SparkSession, sf_dir: str, cap: int = GATE_DOC_CAP
+) -> DataFrame:
+    """documents rows whose doc_id falls in the deterministic md5-sampled
+    top-``cap`` — the gate corpus. The rank runs on an ids-only frame
+    (TakeOrderedAndProject: per-partition heads, no text shuffle, no
+    global sort) and the winner set broadcast-joins back, so at 100 TB
+    the cap costs one ids-only scan, never a corpus shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(cap)
+    )
+    return docs.join(F.broadcast(ids), ["doc_id"])

@@ -267,8 +267,10 @@ class DocIngest:
         watermark replay — the crash-injection tests compare healed
         state to a golden never-crashed ingest either way). ``fresh`` is
         materialized before the threads fan out (by the chunk write in
-        process_batch or the signature upsert here), so the lazy
-        localCheckpoint never races across threads."""
+        process_batch, or by doctor's EAGER checkpoint of each replayed
+        chunk — the signature upsert here cannot be relied on for that,
+        since in the replay path it no-ops on its watermark guard), so
+        the localCheckpoint never races across threads."""
         self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
         tasks = []
         if self.components is not None:
@@ -359,12 +361,27 @@ class DocIngest:
 
         with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
             futures = [(name, ex.submit(fn)) for name, fn in tasks]
-            first_err = None
-            for _name, fut in futures:
+            errs = []
+            for name, fut in futures:
                 err = fut.exception()
-                if err is not None and first_err is None:
-                    first_err = err
-        if first_err is not None:
+                if err is not None:
+                    errs.append((name, err))
+        if errs:
+            first_name, first_err = errs[0]
+            if len(errs) > 1:
+                # a multi-plane incident must surface EVERY failed plane,
+                # not just whichever future was polled first — append the
+                # other planes' errors so triage sees the full blast
+                # radius in one traceback.
+                others = "; ".join(
+                    f"{n}: {type(e).__name__}: {e}" for n, e in errs[1:]
+                )
+                first_err.args = (
+                    f"[plane {first_name}] "
+                    + (str(first_err.args[0]) if first_err.args else "")
+                    + f" (+{len(errs) - 1} concurrent plane failure(s): "
+                    + others + ")",
+                ) + tuple(first_err.args[1:])
             raise first_err
 
     def _fold_vector_plane(self, spark, fresh, batch_id: int) -> None:
@@ -569,12 +586,20 @@ class DocIngest:
         todo = [
             i for i in self._complete_chunks() if low < i <= rep["target"]
         ]
+        # EAGER checkpoint: in the replay path the signature plane is
+        # typically already committed, so _fold_planes' signature upsert
+        # no-ops on its watermark guard and would not be the first
+        # action to materialize a lazy checkpoint — the concurrent plane
+        # threads would race to compute it instead. The lineage (parquet
+        # read + md5) is deterministic so that race is benign, but
+        # materializing here makes the "fresh is materialized before the
+        # threads fan out" invariant actually hold in both call paths.
         freshes = {
             i: spark.read.parquet(
                 os.path.join(self.out_dir, "docs", f"chunk={i}")
             )
             .withColumn("h", F.md5("text"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
             for i in todo
         }
         # suffix unions of LATER batches' ids, hidden from each step's
@@ -743,8 +768,24 @@ class DocIngest:
         # a stale batch id would make process_batch a silent replay no-op
         # below — and the rmtree afterwards would then delete the ONLY
         # copy of the quarantined documents (they never reached the
-        # corpus). Refuse up front.
-        wm = self.hashes.watermark()
+        # corpus). Refuse up front. The guard must compare against EVERY
+        # plane, not just the hash inventory: after a mid-batch crash the
+        # hash inventory is the LAGGING plane by design (it commits
+        # last), so an id of hashes.watermark()+1 can equal the crashed
+        # batch's own id — process_batch would then treat the release as
+        # a replay of that batch, overwrite docs/chunk=N (the crashed
+        # batch's only durable heal source) with the released set, and
+        # planes already at N would silently skip folding it. Watermarks
+        # would then all read N and audit() could not see the loss.
+        rep = self.audit()
+        if not rep["consistent"]:
+            raise ValueError(
+                f"{self.out_dir}: the lake is mid-crash (stragglers="
+                f"{rep['stragglers']}, ahead={rep['ahead']}) — run "
+                "doctor() to heal it before releasing quarantine, so "
+                "the release cannot collide with the crashed batch's id."
+            )
+        wm = max(rep["planes"].values())
         if batch_id <= wm:
             raise ValueError(
                 f"{self.out_dir}: release batch id {batch_id} is not past "

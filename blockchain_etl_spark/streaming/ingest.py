@@ -325,7 +325,9 @@ class BlockIngest:
                 got = v.collect()
                 n = int(got[0].n_rows) if got else 0
             rows.append((f"{name}_inventory", n))
-        return spark.createDataFrame(rows, ["name", "value"])
+        from ..functions.localframe import local_df
+
+        return local_df(spark, rows, "name string, value bigint")
 
     def read_inventory(self, spark: SparkSession, name: str) -> DataFrame:
         df = self.inventory_target(name).read(spark)

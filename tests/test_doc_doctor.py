@@ -350,3 +350,123 @@ def test_doctor_detects_lost_chunk_even_when_consistent(spark, tmp_path):
     assert ing.audit()["consistent"]  # watermarks keep only the high mark
     with pytest.raises(ValueError, match="no longer cover"):
         ing.doctor(spark)
+
+
+def _b3(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=d, text=_text(d), lang="en") for d in range(30, 38)]
+    )
+
+
+def _vec_state(spark, ing):
+    """Live vector rows + inventory ids — the vector plane's full truth."""
+    live = sorted(
+        (r.vec_id, tuple(round(x, 6) for x in r.embedding))
+        for r in ing.vectors._live(spark).collect()
+    )
+    inv = ing.vectors._inventory().read(spark)
+    ids = sorted(r.vec_id for r in inv.collect()) if inv is not None else []
+    return live, ids, ing.vectors._inventory().watermark()
+
+
+def test_vector_compact_crash_before_pointer_flip_converges(spark, tmp_path):
+    """Round-10 verdict #7: compact() writes a whole new generation and
+    commits with one pointer flip — inject a crash BETWEEN the generation
+    write and the flip, with a pending batch still to ingest. The orphan
+    gen dir must be invisible: the old generation keeps serving, the
+    pending batch folds into it at the carried watermark, doctor() finds
+    nothing to heal, and the vector plane equals a never-compacted golden
+    ingest of the same batches."""
+    ing = _ingest(spark, tmp_path / "lake")
+    assert ing.audit()["consistent"]
+    g0 = ing.vectors._gen()
+
+    class Boom(Exception):
+        pass
+
+    orig = ing.vectors._publish_gen
+    ing.vectors._publish_gen = lambda gen: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        ing.vectors.compact(spark)
+    ing.vectors._publish_gen = orig
+    # the crash left an orphan next-gen directory, pointer unmoved
+    assert ing.vectors._gen() == g0
+    assert (tmp_path / "lake" / "vec_index" / f"gen={g0 + 1}").is_dir()
+
+    # pending batch ingests against the OLD (still-current) generation
+    ing.process_batch(_b3(spark), 3)
+    assert ing.doctor(spark) == []  # nothing to heal
+    assert ing.audit()["consistent"]
+
+    golden = _ingest(spark, tmp_path / "golden")
+    golden.process_batch(_b3(spark), 3)
+    assert _vec_state(spark, ing) == _vec_state(spark, golden)
+
+
+def test_vector_compact_crash_after_flip_with_pending_batch_heals(
+    spark, tmp_path
+):
+    """The other side of the flip: compact commits (pointer at gen=1) but
+    crashes before retiring gen=0 — a disk leak, never a correctness
+    event. A pending batch then crashes mid-commit in ANOTHER plane;
+    doctor() must heal it INTO THE NEW GENERATION (watermarks carried
+    across the flip), ending bit-equal to a golden compacted ingest."""
+    ing = _ingest(spark, tmp_path / "lake")
+    g0 = ing.vectors._gen()
+
+    class Boom(Exception):
+        pass
+
+    orig_retire = ing.vectors._retire_gen
+    ing.vectors._retire_gen = lambda *a, **k: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        ing.vectors.compact(spark)
+    ing.vectors._retire_gen = orig_retire
+    assert ing.vectors._gen() == g0 + 1  # flip committed; old gen leaked
+
+    # pending batch crashes between plane commits (hash guard last)
+    orig_merge = ing.hashes.merge_with
+    ing.hashes.merge_with = lambda *a, **k: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        ing.process_batch(_b3(spark), 3)
+    ing.hashes.merge_with = orig_merge
+    rep = ing.audit()
+    assert not rep["consistent"] and "hash_inventory" in rep["stragglers"]
+    assert ing.doctor(spark) == [3]
+    assert ing.audit()["consistent"]
+
+    golden = _ingest(spark, tmp_path / "golden")
+    golden.vectors.compact(spark)
+    golden.process_batch(_b3(spark), 3)
+    assert _vec_state(spark, ing) == _vec_state(spark, golden)
+
+
+def test_plane_task_pool_surfaces_every_concurrent_failure():
+    """A multi-plane incident must not triage as a single-plane error:
+    _run_plane_tasks aggregates the other planes' exceptions into the
+    first one it re-raises (round-10 advice)."""
+
+    def ok():
+        return None
+
+    def fail_a():
+        raise RuntimeError("disk full")
+
+    def fail_b():
+        raise ValueError("schema drift")
+
+    with pytest.raises(Exception) as ei:
+        DocIngest._run_plane_tasks(
+            [("lexical", fail_a), ("chunk_df", ok), ("novelty", fail_b)]
+        )
+    msg = str(ei.value)
+    assert "lexical" in msg and "novelty" in msg, msg
+    assert "disk full" in msg and "schema drift" in msg, msg
+
+
+def test_plane_task_pool_single_failure_unwrapped():
+    with pytest.raises(RuntimeError, match="^disk full$"):
+        DocIngest._run_plane_tasks(
+            [("lexical", lambda: (_ for _ in ()).throw(RuntimeError("disk full"))),
+             ("chunk_df", lambda: None)]
+        )

@@ -950,3 +950,13 @@ def test_chunk_overlap_is_shuffle_free(plan):
     p = plan("doc_chunk_overlap")
     assert n_exchanges(p) == 0, p
     assert "Generate" in p, p
+
+
+def test_salted_join_spreads_hot_key_over_salt_buckets(plan):
+    """reward_hotspot_salted_join must actually salt: the dimension side
+    explodes the 16 salt values, and the join shuffle partitions on
+    (acct, __salt) — a plan that lost the salt would hashpartition on
+    acct alone and put ~70% of the fact on one reducer."""
+    p = plan("reward_hotspot_salted_join")
+    assert re.search(r"\(\d+\) Generate", p) and "explode" in p, p
+    assert re.search(r"hashpartitioning\(acct#\d+L?, __salt#\d+", p), p

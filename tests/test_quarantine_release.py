@@ -231,3 +231,47 @@ def test_release_refuses_legacy_verdict_only_chunks(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="verdict-only"):
         ing2.release_quarantine(spark, 1)
+
+
+def test_release_on_mid_crash_lake_refuses_even_with_fresh_looking_id(
+    spark, tmp_path
+):
+    """Round-10 advice (medium): after a mid-batch crash the HASH
+    inventory is the lagging plane by design (it commits last), so
+    batch_id = hashes.watermark() + 1 — exactly the id the old error
+    message suggested — equals the CRASHED batch's own id. A release
+    under that id would replay-overwrite docs/chunk=N (the crashed
+    batch's only durable heal source) with the released set, and planes
+    already at N would silently skip folding it. release_quarantine must
+    refuse ANY release on an inconsistent lake and point at doctor()."""
+    b1, b2, bench = _data(spark)
+    ing = DocIngest(
+        str(tmp_path / "lake"),
+        lexical_index=True,
+        drift_state=True,
+        contamination_screen=True,
+        contamination_quarantine=2,
+    )
+    ing.contamination.build(spark, bench)
+    ing.process_batch(b1, 1)
+
+    class Boom(Exception):
+        pass
+
+    orig = ing.hashes.merge_with
+    ing.hashes.merge_with = lambda *a, **k: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        ing.process_batch(b2, 2)  # every plane at 2, hash guard at 1
+    ing.hashes.merge_with = orig
+    assert not ing.audit()["consistent"]
+    # the trap id: one past the hash watermark == the crashed batch's id
+    with pytest.raises(ValueError, match="doctor"):
+        ing.release_quarantine(spark, ing.hashes.watermark() + 1)
+    # a genuinely fresh id is refused too — consistency first, always
+    with pytest.raises(ValueError, match="doctor"):
+        ing.release_quarantine(spark, 99)
+    # heal, then the release path works and converges as usual
+    assert ing.doctor(spark) == [2]
+    assert ing.audit()["consistent"]
+    n = ing.release_quarantine(spark, 3)
+    assert n > 0

@@ -202,11 +202,28 @@ def main() -> None:
     rows = {}
     if only is not None and os.path.exists(os.path.join(REPO, "SCALING_10X.json")):
         with open(os.path.join(REPO, "SCALING_10X.json")) as f:
-            rows = json.load(f).get("queries", {})
+            loaded = json.load(f).get("queries", {})
+        # every stored row carries the corpus build version it was
+        # measured on; rows from an OLDER build (e.g. the pre-v2 corpus
+        # with verbatim replicated names — the round-9 confound) must not
+        # silently blend with fresh timings in one family aggregate.
+        for name, r in loaded.items():
+            if r.get("build") == _BUILD_VERSION:
+                rows[name] = r
+            else:
+                print(
+                    f"# {name}: stored row from build "
+                    f"{r.get('build', '<unstamped>')} != {_BUILD_VERSION}"
+                    " — dropped from merge (re-probe it with --only)",
+                    file=sys.stderr,
+                )
     fams: dict[str, dict[str, float]] = {}
     for name in sorted(set(t1) & set(t10)):
         ratio = round(t10[name] / t1[name], 2) if t1[name] > 0 else None
-        rows[name] = {"sf0.1_sec": t1[name], "sf1.0_sec": t10[name], "ratio": ratio}
+        rows[name] = {
+            "sf0.1_sec": t1[name], "sf1.0_sec": t10[name], "ratio": ratio,
+            "build": _BUILD_VERSION,
+        }
     for name, r in rows.items():
         if name not in QUERIES:
             # a merged row from an older SCALING_10X.json whose query was

@@ -35,7 +35,14 @@ def render() -> str:
         f"rotation (plans/registry.py::order_names) bounds the max gap at "
         f"ceil(greens / (window - window/2)) rounds; "
         f"tests/test_registry_order.py asserts the bound under simulated "
-        f"rounds.",
+        f"rounds. With the surface saturated (no unverified queries) all "
+        f"window slots rotate greens, so the LIVE bound is "
+        f"ceil(greens / window) = 4 rounds — asserted against the live "
+        f"registry by tests/test_staleness_bound.py, which fails the "
+        f"moment new registrations (or green-set growth past 200) would "
+        f"widen it. The adversarial 8-round figure (a full window/2 head "
+        f"of brand-new queries in one round) is explicitly accepted "
+        f"there as a ceiling.",
         "",
         "| staleness (rounds) | queries |",
         "|---|---|",
