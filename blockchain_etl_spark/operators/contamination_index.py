@@ -78,7 +78,8 @@ class ContaminationIndex:
         old = self.registry.read(spark)
         if old is not None:
             old = old.select(*sh.columns)
-            if sh.exceptAll(old).take(1) or old.exceptAll(sh).take(1):
+            # symmetric-difference probe as ONE action, not two
+            if sh.exceptAll(old).unionAll(old.exceptAll(sh)).take(1):
                 raise ValueError(
                     f"{self.registry.path}: a non-empty benchmark registry "
                     "already exists and the new shingle set differs — "
@@ -190,8 +191,11 @@ class ContaminationIndex:
         """Probe a crawl batch (doc_id, text) against the registry and
         fold the hits into evidence. Work ∝ batch size: the batch is
         shingled once, joined against the broadcast registry shingle
-        set, and the evidence merge replaces only the batch's doc ids."""
-        ids = docs.select("doc_id").distinct().localCheckpoint()
+        set, and the evidence merge replaces only the batch's doc ids.
+        The ids checkpoint is LAZY: its only consumers run inside the
+        evidence merge's write job, so an eager barrier here would cost
+        a whole extra job per screened batch."""
+        ids = docs.select("doc_id").distinct().localCheckpoint(eager=False)
         self._fold_evidence(spark, ids, self._hits(spark, docs), watermark)
 
     def screen_gated(

@@ -122,16 +122,26 @@ class ShingleVocabState:
         # distinct shingles anti-joined against the vocab ONCE, counted,
         # and appended verbatim — no cumulative-table re-aggregate per
         # fold. vocab_size rides the curve row as a running total.
+        # nd counts every batch doc (a sub-3-token doc contributes no
+        # shingles but is still a crawled document); np counts distinct
+        # (doc, shingle) postings
+        batch_agg = docs.select("doc_id").distinct().join(
+            sh.select("doc_id", "shingle"), ["doc_id"], "left"
+        ).agg(
+            F.count("shingle").cast("long").alias("np"),
+            F.countDistinct("doc_id").cast("long").alias("nd"),
+        )
         if self.vocab.watermark() >= watermark:
             # crash-replay window (vocab committed, curve not): the
             # anti-join would now find nothing, so derive the batch's
             # novel count from the first_batch stamp instead — the rare
             # path the stamp exists for.
-            n_new = (
+            fresh_agg = (
                 self.vocab.read(spark)
                 .filter(col("first_batch") == watermark)
-                .count()
+                .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
             )
+            fresh = None
         else:
             fresh = sh.select("shingle").distinct()
             old = self.vocab.read(spark)
@@ -142,22 +152,21 @@ class ShingleVocabState:
             fresh = fresh.withColumn(
                 "first_batch", F.lit(watermark).cast("long")
             ).localCheckpoint(eager=False)
-            n_new = fresh.count()
+            fresh_agg = fresh.agg(
+                F.count(F.lit(1)).cast("long").alias("n_new")
+            )
+        # ONE action serves both counters (1-row cross join of the two
+        # aggregates); it also materializes fresh's checkpoint, which the
+        # vocab merge below then reuses — one job instead of two.
+        batch = batch_agg.crossJoin(fresh_agg).collect()[0]
+        n_new = int(batch["n_new"])
+        if fresh is not None:
             self.vocab.merge_with(
                 spark,
                 fresh,
                 lambda tgt, u: u if tgt is None else tgt.unionByName(u),
                 watermark=watermark,
             )
-        # nd counts every batch doc (a sub-3-token doc contributes no
-        # shingles but is still a crawled document); np counts distinct
-        # (doc, shingle) postings
-        batch = docs.select("doc_id").distinct().join(
-            sh.select("doc_id", "shingle"), ["doc_id"], "left"
-        ).agg(
-            F.count("shingle").cast("long").alias("np"),
-            F.countDistinct("doc_id").cast("long").alias("nd"),
-        ).collect()[0]
         prev = self._last_row(spark)
         n_docs = prev["n_docs"] + int(batch["nd"])
         n_postings = prev["n_postings"] + int(batch["np"])

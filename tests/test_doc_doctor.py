@@ -470,3 +470,22 @@ def test_plane_task_pool_single_failure_unwrapped():
             [("lexical", lambda: (_ for _ in ()).throw(RuntimeError("disk full"))),
              ("chunk_df", lambda: None)]
         )
+
+
+def test_gate_shuffle_restores_confs_on_exception(spark):
+    from blockchain_etl_spark.session import gate_shuffle
+
+    before = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    with pytest.raises(RuntimeError):
+        with gate_shuffle(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            raise RuntimeError("gate body died")
+    after = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    assert after == before

@@ -43,6 +43,9 @@ def fingerprint(p: str) -> dict:
             re.findall(r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)", p)
         ),
         "take_ordered": len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)),
+        # explode/posexplode/inline nodes: a lost salt explode (skew.py) or
+        # an accidental row-multiplying generate both show up here
+        "generates": len(re.findall(r"\(\d+\) Generate", p)),
     }
 
 
