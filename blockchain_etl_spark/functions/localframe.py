@@ -38,6 +38,10 @@ def local_df(
     if not rows:
         return spark.createDataFrame([], schema)
     if columns is None:
-        columns = [f.split()[0] for f in schema.split(",")]
+        # parse the DDL properly: naive comma-splitting mangles types
+        # that contain commas (decimal(10,2), map<string,int>, structs)
+        from pyspark.sql.types import StructType
+
+        columns = StructType.fromDDL(schema).fieldNames()
     pdf = pd.DataFrame(rows, columns=list(columns))
     return spark.createDataFrame(pdf, schema=schema)

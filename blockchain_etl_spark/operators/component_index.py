@@ -132,17 +132,16 @@ def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     e = edges.select("src", "dst").localCheckpoint(eager=False)
     n_nodes = nodes.select("doc_id").localCheckpoint(eager=False)
     if e.count() <= _DRIVER_UF_CAP and n_nodes.count() <= _DRIVER_UF_CAP:
-        import pandas as pd
+        from ..functions.localframe import local_df
 
         edge_rows = [(r[0], r[1]) for r in e.collect()]
         node_rows = [r[0] for r in n_nodes.collect()]
         labeled = _driver_union_find(node_rows, edge_rows)
-        # Arrow path (pandas), NOT createDataFrame(list): a plain-list
+        # Arrow path (local_df), NOT createDataFrame(list): a plain-list
         # local relation executes through a Python-worker scan stage that
         # costs seconds per materialization in the fold's downstream
         # joins; the Arrow-converted frame is JVM-side at execution.
-        pdf = pd.DataFrame(labeled, columns=["doc_id", "label"]).astype("int64")
-        out = spark.createDataFrame(pdf, schema="doc_id long, label long").coalesce(1)
+        out = local_df(spark, labeled, "doc_id long, label long").coalesce(1)
         return out.localCheckpoint(eager=False)
     edges, nodes = e, n_nodes
     endpoints = (

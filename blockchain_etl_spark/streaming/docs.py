@@ -370,18 +370,19 @@ class DocIngest:
             first_name, first_err = errs[0]
             if len(errs) > 1:
                 # a multi-plane incident must surface EVERY failed plane,
-                # not just whichever future was polled first — append the
-                # other planes' errors so triage sees the full blast
-                # radius in one traceback.
-                others = "; ".join(
-                    f"{n}: {type(e).__name__}: {e}" for n, e in errs[1:]
+                # not just whichever future was polled first. Raise a NEW
+                # summary error with the first failure as __cause__ —
+                # mutating first_err.args would silently drop the summary
+                # for exception types whose __str__ does not render from
+                # args (OSError(errno, strerror), Py4J errors — i.e. the
+                # disk-full incidents this exists for).
+                summary = "; ".join(
+                    f"{n}: {type(e).__name__}: {e}" for n, e in errs
                 )
-                first_err.args = (
-                    f"[plane {first_name}] "
-                    + (str(first_err.args[0]) if first_err.args else "")
-                    + f" (+{len(errs) - 1} concurrent plane failure(s): "
-                    + others + ")",
-                ) + tuple(first_err.args[1:])
+                raise RuntimeError(
+                    f"{len(errs)} concurrent plane failures "
+                    f"(first: {first_name}): {summary}"
+                ) from first_err
             raise first_err
 
     def _fold_vector_plane(self, spark, fresh, batch_id: int) -> None:

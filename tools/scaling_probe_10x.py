@@ -240,7 +240,16 @@ def main() -> None:
         f["ratio"] = round(f["sf1.0_sec"] / f["sf0.1_sec"], 2) if f["sf0.1_sec"] else None
         f["sf0.1_sec"] = round(f["sf0.1_sec"], 2)
         f["sf1.0_sec"] = round(f["sf1.0_sec"], 2)
+    # UPDATE the artifact, never replace it: sibling probes store their
+    # own top-level keys in the same file (scaling_probe_maintained.py
+    # writes "maintained") and a family re-run must not delete them
+    existing = {}
+    if os.path.exists(os.path.join(REPO, "SCALING_10X.json")):
+        with open(os.path.join(REPO, "SCALING_10X.json")) as f:
+            existing = json.load(f)
     result = {
+        **{k: v for k, v in existing.items()
+           if k not in ("data_step", "reps", "note", "families", "queries")},
         "data_step": REPLICAS,
         "reps": reps,
         "note": (
