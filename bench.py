@@ -45,23 +45,43 @@ def main() -> None:
 
     region.select(_warm(F.col("r_regionkey").cast("long"))).count()
 
+    # Calibration anchor: a FIXED scan+shuffle+agg re-timed throughout the
+    # run. Round 11's artifact read +49% vs round 10 purely from sustained
+    # host load (judge A/B on the idle host: 0.98x) — min-of-reps defends
+    # against per-query spikes but not a loaded host across the whole run.
+    # The anchor makes that visible in the artifact itself:
+    # host_noise_index = max/min anchor time across the run. ~1.0 means
+    # the numbers are decision-grade; >>1 means compare medians of
+    # repeated runs, not this run's deltas.
+    anchor_samples: list[float] = []
+    _anchor_time(spark)  # warm the anchor plan itself (codegen), unmeasured
+    anchor_samples.append(_anchor_time(spark))
+    load_start = os.getloadavg()[0]
+
     # Per-query time = MIN over REPS full re-executions (build + count,
     # cache cleared between reps): the criterion-style minimum removes
     # GC/JIT scheduling noise that dominates sub-second queries without
-    # hiding any real work — every rep runs the whole plan.
+    # hiding any real work — every rep runs the whole plan. A query whose
+    # first rep exceeds 1.5x its min is noise-suspect: it gets one extra
+    # rep so a transient spike can't masquerade as the query's cost.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     failed: list[str] = []
-    for name, fn in sorted(queries.items()):
-        best, n = None, 0
+    for qi, (name, fn) in enumerate(sorted(queries.items())):
+        if qi and qi % 20 == 0:
+            anchor_samples.append(_anchor_time(spark))
+        best, first, n = None, None, 0
         try:
-            for _ in range(reps):
+            r = 0
+            while r < reps or (r == reps and first / best > 1.5):
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 n = df.count()
                 dt = time.perf_counter() - t0
+                first = dt if first is None else first
                 best = dt if best is None else min(best, dt)
                 spark.catalog.clearCache()  # no cross-query cache interference
+                r += 1
         except Exception as exc:  # one bad query must not lose the run
             failed.append(name)
             spark.catalog.clearCache()
@@ -69,6 +89,14 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    anchor_samples.append(_anchor_time(spark))
+    noise_idx = round(max(anchor_samples) / min(anchor_samples), 2)
+    print(
+        f"# anchor: {len(anchor_samples)} samples "
+        f"min={min(anchor_samples):.3f}s max={max(anchor_samples):.3f}s "
+        f"host_noise_index={noise_idx}",
+        file=sys.stderr,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -81,6 +109,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "host_noise_index": noise_idx,
+        "loadavg_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
     }
     if failed:
         result["failed"] = failed
@@ -101,10 +131,14 @@ def main() -> None:
     # Full detail always lands on disk next to this script.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     detail = dict(result)
+    detail["anchor_samples_sec"] = [round(a, 3) for a in anchor_samples]
     detail["measurement_note"] = (
         "single-run wall-clock on this shared VM varies +/-30-40% with host "
         "state (measured round 4: same code, 74.4s vs 91.9s totals 40min "
-        "apart); compare medians of repeated runs, not single-run deltas"
+        "apart; round 11's artifact read +49% vs round 10 purely from load). "
+        "host_noise_index = max/min of a fixed calibration query re-timed "
+        "every 20 queries: near 1.0 the numbers are decision-grade; above "
+        "~1.5 compare medians of repeated runs, not single-run deltas"
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -141,6 +175,21 @@ def emit_line(result: dict, timings: dict, budget: int = 1900) -> str:
             slim["detail_file"] = "BENCH_DETAIL.json"
             line = json.dumps(slim, separators=(",", ":"))
     return line
+
+
+def _anchor_time(spark) -> float:
+    """One sample of the fixed calibration workload: a full lineitem scan
+    into a shuffled two-key aggregate — representative of the suite's
+    fixed cost (scan + exchange + codegen'd agg), pinned so its ONLY
+    variable across the run is host state. ~0.3-0.6 s at sf0.1 idle."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    t0 = time.perf_counter()
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+    ).count()
+    return time.perf_counter() - t0
 
 
 def _bench_ingest(spark) -> float:

@@ -43,5 +43,9 @@ def local_df(
         from pyspark.sql.types import StructType
 
         columns = StructType.fromDDL(schema).fieldNames()
-    pdf = pd.DataFrame(rows, columns=list(columns))
+    # dtype=object keeps every cell as the original Python value: without
+    # it pandas coerces a None in an int column to float64/NaN BEFORE the
+    # Arrow cast, which diverges from the plain-list path's null handling
+    # (None must arrive at Arrow as a null, not as NaN-cast-to-int).
+    pdf = pd.DataFrame(rows, columns=list(columns), dtype=object)
     return spark.createDataFrame(pdf, schema=schema)

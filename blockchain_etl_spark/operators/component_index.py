@@ -293,18 +293,25 @@ class ComponentIndex:
             state.select("doc_id")
         )
         uncovered = sig_ids.join(covered, ["doc_id"], "left_anti")
-        bad = (
+        # one aggregate job over the tagged union: both guard flags land
+        # deterministically (take(1) would report whichever union partition
+        # yields a row first — wrong triage when both guards trip)
+        flags = (
             probe.select(F.lit("insert_only").alias("why"))
             .unionByName(uncovered.select(F.lit("uncovered").alias("why")))
-            .take(1)
+            .agg(
+                F.max(F.when(col("why") == "insert_only", True)).alias("io"),
+                F.max(F.when(col("why") == "uncovered", True)).alias("uc"),
+            )
+            .collect()[0]
         )
-        if bad and bad[0].why == "insert_only":
+        if flags.io:
             raise ValueError(
                 "upsert_coalesced is insert-only: a doc id is already "
                 "indexed or appears in more than one batch — replay those "
                 "batches through upsert()/delete() in order instead"
             )
-        if bad:
+        if flags.uc:
             raise ValueError(
                 "upsert_coalesced: the MinHash index holds documents "
                 "outside the stored state and the passed batches — pass "

@@ -32,7 +32,22 @@ def salted_join(
     The dimension side is exploded n× (only acceptable for dimension
     tables ≪ fact; that is exactly the skew-join scenario). Result equals
     the plain join, row for row.
+
+    Only fact-preserving modes are accepted: ``inner``, ``left``,
+    ``left_semi``, ``left_anti``. Salting is NOT sound for ``right`` /
+    ``full`` (each unmatched dim row would surface once per salt bucket,
+    n× duplicated) or ``cross`` (the (key, salt) equi-condition makes it
+    not a cross join at all); those modes raise rather than silently
+    return wrong row counts.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving; salting "
+            f"duplicates unmatched dim rows per salt bucket. Allowed: "
+            f"inner/left/left_semi/left_anti."
+        )
     salted_fact = fact.withColumn(
         "__salt",
         F.pmod(
@@ -42,9 +57,5 @@ def salted_join(
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    out = salted_fact.join(
-        salted_dim,
-        on=[key, "__salt"] if how != "cross" else None,
-        how=how,
-    )
+    out = salted_fact.join(salted_dim, on=[key, "__salt"], how=how)
     return out.drop("__salt")

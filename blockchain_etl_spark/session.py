@@ -50,6 +50,13 @@ def get_spark(app_name: str = "blockchain-etl-spark", master: str | None = None)
 
 from contextlib import contextmanager
 
+# gate_shuffle mutates session-global conf; nesting or concurrent use on the
+# shared session would let one gate's restore clobber another's pinned values
+# (or run an unrelated query at 4 partitions). The gates run strictly
+# serially (bench/driver/pytest all iterate queries one at a time), so we
+# enforce that assumption rather than paying for a cloned session per gate.
+_GATE_SHUFFLE_ACTIVE = False
+
 
 @contextmanager
 def gate_shuffle(spark: SparkSession, partitions: int = 4):
@@ -68,7 +75,17 @@ def gate_shuffle(spark: SparkSession, partitions: int = 4):
     materializations, 6.2 s of 6.9 s wall). A static 4-partition plan
     runs each action as ONE job. Production ingest of a real lake keeps
     the session defaults: this pinning is correct BECAUSE the gate corpus
-    is size-invariant by design, not a general small-data tweak."""
+    is size-invariant by design, not a general small-data tweak.
+
+    NOT reentrant / NOT thread-safe: the override is session-global, so a
+    nested or concurrent gate would restore the wrong values (or run a
+    foreign query at gate width). Nested entry raises."""
+    global _GATE_SHUFFLE_ACTIVE
+    if _GATE_SHUFFLE_ACTIVE:
+        raise RuntimeError(
+            "gate_shuffle is not reentrant: a gate already holds the "
+            "session-global shuffle override (gates must run serially)"
+        )
     conf = spark.conf
     prev = {
         k: conf.get(k)
@@ -77,10 +94,12 @@ def gate_shuffle(spark: SparkSession, partitions: int = 4):
             "spark.sql.adaptive.enabled",
         )
     }
+    _GATE_SHUFFLE_ACTIVE = True
     conf.set("spark.sql.shuffle.partitions", str(partitions))
     conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
+        _GATE_SHUFFLE_ACTIVE = False
         for k, v in prev.items():
             conf.set(k, v)

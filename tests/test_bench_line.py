@@ -26,6 +26,8 @@ def _fake_result(timings):
         "unit": "sec",
         "queries": timings,
         "sf": 0.1,
+        "host_noise_index": 1.42,
+        "loadavg_1m": [31.25, 28.75],
         "blocks_per_sec": 22.4,
         "docs_per_sec": 436.1,
         "ivm_rows_per_sec": 10719.0,

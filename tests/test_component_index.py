@@ -464,3 +464,52 @@ def test_coalesced_prefix_of_backlog_raises(spark, tmp_path):
          (3, b3.select("doc_id"))],
     )
     assert _maintained(spark, comp) == _ground_truth(spark, mh)
+
+
+# ------------------------------------------------------- union-find boundary
+
+
+def test_distributed_fallback_equals_driver_union_find(spark, tmp_path, monkeypatch):
+    """_propagate_with_singletons has two routes: driver union-find when
+    the fold's subgraph collects under _DRIVER_UF_CAP, distributed
+    propagate_min_labels above it. The fallback must stay alive and
+    bit-identical: run the SAME multi-batch history (merges, family
+    joins, a re-crawl) with the cap monkeypatched to -1 — every fold
+    takes the distributed branch (proven by spying the union-find helper,
+    which must never fire) — and the final labels must equal both the
+    fast-path run's labels and the batch ground truth."""
+    from blockchain_etl_spark.operators import component_index as ci
+
+    history = [
+        [(0, _text(0)), (1, _text(0, 1)), (10, _text(5)), (11, _text(5))],
+        [(20, _text(0, 2)), (2, _text(0))],
+        [(5, _text(5, 1)), (30, _text(9))],
+    ]
+
+    def run(name):
+        mh, comp = _mk(tmp_path, name)
+        for wm, rows in enumerate(history, start=1):
+            _ingest(spark, mh, comp, rows, wm=wm)
+        return _maintained(spark, comp), _ground_truth(spark, mh)
+
+    fast, truth_fast = run("uf_fast")
+    assert fast == truth_fast
+
+    calls = []
+    real_uf = ci._driver_union_find
+
+    def spy(nodes, edges):
+        calls.append(len(edges))
+        return real_uf(nodes, edges)
+
+    monkeypatch.setattr(ci, "_driver_union_find", spy)
+    monkeypatch.setattr(ci, "_DRIVER_UF_CAP", -1)
+    slow, truth_slow = run("uf_dist")
+    assert calls == [], "cap=-1 must force the distributed branch"
+    assert slow == truth_slow == fast
+
+    # and with the cap restored, the same history DOES take the fast path
+    monkeypatch.setattr(ci, "_DRIVER_UF_CAP", 200_000)
+    again, _ = run("uf_fast2")
+    assert calls, "default cap must route bounded folds to the union-find"
+    assert again == fast

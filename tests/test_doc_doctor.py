@@ -489,3 +489,21 @@ def test_gate_shuffle_restores_confs_on_exception(spark):
         spark.conf.get("spark.sql.adaptive.enabled"),
     )
     assert after == before
+
+
+def test_gate_shuffle_rejects_nested_entry(spark):
+    """gate_shuffle mutates session-global conf; a nested gate would
+    restore the wrong values. Nesting must raise, and the outer gate's
+    restore must still run."""
+    from blockchain_etl_spark.session import gate_shuffle
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="not reentrant"):
+        with gate_shuffle(spark):
+            with gate_shuffle(spark):
+                pass  # pragma: no cover
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # the flag must be cleared: a fresh gate works after the failure
+    with gate_shuffle(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -65,6 +65,31 @@ def test_salted_join_equals_plain_join(spark):
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
 
 
+def test_salted_join_left_mode_equals_plain_left_join(spark):
+    # fact rows with no dim match must survive exactly once (null attr)
+    fact = spark.range(0, 1000).select(
+        (col("id") % 80).alias("k"), col("id").alias("payload")
+    )
+    dim = spark.range(0, 50).select(
+        col("id").alias("k"), (col("id") * 10).alias("attr")
+    )
+    plain = fact.join(dim, "k", "left").select("k", "payload", "attr")
+    salted = salted_join(fact, dim, "k", how="left").select("k", "payload", "attr")
+    assert plain.count() == salted.count() == 1000
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+@pytest.mark.parametrize("how", ["cross", "right", "full", "outer", "right_outer"])
+def test_salted_join_rejects_non_fact_preserving_modes(spark, how):
+    """cross would join on (key,salt) — 16x a true cross join; right/full
+    would emit each unmatched dim row once per salt bucket. The API must
+    refuse rather than return wrong row counts."""
+    fact = spark.range(0, 10).select(col("id").alias("k"))
+    dim = spark.range(0, 3).select(col("id").alias("k"))
+    with pytest.raises(ValueError, match="not fact-preserving"):
+        salted_join(fact, dim, "k", how=how)
+
+
 def test_salted_join_bounds_per_task_input_under_heavy_skew(spark):
     """100x+ hot-key skew: the salted join must keep every reduce task's
     input bounded (max partition <= 2x median of non-empty partitions),

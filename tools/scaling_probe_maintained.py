@@ -167,14 +167,17 @@ def probe_backfill_heal(spark, src_dir: str, lake_batches: "list[int]") -> dict:
 
 def main() -> None:
     from blockchain_etl_spark.session import get_spark, gate_shuffle
-    from tools.scaling_probe_10x import SCALED, build_scaled
+    from tools.scaling_probe_10x import SCALED, _BUILD_VERSION, build_scaled
 
     spark = get_spark("blockchain-etl-spark-scaling-maintained")
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark)
     spark.read.parquet(os.path.join(BASE, "documents.parquet")).count()
 
-    result: dict = {"batch_docs": BATCH_DOCS}
+    # stamp the corpus build so maintained rows measured on an older
+    # scaled corpus can't silently blend with fresh family timings
+    # (scaling_probe_10x drops unstamped/mismatched rows the same way)
+    result: dict = {"batch_docs": BATCH_DOCS, "build": _BUILD_VERSION}
     with gate_shuffle(spark):
         # warmup: one unmeasured crash+doctor cycle so the first MEASURED
         # heal doesn't pay session JIT/codegen for the doctor paths (the
