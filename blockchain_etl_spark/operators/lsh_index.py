@@ -39,16 +39,26 @@ class MinHashIndex:
         self.target = ParquetMergeTarget(path)
 
     def upsert(
-        self, spark: SparkSession, docs: DataFrame, watermark: "int | None" = None
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        watermark: "int | None" = None,
+        shingles: "DataFrame | None" = None,
     ) -> DataFrame:
         """Shingle + sign ONLY ``docs`` (doc_id, text) and MERGE into the
         stored signatures: new ids insert, re-crawled ids overwrite (update
         wins ties, so a replayed batch converges). ``watermark``: monotone
         batch id making replays of non-idempotent upstream chunking
-        exactly-once, as in the chain inventories."""
+        exactly-once, as in the chain inventories. ``shingles``: the
+        batch's precomputed (doc_id, shingle) rows — callers folding the
+        SAME batch into several shingle-grain planes (DocIngest) pass one
+        shared frame so the text is shingled once per batch, not once per
+        plane; must equal shingle_rows_from_text(docs)."""
         from .merge import merge_latest
 
-        sig = minhash_signatures(shingle_rows_from_text(docs))
+        if shingles is None:
+            shingles = shingle_rows_from_text(docs)
+        sig = minhash_signatures(shingles)
         return self.target.merge_with(
             spark,
             sig,

@@ -109,14 +109,26 @@ class ShingleVocabState:
     def watermark(self) -> int:
         return self.curve.watermark()
 
-    def fold(self, spark: SparkSession, docs: DataFrame, watermark: int) -> bool:
+    def fold(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        watermark: int,
+        shingles: "DataFrame | None" = None,
+    ) -> bool:
         """Fold one crawl batch (doc_id, text); returns False on a
-        replayed (already-curved) batch."""
+        replayed (already-curved) batch. ``shingles``: precomputed
+        (doc_id, shingle) rows for the batch (see MinHashIndex.upsert) —
+        must equal shingle_rows_from_text(docs)."""
         from ..plans.dedup import shingle_rows_from_text
 
         if watermark <= self.curve.watermark():
             return False
-        sh = shingle_rows_from_text(docs).localCheckpoint(eager=False)
+        sh = (
+            shingles
+            if shingles is not None
+            else shingle_rows_from_text(docs).localCheckpoint(eager=False)
+        )
 
         # Per-batch work ∝ batch: the novel-shingle set is the batch's
         # distinct shingles anti-joined against the vocab ONCE, counted,

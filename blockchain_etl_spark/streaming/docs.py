@@ -288,7 +288,24 @@ class DocIngest:
         chunk — the signature upsert here cannot be relied on for that,
         since in the replay path it no-ops on its watermark guard), so
         the localCheckpoint never races across threads."""
-        self.index.upsert(spark, fresh.select("doc_id", "text"), watermark=batch_id)
+        # ONE shingle pass per batch for every shingle-grain plane (the
+        # MinHash signatures and the novelty vocab read identical
+        # (doc_id, shingle) rows): at 100 TB the shingle explode is the
+        # dominant map cost of the batch, and re-running it per plane
+        # multiplies exactly the work that dwarfs everything else. The
+        # signature upsert (serial, first) materializes the checkpoint;
+        # the novelty thread then reads cached blocks. In the doctor's
+        # replay path the signature upsert may no-op on its watermark
+        # guard and novelty materializes it instead — benign, the
+        # lineage hangs off the eagerly-checkpointed chunk.
+        from ..plans.dedup import shingle_rows_from_text
+
+        sh = shingle_rows_from_text(
+            fresh.select("doc_id", "text")
+        ).localCheckpoint(eager=False)
+        self.index.upsert(
+            spark, fresh.select("doc_id", "text"), watermark=batch_id, shingles=sh
+        )
         tasks = []
         if self.components is not None:
             # AFTER the signature upsert (call-order contract): component
@@ -331,7 +348,10 @@ class DocIngest:
             # the batch recompute over read_corpus() checkpoints; its own
             # watermark makes the fold replay-safe like every plane above
             tasks.append(("novelty", lambda: self.novelty.fold(
-                spark, fresh.select("doc_id", "text"), watermark=batch_id
+                spark,
+                fresh.select("doc_id", "text"),
+                watermark=batch_id,
+                shingles=sh,
             )))
         if self.drift is not None:
             # distribution telemetry: fold ONLY the docs that actually
