@@ -181,15 +181,22 @@ def _anchor_time(spark) -> float:
     """One sample of the fixed calibration workload: a full lineitem scan
     into a shuffled two-key aggregate — representative of the suite's
     fixed cost (scan + exchange + codegen'd agg), pinned so its ONLY
-    variable across the run is host state. ~0.3-0.6 s at sf0.1 idle."""
+    variable across the run is host state. Min of 2 back-to-back runs:
+    a single GC pause on a one-shot sample would fake a high noise
+    index, while SUSTAINED host load (the round-11 failure mode) still
+    inflates both runs. ~0.2-0.4 s at sf0.1 idle."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
-    t0 = time.perf_counter()
-    li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
-    ).count()
-    return time.perf_counter() - t0
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        ).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def _bench_ingest(spark) -> float:
