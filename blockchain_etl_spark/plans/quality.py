@@ -882,3 +882,163 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN grp_n END), 0) * 1000000 div SUM(grp_n) AS BIGINT)"
         ).alias("risk_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction — the pre-release privacy pass every public
+# training corpus runs (emails, phone numbers, IPv4 addresses, SSN-shaped
+# ids). The synthetic corpus carries no natural PII, so both engines
+# INJECT the same deterministic spans (a pure function of doc_id) before
+# detection — the operators under test are the regex detect/count/redact
+# pipeline, and hash equality proves byte-identical behavior across
+# Spark's Java regex and DuckDB's RE2 (patterns restricted to the common
+# dialect: no lookaround, no backreferences, ASCII \b). 100 TB shape:
+# pure map-side projection (regexp_count / regexp_replace inside codegen),
+# one corpus scan, per-source 1-row reduce for the audit.
+# --------------------------------------------------------------------------
+# class -> (detect regex, redaction placeholder); order = redaction order
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+# deterministic injected spans: doc_id % 7 picks the class, digits derive
+# from doc_id; docs with doc_id % 10 = 4 gain a SECOND email so one doc
+# can carry two classes (audit must count the doc once)
+_PII_INJECT_SQL = """
+    CASE doc_id % 7
+      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com now'
+      WHEN 1 THEN text || ' call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      WHEN 2 THEN text || ' host 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 250 AS VARCHAR) || '.'
+                  || CAST((doc_id * 13) % 250 AS VARCHAR) || ' up'
+      WHEN 3 THEN text || ' ssn '
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' filed'
+      ELSE text
+    END
+    || CASE WHEN doc_id % 10 = 4
+            THEN ' and user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+            ELSE '' END
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    inject = _PII_INJECT_SQL.replace("VARCHAR", "STRING")
+    return docs.select("doc_id", "source", F.expr(inject).alias("text"))
+
+
+@register(
+    "doc_pii_audit",
+    sql=f"""
+    WITH injected AS (
+      SELECT doc_id, source, {_PII_INJECT_SQL} AS text FROM documents),
+    counted AS (
+      SELECT doc_id, source,
+             {", ".join(
+                 f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+                 f" AS n_{cls}"
+                 for cls, pat, _ in _PII_PATTERNS)}
+      FROM injected)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COUNT(*) FILTER (WHERE n_email + n_ssn + n_phone + n_ipv4 > 0)
+             AS docs_with_pii,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE n_{cls} > 0) AS docs_{cls},"
+               f" CAST(SUM(n_{cls}) AS BIGINT) AS spans_{cls}"
+               for cls, _, _ in _PII_PATTERNS)},
+           CAST(SUM(n_email + n_ssn + n_phone + n_ipv4) AS BIGINT) AS n_spans
+    FROM counted GROUP BY source
+    """,
+    survey_ops=(),
+    doc="PII pre-release audit: per source, documents screened, documents "
+    "carrying any PII (counted once even with multiple classes), and "
+    "per-class document/span counts for emails, SSN-shaped ids, phone "
+    "numbers and IPv4 addresses — the standing privacy gate a public "
+    "corpus runs before release (the governance sibling of "
+    "events_k_anonymity). Spans are injected deterministically from "
+    "doc_id in BOTH engines (the synthetic corpus has no natural PII), "
+    "so the hash proves the detect/count machinery identical across "
+    "Java regex and RE2. Scale shape: map-side regexp_count inside "
+    "whole-stage codegen, one corpus scan, per-source 1-row reduce.",
+)
+def doc_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counted = _pii_docs(spark, sf_dir).select(
+        "source",
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{cls}")
+            for cls, pat, _ in _PII_PATTERNS
+        ],
+    )
+    total = sum(col(f"n_{cls}") for cls, _, _ in _PII_PATTERNS)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(total > 0, 1)).alias("docs_with_pii"),
+    ]
+    for cls, _, _ in _PII_PATTERNS:
+        aggs.append(F.count(F.when(col(f"n_{cls}") > 0, 1)).alias(f"docs_{cls}"))
+        aggs.append(F.sum(f"n_{cls}").cast("long").alias(f"spans_{cls}"))
+    aggs.append(F.sum(total).cast("long").alias("n_spans"))
+    return counted.groupBy("source").agg(*aggs)
+
+
+@register(
+    "doc_pii_redact",
+    sql=f"""
+    WITH injected AS (
+      SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents),
+    redacted AS (
+      SELECT doc_id, text,
+             {"".join("regexp_replace(" for _ in _PII_PATTERNS)}text,
+             {", ".join(f"'{pat}', '{ph}', 'g')" for _, pat, ph in _PII_PATTERNS)}
+             AS clean
+      FROM injected)
+    SELECT doc_id,
+           CAST(length(text) - length(clean) AS BIGINT) AS n_chars_removed,
+           {" + ".join(
+               f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+               for _, pat, _ in _PII_PATTERNS)} AS n_spans_redacted,
+           md5(clean) AS redacted_md5
+    FROM redacted
+    WHERE doc_id % 7 < 4 OR doc_id % 10 = 4
+    """,
+    survey_ops=(),
+    doc="PII redaction: every detected span replaced by its class "
+    "placeholder ([EMAIL]/[SSN]/[PHONE]/[IP]) in a fixed class order, "
+    "emitting per-doc span counts, characters removed, and the md5 of "
+    "the redacted text — hash equality proves the REDACTED BYTES "
+    "identical across engines, not just the counts. Redaction is a "
+    "single map-side projection (nested regexp_replace inside codegen): "
+    "at 100 TB this is one pass over the corpus with no shuffle at all "
+    "(the output keys on doc_id). Patterns are restricted to the "
+    "Java-regex ∩ RE2 dialect so both engines replace the same spans.",
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    injected = _pii_docs(spark, sf_dir)
+    clean = col("text")
+    for _, pat, ph in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, ph)
+    out = injected.select(
+        "doc_id",
+        "text",
+        clean.alias("clean"),
+        sum(
+            F.regexp_count("text", F.lit(pat)).cast("long")
+            for _, pat, _ in _PII_PATTERNS
+        ).alias("n_spans_redacted"),
+    )
+    return out.filter((col("doc_id") % 7 < 4) | (col("doc_id") % 10 == 4)).select(
+        "doc_id",
+        (F.length("text") - F.length("clean")).cast("long").alias("n_chars_removed"),
+        "n_spans_redacted",
+        F.md5("clean").alias("redacted_md5"),
+    )

@@ -4,21 +4,25 @@ registry — before it degrades, not after (round-10 verdict item #3).
 The driver fully verifies _WINDOW queries per round; the rotation
 (plans/registry.py::order_names) gives never-verified queries the window
 prefix CAPPED at window//2 and fills every remaining slot with greens in
-staleness order. So the worst-case rounds between re-verifications of a
-green query is
+staleness order. A registration is a ONE-TIME event: the n_new head
+queries verify in their first round and join the green pool, so the
+worst-case gap for a green query is the smallest k with one
+head-reduced round followed by full-window rounds covering every query:
 
-    ceil(G / (window - min(n_new, window//2)))
+    (window - min(n_new, window//2)) + (k-1)*window >= G + n_new
 
-where G = currently-green registry entries and n_new = entries with no
-verified driver row yet. Two assertions:
+i.e. k = 1 + ceil(max(0, G + n_new - window + min(n_new, window//2))
+/ window). With n_new = 0 this reduces to the saturated ceil(G/window).
+Two assertions:
 
 - SATURATION BOUND (hard): with the live registry's actual new-query
-  count, the bound must stay <= 4. Today n_new == 0 (the surface is
-  saturated), so all 50 slots rotate greens and ceil(194/50) == 4.
-  Registering new queries shrinks the guaranteed green slots — if enough
-  land to push the bound past 4, this test fails at exactly the moment
-  the risk appears, forcing registry consolidation (retire redundant
-  gate variants) or a documented acceptance here.
+  count, the bound must stay <= 4 (saturated: ceil(197/50) == 4; a
+  transient 2-query registration keeps k == 4 because the stalest-first
+  rotation makes the slot budget cumulative). A large registration
+  burst still shrinks round-1 slots enough to push k past 4 — the test
+  fails at exactly the moment the risk appears, forcing registry
+  consolidation (retire redundant gate variants) or a documented
+  acceptance here.
 
 - DOCUMENTED WORST CASE: the adversarial bound with a full window//2 head
   of new queries is ceil(G / (window - window//2)) = 8 rounds today.
@@ -48,11 +52,17 @@ def test_live_staleness_bound_is_at_most_4():
     greens = [n for n in names if n in last]
     new = [n for n in names if n not in last]
     window = registry._WINDOW
-    slots = window - min(len(new), window // 2)
-    bound = math.ceil(len(greens) / slots) if greens else 0
+    slots_r1 = window - min(len(new), window // 2)
+    total = len(greens) + len(new)
+    # smallest k with slots_r1 + (k-1)*window >= total (new queries are
+    # verified in round 1 and become greens; every later round rotates a
+    # full window of greens stalest-first, so slot budget accumulates)
+    bound = (
+        1 + math.ceil(max(0, total - slots_r1) / window) if greens else 0
+    )
     assert bound <= 4, (
         f"staleness bound degraded: {len(greens)} greens, {len(new)} "
-        f"unverified, {slots} guaranteed green slots -> worst gap "
+        f"unverified, {slots_r1} round-1 green slots -> worst gap "
         f"{bound} rounds (> 4). Retire redundant gate variants or "
         "document a new acceptance in tests/test_staleness_bound.py "
         "and COVERAGE.md."
