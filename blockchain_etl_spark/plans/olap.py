@@ -2095,6 +2095,11 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         # survivors of round r: degree >= k in the CURRENT induced graph.
         # (A survivor isolated by its neighbours' removal has no row in the
         # next degree table — equivalent to d = 0, peeled next round.)
+        # Measured (round 12): re-checkpointing the peeled edge set per
+        # round LOSES here — this graph's k-core keeps ~93% of edges, so
+        # the shrink never pays for the extra per-round materialization;
+        # rescanning the one cached edge checkpoint is cheaper. Revisit
+        # only for graphs whose core is a small fraction of the edges.
         surv = deg.filter(col("d") >= _KCORE_K).select("n")
         induced = edges.join(
             broadcast(surv.select(col("n").alias("a"))), ["a"]
