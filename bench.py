@@ -90,7 +90,17 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
     anchor_samples.append(_anchor_time(spark))
-    noise_idx = round(max(anchor_samples) / min(anchor_samples), 2)
+    # Trimmed extremes (2nd-largest / 2nd-smallest with >= 6 samples):
+    # a SINGLE outlier sample — one GC pause, one cold page-cache hit —
+    # must not brand a clean run as noisy, while sustained load still
+    # lifts several samples and keeps the flag honest (measured A/B,
+    # round 12: a genuinely degraded run reads 2.06 trimmed, a clean
+    # run whose first sample spiked reads 1.39 trimmed vs 4.42 raw).
+    # The raw series lands in BENCH_DETAIL.json for forensics.
+    srt = sorted(anchor_samples)
+    noise_idx = round(
+        (srt[-2] / srt[1]) if len(srt) >= 6 else (srt[-1] / srt[0]), 2
+    )
     print(
         f"# anchor: {len(anchor_samples)} samples "
         f"min={min(anchor_samples):.3f}s max={max(anchor_samples):.3f}s "
@@ -136,9 +146,11 @@ def main() -> None:
         "single-run wall-clock on this shared VM varies +/-30-40% with host "
         "state (measured round 4: same code, 74.4s vs 91.9s totals 40min "
         "apart; round 11's artifact read +49% vs round 10 purely from load). "
-        "host_noise_index = max/min of a fixed calibration query re-timed "
-        "every 20 queries: near 1.0 the numbers are decision-grade; above "
-        "~1.5 compare medians of repeated runs, not single-run deltas"
+        "host_noise_index = 2nd-largest/2nd-smallest of a fixed "
+        "calibration query re-timed (min-of-2) every 20 queries — "
+        "single-sample outliers trimmed, sustained load still flags: "
+        "near 1.0 the numbers are decision-grade; above ~1.5 compare "
+        "medians of repeated runs, not single-run deltas"
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
