@@ -94,3 +94,36 @@ def test_gate_and_non_gate_merge_sequences_interleave(spark, tmp_path):
     assert t.current_version() == 3
     assert t.watermark() == 3
     assert t.read(spark).count() == 12
+
+
+def test_gate_scoped_chunk_write_keeps_commit_protocol(spark, tmp_path):
+    """Inside a gate, DocIngest chunk writes go through the Arrow writer —
+    which must still leave the _SUCCESS marker _complete_chunks keys on
+    (regression: the first Arrow-write cut dropped it and every chunk
+    became invisible crash debris, corpus watermark -1)."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    docs = spark.range(0, 40).selectExpr(
+        "id AS doc_id",
+        "concat('alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa word', CAST(id AS STRING),"
+        " ' quebec romeo sierra tango uniform victor whiskey xray yankee "
+        "zulu one two three four five six seven eight nine ten') AS text",
+    )
+    ing = DocIngest(str(tmp_path / "lake"))
+    with gate_shuffle(spark):
+        ing.process_batch(docs, 1)
+    assert ing._complete_chunks() == [1]
+    chunk = os.path.join(str(tmp_path / "lake"), "docs", "chunk=1")
+    files = sorted(os.listdir(chunk))
+    assert files == ["_SUCCESS", "part-00000.parquet"]
+    assert ing.plane_watermarks()["corpus_chunks"] == 1
+    rep = ing.audit()
+    assert rep["consistent"], rep
+    # and the lake keeps working OUTSIDE the gate afterwards
+    ing.process_batch(
+        docs.selectExpr("doc_id + 100 AS doc_id", "concat(text, ' more') AS text"),
+        2,
+    )
+    assert ing._complete_chunks() == [1, 2]
+    assert ing.read_corpus(spark).count() == 80
