@@ -507,3 +507,35 @@ def test_gate_shuffle_rejects_nested_entry(spark):
     with gate_shuffle(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_gate_shuffle_restores_every_pinned_conf(spark):
+    """The gate pins shuffle width, AQE, codegen, and constraint
+    propagation; a missed restore would leave codegen OFF session-wide
+    and silently slow every later query. Assert each key flips inside
+    the scope and returns to its prior value after — on both the clean
+    and the exception exit path."""
+    from blockchain_etl_spark.session import gate_shuffle
+
+    keys = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.codegen.wholeStage",
+        "spark.sql.codegen.factoryMode",
+        "spark.sql.constraintPropagation.enabled",
+    )
+    before = {k: spark.conf.get(k) for k in keys}
+    gate_vals = {
+        "spark.sql.shuffle.partitions": "1",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        "spark.sql.constraintPropagation.enabled": "false",
+    }
+    with gate_shuffle(spark):
+        assert {k: spark.conf.get(k) for k in keys} == gate_vals
+    assert {k: spark.conf.get(k) for k in keys} == before
+    with pytest.raises(RuntimeError, match="gate body died"):
+        with gate_shuffle(spark):
+            raise RuntimeError("gate body died")
+    assert {k: spark.conf.get(k) for k in keys} == before
