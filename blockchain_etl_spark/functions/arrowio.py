@@ -22,8 +22,21 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 
 from pyspark.sql import DataFrame
+
+# Hard bound on rows collected driver-side, enforcing the "bounded gate
+# corpus" invariant structurally instead of by convention: the collect
+# runs through a LIMIT of cap+1, so even a runaway fold lineage can
+# never materialize more than cap+1 rows on the driver — same
+# legitimacy class as the union-find collect cap
+# (operators/component_index.py:_DRIVER_UF_CAP). Sized ~4 orders above
+# the GATE_DOC_CAP=1200 doc-grain frames so shingle-grain planes
+# (postings ~ docs x distinct shingles) and the 10x scaling probe stay
+# on the fast path, while anything lake-proportional falls back to the
+# distributed writer.
+_DRIVER_ROWS_CAP = 5_000_000
 
 
 def write_parquet_driver(
@@ -31,8 +44,9 @@ def write_parquet_driver(
 ) -> bool:
     """Overwrite ``directory`` with ``df``'s rows as ONE parquet file,
     collected through the Arrow path. Returns False (writing nothing)
-    when the frame's schema doesn't round-trip through Arrow — the
-    caller falls back to the distributed writer. Matches
+    when the frame's schema doesn't round-trip through Arrow OR the
+    frame overflows ``_DRIVER_ROWS_CAP`` — the caller falls back to
+    the distributed writer either way. Matches
     ``df.write.mode("overwrite").parquet(directory)`` semantics: the
     target directory is replaced atomically-enough for the merge
     targets' publish model (the version pointer flip is the real
@@ -43,11 +57,33 @@ def write_parquet_driver(
     DocIngest._complete_chunks rely on (a crash mid-write leaves a
     marker-less dir = in-flight debris, exactly as with the
     distributed writer)."""
+    import pyarrow.lib
     import pyarrow.parquet as pq
+    from pyspark.errors import PySparkTypeError
 
     try:
-        tbl = df.toArrow()
-    except Exception:
+        # LIMIT cap+1 bounds the collect structurally (one execution —
+        # the limit rides the same job); a frame that overflows it is
+        # not a gate-bounded frame and takes the distributed writer.
+        tbl = df.limit(_DRIVER_ROWS_CAP + 1).toArrow()
+    except (PySparkTypeError, pyarrow.lib.ArrowException) as exc:
+        # ONLY Arrow-conversion misses route to the fallback — an
+        # execution failure in the fold lineage propagates (the
+        # distributed writer would fail identically; retrying it
+        # would just mask the real error with duplicated work).
+        print(
+            f"# arrowio: toArrow() miss ({type(exc).__name__}), "
+            f"falling back to the distributed writer for {directory}",
+            file=sys.stderr,
+        )
+        return False
+    if tbl.num_rows > _DRIVER_ROWS_CAP:
+        print(
+            f"# arrowio: frame exceeds _DRIVER_ROWS_CAP="
+            f"{_DRIVER_ROWS_CAP} rows, falling back to the distributed "
+            f"writer for {directory}",
+            file=sys.stderr,
+        )
         return False
     shutil.rmtree(directory, ignore_errors=True)
     os.makedirs(directory, exist_ok=True)

@@ -114,10 +114,15 @@ def gate_shuffle(spark: SparkSession, partitions: int = 1):
         "spark.sql.constraintPropagation.enabled": "false",
     }
     prev = {k: conf.get(k) for k in pinned}
-    _GATE_SHUFFLE_ACTIVE = True
-    for k, v in pinned.items():
-        conf.set(k, v)
+    # Flag latch and conf pinning INSIDE the try: if a conf.set raises
+    # mid-loop (stopped/misconfigured session) the finally still clears
+    # the latch and restores every key — restoring an unpinned key to
+    # its current value is a no-op, so a partial pin can't leave the
+    # session half-gated or permanently lock out later gates.
     try:
+        _GATE_SHUFFLE_ACTIVE = True
+        for k, v in pinned.items():
+            conf.set(k, v)
         yield
     finally:
         _GATE_SHUFFLE_ACTIVE = False

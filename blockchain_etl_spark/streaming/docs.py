@@ -307,6 +307,7 @@ class DocIngest:
             spark, fresh.select("doc_id", "text"), watermark=batch_id, shingles=sh
         )
         tasks = []
+        sh_consumers = []  # names of CONCURRENT tasks reading ``sh``
         if self.components is not None:
             # AFTER the signature upsert (call-order contract): component
             # maintenance reads the signatures that already include this
@@ -353,6 +354,7 @@ class DocIngest:
                 watermark=batch_id,
                 shingles=sh,
             )))
+            sh_consumers.append("novelty")
         if self.drift is not None:
             # distribution telemetry: fold ONLY the docs that actually
             # entered the corpus (post quality + dedup), so the maintained
@@ -366,6 +368,17 @@ class DocIngest:
             tasks.append(("vectors", lambda: self._fold_vector_plane(
                 spark, fresh, batch_id
             )))
+        # The lazy ``sh`` checkpoint is normally materialized by the
+        # SERIAL signature upsert above; in the doctor's replay path
+        # that upsert may no-op on its watermark guard, shifting
+        # materialization into whichever thread touches ``sh`` first.
+        # Benign with ONE concurrent consumer (novelty today) — but two
+        # would race the materialization, so the single-consumer
+        # contract is enforced here instead of by convention: a second
+        # shingle-grain plane forces an eager materialization (one
+        # cheap count on the ≤GATE-batch frame) before the fan-out.
+        if len(sh_consumers) > 1:
+            sh.count()
         self._run_plane_tasks(tasks)
         # the hash-inventory merge commits LAST: its watermark is the
         # replay guard at the top, so every index upsert above must be

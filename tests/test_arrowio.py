@@ -40,6 +40,111 @@ def test_arrow_write_success_marker_and_overwrite(spark, tmp_path):
     assert back.count() == 3
 
 
+def test_arrow_miss_falls_back_to_distributed_writer(spark, tmp_path, monkeypatch):
+    """The Arrow-miss fallback contract: a schema that does not convert
+    to Arrow (CalendarIntervalType) returns False from
+    write_parquet_driver WITHOUT touching the target directory, and a
+    gate-scoped merge whose Arrow write misses lands in the
+    distributed writer with identical committed state (a miss silently
+    changes the write PATH, never the rows)."""
+    # leg 1: a REAL conversion miss on the real function
+    iv = spark.range(0, 7).selectExpr(
+        "id AS k", "make_interval(0, 0, 0, CAST(id AS INT)) AS iv"
+    )
+    d = str(tmp_path / "miss")
+    with gate_shuffle(spark):
+        assert write_parquet_driver(iv, d) is False
+    assert not os.path.exists(d)  # a miss writes NOTHING
+
+    # leg 2: caller routing on a miss — force the miss (no parquet-
+    # writable type fails Arrow conversion in this Spark build, so the
+    # real-schema miss can't drive the caller end-to-end) and assert
+    # the gate-scoped merge falls through to the distributed writer
+    import blockchain_etl_spark.functions.arrowio as arrowio
+
+    monkeypatch.setattr(
+        arrowio, "write_parquet_driver", lambda *a, **k: False
+    )
+    df = spark.range(0, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = ParquetMergeTarget(str(tmp_path / "miss_target"))
+    with gate_shuffle(spark):
+        t.merge_with(
+            spark, df,
+            lambda tg, u: merge_latest(tg, u, keys=["k"], order=["v"]),
+            watermark=1,
+        )
+    files = os.listdir(os.path.join(str(tmp_path / "miss_target"), "v=1"))
+    assert "_SUCCESS" in files  # distributed commit protocol ran
+    monkeypatch.undo()
+    t_ref = ParquetMergeTarget(str(tmp_path / "ref_target"))
+    t_ref.merge_with(
+        spark, df,
+        lambda tg, u: merge_latest(tg, u, keys=["k"], order=["v"]),
+        watermark=1,
+    )
+    assert sorted(t.read(spark).collect(), key=str) == sorted(
+        t_ref.read(spark).collect(), key=str
+    )
+    assert t.current_version() == 1 and t.watermark() == 1
+
+
+def test_rows_cap_falls_back_to_distributed_writer(spark, tmp_path, monkeypatch):
+    """A frame that overflows _DRIVER_ROWS_CAP is by definition not a
+    gate-bounded frame: write_parquet_driver must refuse (False) so the
+    caller keeps the distributed writer — the 'bounded gate corpus'
+    invariant enforced structurally, not by convention."""
+    import blockchain_etl_spark.functions.arrowio as arrowio
+
+    monkeypatch.setattr(arrowio, "_DRIVER_ROWS_CAP", 50)
+    big = spark.range(0, 51).select(F.col("id").alias("k"))
+    ok = spark.range(0, 50).select(F.col("id").alias("k"))
+    d_big, d_ok = str(tmp_path / "big"), str(tmp_path / "ok")
+    with gate_shuffle(spark):
+        assert arrowio.write_parquet_driver(big, d_big) is False
+        assert arrowio.write_parquet_driver(ok, d_ok) is True
+    assert not os.path.exists(d_big)
+    assert spark.read.parquet(d_ok).count() == 50
+
+
+def test_gate_shuffle_restores_confs_when_pin_fails(spark, monkeypatch):
+    """If conf pinning raises mid-loop, the latch must clear and every
+    already-pinned conf must be restored — otherwise the session keeps
+    codegen/AQE half-disabled and every later gate raises 'not
+    reentrant' (round-13 hardening of the session-global override)."""
+    from blockchain_etl_spark import session as sess
+
+    keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.codegen.wholeStage",
+    ]
+    before = {k: spark.conf.get(k) for k in keys}
+    real_set = spark.conf.set
+    calls = {"n": 0}
+
+    def boom(k, v):
+        calls["n"] += 1
+        if calls["n"] == 3:  # fail mid-pin, after two keys are set
+            raise RuntimeError("injected conf failure")
+        real_set(k, v)
+
+    monkeypatch.setattr(spark.conf, "set", boom)
+    try:
+        with gate_shuffle(spark):
+            raise AssertionError("gate body must not run")
+    except RuntimeError as exc:
+        assert "injected conf failure" in str(exc)
+    monkeypatch.undo()
+    assert {k: spark.conf.get(k) for k in keys} == before
+    assert not sess.gate_scope_active()
+    # and the session is NOT locked out: a later gate enters cleanly
+    with gate_shuffle(spark):
+        assert sess.gate_scope_active()
+    assert not sess.gate_scope_active()
+
+
 def test_merge_target_uses_arrow_writer_only_in_gate_scope(spark, tmp_path):
     t_out = ParquetMergeTarget(str(tmp_path / "outside"))
     df = spark.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("v"))
