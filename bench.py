@@ -22,6 +22,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _trimmed_noise_index(anchor_samples: list[float]) -> float:
+    """Trimmed extremes (2nd-largest / 2nd-smallest with >= 6 samples):
+    a SINGLE outlier sample — one GC pause, one cold page-cache hit —
+    must not brand a clean run as noisy, while sustained load still
+    lifts several samples and keeps the flag honest (measured A/B,
+    round 12: a genuinely degraded run reads 2.06 trimmed, a clean
+    run whose first sample spiked reads 1.39 trimmed vs 4.42 raw).
+    The raw series lands in BENCH_DETAIL.json for forensics."""
+    srt = sorted(anchor_samples)
+    return round(
+        (srt[-2] / srt[1]) if len(srt) >= 6 else (srt[-1] / srt[0]), 2
+    )
+
+
+def _run_query_pass(spark, queries, reps: int, pass_no: int) -> dict:
+    """ONE full timed pass over every registered query, anchor-bracketed.
+    Returns timings + the pass's own noise evidence so the caller can
+    decide whether the pass is decision-grade."""
+    anchor_samples: list[float] = []
+    anchor_samples.append(_anchor_time(spark))
+    load_start = os.getloadavg()[0]
+
+    # Per-query time = MIN over REPS full re-executions (build + count,
+    # cache cleared between reps): the criterion-style minimum removes
+    # GC/JIT scheduling noise that dominates sub-second queries without
+    # hiding any real work — every rep runs the whole plan. A query
+    # whose rep spread exceeds 1.5x (worst/best over ANY reps, not just
+    # a first-rep spike — a spike on rep 2 of 2 is equally suspect) is
+    # noise-suspect: it gets ONE extra rep so a transient spike can't
+    # masquerade as the query's cost (and the extra rep never recurses).
+    timings: dict[str, float] = {}
+    failed: list[str] = []
+    for qi, (name, fn) in enumerate(sorted(queries.items())):
+        if qi and qi % 20 == 0:
+            anchor_samples.append(_anchor_time(spark))
+        best, worst, n = None, None, 0
+        try:
+            r = 0
+            while r < reps or (r == reps and worst / best > 1.5):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                worst = dt if worst is None else max(worst, dt)
+                spark.catalog.clearCache()  # no cross-query cache interference
+                r += 1
+        except Exception as exc:  # one bad query must not lose the run
+            failed.append(name)
+            spark.catalog.clearCache()
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+            continue
+        timings[name] = round(best, 3)
+        print(
+            f"# [pass {pass_no}] {name}: {timings[name]:.3f}s rows={n}",
+            file=sys.stderr,
+        )
+    anchor_samples.append(_anchor_time(spark))
+    noise_idx = _trimmed_noise_index(anchor_samples)
+    print(
+        f"# [pass {pass_no}] anchor: {len(anchor_samples)} samples "
+        f"min={min(anchor_samples):.3f}s max={max(anchor_samples):.3f}s "
+        f"host_noise_index={noise_idx}",
+        file=sys.stderr,
+    )
+    return {
+        "timings": timings,
+        "failed": failed,
+        "anchor_samples": anchor_samples,
+        "noise_idx": noise_idx,
+        "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+    }
+
+
 def main() -> None:
     from blockchain_etl_spark.plans.registry import get_queries
     from blockchain_etl_spark.session import get_spark
@@ -50,63 +124,52 @@ def main() -> None:
     # host load (judge A/B on the idle host: 0.98x) — min-of-reps defends
     # against per-query spikes but not a loaded host across the whole run.
     # The anchor makes that visible in the artifact itself:
-    # host_noise_index = max/min anchor time across the run. ~1.0 means
-    # the numbers are decision-grade; >>1 means compare medians of
+    # host_noise_index = trimmed max/min anchor time across the run. ~1.0
+    # means the numbers are decision-grade; >>1 means compare medians of
     # repeated runs, not this run's deltas.
-    anchor_samples: list[float] = []
     _anchor_time(spark)  # warm the anchor plan itself (codegen), unmeasured
-    anchor_samples.append(_anchor_time(spark))
-    load_start = os.getloadavg()[0]
 
-    # Per-query time = MIN over REPS full re-executions (build + count,
-    # cache cleared between reps): the criterion-style minimum removes
-    # GC/JIT scheduling noise that dominates sub-second queries without
-    # hiding any real work — every rep runs the whole plan. A query whose
-    # first rep exceeds 1.5x its min is noise-suspect: it gets one extra
-    # rep so a transient spike can't masquerade as the query's cost.
+    # Decision-grade retry (round-13): a pass whose own noise index
+    # exceeds the threshold is a load-tainted measurement — rerun the
+    # WHOLE query pass (up to SPARK_GRAFT_BENCH_PASSES total) and keep
+    # the pass with the LOWEST index, so the committed artifact is the
+    # closest thing to an idle-host median this run could observe
+    # instead of whatever host state the first pass happened to hit.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    timings: dict[str, float] = {}
-    failed: list[str] = []
-    for qi, (name, fn) in enumerate(sorted(queries.items())):
-        if qi and qi % 20 == 0:
-            anchor_samples.append(_anchor_time(spark))
-        best, first, n = None, None, 0
-        try:
-            r = 0
-            while r < reps or (r == reps and first / best > 1.5):
-                t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
-                n = df.count()
-                dt = time.perf_counter() - t0
-                first = dt if first is None else first
-                best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()  # no cross-query cache interference
-                r += 1
-        except Exception as exc:  # one bad query must not lose the run
-            failed.append(name)
-            spark.catalog.clearCache()
-            print(f"# {name}: FAILED {exc}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-    anchor_samples.append(_anchor_time(spark))
-    # Trimmed extremes (2nd-largest / 2nd-smallest with >= 6 samples):
-    # a SINGLE outlier sample — one GC pause, one cold page-cache hit —
-    # must not brand a clean run as noisy, while sustained load still
-    # lifts several samples and keeps the flag honest (measured A/B,
-    # round 12: a genuinely degraded run reads 2.06 trimmed, a clean
-    # run whose first sample spiked reads 1.39 trimmed vs 4.42 raw).
-    # The raw series lands in BENCH_DETAIL.json for forensics.
-    srt = sorted(anchor_samples)
-    noise_idx = round(
-        (srt[-2] / srt[1]) if len(srt) >= 6 else (srt[-1] / srt[0]), 2
-    )
-    print(
-        f"# anchor: {len(anchor_samples)} samples "
-        f"min={min(anchor_samples):.3f}s max={max(anchor_samples):.3f}s "
-        f"host_noise_index={noise_idx}",
-        file=sys.stderr,
-    )
+    noise_max = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_MAX", "1.4"))
+    max_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    chosen = None
+    passes_summary: list[dict] = []
+    for pass_no in range(1, max_passes + 1):
+        p = _run_query_pass(spark, queries, reps, pass_no)
+        passes_summary.append(
+            {
+                "pass": pass_no,
+                "host_noise_index": p["noise_idx"],
+                "total_sec": round(sum(p["timings"].values()), 3),
+                "loadavg_1m": p["loadavg"],
+                "n_failed": len(p["failed"]),
+            }
+        )
+        # a pass that failed fewer queries wins outright; otherwise
+        # the lowest-noise pass wins
+        if chosen is None or (len(p["failed"]), p["noise_idx"]) < (
+            len(chosen["failed"]), chosen["noise_idx"]
+        ):
+            chosen = p
+        if p["noise_idx"] <= noise_max and not p["failed"]:
+            break
+        if pass_no < max_passes:
+            print(
+                f"# pass {pass_no} not decision-grade "
+                f"(noise {p['noise_idx']} > {noise_max} or failures) — "
+                f"rerunning",
+                file=sys.stderr,
+            )
+    timings = chosen["timings"]
+    failed = chosen["failed"]
+    anchor_samples = chosen["anchor_samples"]
+    noise_idx = chosen["noise_idx"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -120,28 +183,44 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "host_noise_index": noise_idx,
-        "loadavg_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+        "loadavg_1m": chosen["loadavg"],
+        "bench_passes": len(passes_summary),
     }
     if failed:
         result["failed"] = failed
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
         result["oracle_duckdb"] = _bench_oracle(reps)
-    try:
-        result["blocks_per_sec"] = _bench_ingest(spark)
-    except Exception as exc:  # ingest bench must not lose the query run
-        print(f"# ingest bench FAILED: {exc}", file=sys.stderr)
-    try:
-        result["docs_per_sec"] = _bench_doc_ingest(spark)
-    except Exception as exc:  # corpus bench must not lose the query run
-        print(f"# corpus ingest bench FAILED: {exc}", file=sys.stderr)
-    try:
-        result["ivm_rows_per_sec"] = _bench_ivm(spark)
-    except Exception as exc:  # ivm bench must not lose the query run
-        print(f"# ivm bench FAILED: {exc}", file=sys.stderr)
+    # Throughput benches run ONCE, each bracketed by its own anchor
+    # sample so the single-run rates carry noise context (round-12
+    # lesson: docs/s read 273 vs 376 across rounds purely from host
+    # state, with nothing in the artifact to tell which was clean).
+    throughput_anchors: dict[str, list[float]] = {}
+
+    def _with_anchor(key: str, fn):
+        a0 = _anchor_time(spark)
+        try:
+            result[key] = fn(spark)
+        except Exception as exc:  # a throughput bench must not lose the run
+            print(f"# {key} bench FAILED: {exc}", file=sys.stderr)
+            return
+        throughput_anchors[key] = [round(a0, 3), round(_anchor_time(spark), 3)]
+
+    _with_anchor("blocks_per_sec", _bench_ingest)
+    _with_anchor("docs_per_sec", _bench_doc_ingest)
+    _with_anchor("ivm_rows_per_sec", _bench_ivm)
     # Full detail always lands on disk next to this script.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     detail = dict(result)
     detail["anchor_samples_sec"] = [round(a, 3) for a in anchor_samples]
+    detail["passes"] = passes_summary
+    detail["throughput_anchor_sec"] = {
+        k: v
+        + [round(max(v) / min(v), 2), round(min(v) / min(anchor_samples), 2)]
+        for k, v in throughput_anchors.items()
+        # [before, after, spread, vs_query_pass_floor]: spread flags load
+        # DURING the bench; vs-floor flags a host already degraded vs the
+        # selected query pass's anchor minimum
+    }
     detail["measurement_note"] = (
         "single-run wall-clock on this shared VM varies +/-30-40% with host "
         "state (measured round 4: same code, 74.4s vs 91.9s totals 40min "
@@ -150,7 +229,12 @@ def main() -> None:
         "calibration query re-timed (min-of-2) every 20 queries — "
         "single-sample outliers trimmed, sustained load still flags: "
         "near 1.0 the numbers are decision-grade; above ~1.5 compare "
-        "medians of repeated runs, not single-run deltas"
+        "medians of repeated runs, not single-run deltas. A pass whose "
+        "index exceeds SPARK_GRAFT_BENCH_NOISE_MAX (default 1.4) is "
+        "rerun (up to SPARK_GRAFT_BENCH_PASSES=3 passes) and the "
+        "lowest-noise pass is the one committed — see 'passes' for "
+        "every pass's summary. Throughput rates are single-run, "
+        "bracketed by their own anchors in throughput_anchor_sec"
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
