@@ -449,3 +449,85 @@ def events_seasonal_baseline_eval(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(SUM(abs_err) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("mae_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# T7/T8 driver gate: the gateway status state machine as a batch twin —
+# CASE over joined state, the classification the reference recomputes
+# per block for every gateway (src/be_db_gateway_status.erl:247-281).
+# --------------------------------------------------------------------------
+@register(
+    "gateway_online_classification",
+    sql="""
+    WITH h AS (SELECT MAX(event_id) AS h FROM events),
+    st AS (
+      SELECT user_id AS gateway,
+             COALESCE(MAX(CASE WHEN event_type = 'signup' AND value >= 140.0
+                                THEN event_id END), 0) AS first_block,
+             MAX(CASE WHEN event_type = 'error' THEN event_id END)
+               AS last_poc_challenge,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT st.gateway, c.c_mktsegment AS segment, st.first_block,
+           st.last_poc_challenge, st.n_events,
+           CASE WHEN st.first_block >= h.h - (h.h // 64)
+                  OR (st.last_poc_challenge IS NOT NULL
+                      AND st.last_poc_challenge >= h.h - (h.h // 16))
+                THEN 'online' ELSE 'offline' END AS online
+    FROM st JOIN customer c ON c.c_custkey = st.gateway CROSS JOIN h
+    """,
+    survey_ops=("T7", "T8", "J1"),
+    doc="Gateway online/offline status machine as a batch twin "
+    "(src/be_db_gateway_status.erl:247-281: online iff recently "
+    "added/asserted OR PoC-active within the interactivity window), "
+    "driven through streaming/state.classify_gateway_online — the SAME "
+    "CASE the streaming classifier applies, here over JOINED state: "
+    "per-gateway liveness aggregated from the event log (latest "
+    "high-stake signup = add/assert height; latest error event = last "
+    "PoC challenge) joined to the customer inventory for metadata, the "
+    "reference's inventory-JOIN-status shape. The height clock is one "
+    "bounded scalar read (max event_id — the reference's "
+    "current-height lookup); thresholds derive from it so the "
+    "classification is scale-free. At 100 TB: one hash aggregate over "
+    "the event log + a key join against the gateway inventory — no "
+    "window sort, no driver state beyond the clock scalar.",
+)
+def gateway_online_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.state import classify_gateway_online
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    # the classifier's current-height input: one bounded scalar read,
+    # same legitimacy class as a stream's groupState clock
+    height = ev.agg(F.max("event_id")).collect()[0][0]
+    state = ev.groupBy(col("user_id").alias("gateway")).agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (col("event_type") == "signup") & (col("value") >= 140.0),
+                    col("event_id"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("first_block"),
+        F.max(
+            F.when(col("event_type") == "error", col("event_id"))
+        ).alias("last_poc_challenge"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    gw = state.join(
+        cust.select(
+            col("c_custkey").alias("gateway"),
+            col("c_mktsegment").alias("segment"),
+        ),
+        "gateway",
+    )
+    return classify_gateway_online(
+        gw,
+        height,
+        inactive_blocks=height // 16,
+        recently_added_blocks=height // 64,
+    ).select(
+        "gateway", "segment", "first_block", "last_poc_challenge",
+        "n_events", "online",
+    )
