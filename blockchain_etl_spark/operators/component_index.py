@@ -141,8 +141,21 @@ def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     if sizes[0].n <= _DRIVER_UF_CAP and sizes[1].n <= _DRIVER_UF_CAP:
         from ..functions.localframe import local_df
 
-        edge_rows = [(r[0], r[1]) for r in e.collect()]
-        node_rows = [r[0] for r in n_nodes.collect()]
+        # ONE tagged collect for both bounded frames (the checkpoints
+        # are already materialized by the sizes job, but each collect
+        # still pays a scheduling round trip — the gates' cost unit)
+        both = (
+            e.select(col("src"), col("dst"))
+            .unionByName(
+                n_nodes.select(
+                    col("doc_id").alias("src"),
+                    F.lit(None).cast("long").alias("dst"),
+                )
+            )
+            .collect()
+        )
+        edge_rows = [(r[0], r[1]) for r in both if r[1] is not None]
+        node_rows = [r[0] for r in both if r[1] is None]
         labeled = _driver_union_find(node_rows, edge_rows)
         # Arrow path (local_df), NOT createDataFrame(list): a plain-list
         # local relation executes through a Python-worker scan stage that

@@ -143,6 +143,47 @@ class ParquetMergeTarget:
             )
         return spark.read.parquet(d)
 
+    def fast_count(self) -> "int | None":
+        """Row count of the CURRENT committed version, read off the
+        parquet file footers driver-side — NO Spark job. Parquet footers
+        carry exact row counts, so this equals ``read().count()`` for
+        any committed version (pinned by tests/test_arrowio.py); the
+        gate-scoped audit reports use it to turn eleven tiny count
+        scans into driver-side metadata reads — the read-side mirror of
+        the gate's driver-side Arrow writes. None when no version is
+        committed (mirrors ``read`` returning None)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        v = self.current_version()
+        if v == 0:
+            return None
+        return sum(
+            pq.read_metadata(p).num_rows
+            for p in _glob.glob(os.path.join(self.path, f"v={v}", "*.parquet"))
+        )
+
+    def fast_read_rows(self) -> "list[dict]":
+        """The CURRENT committed version's rows as driver-side dicts,
+        read via pyarrow — no Spark job. For BOUNDED gate-state frames
+        only (same legitimacy class as fast_count; callers re-enter
+        Spark via an Arrow-backed local frame). Empty list when no
+        version is committed."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        v = self.current_version()
+        if v == 0:
+            return []
+        rows: "list[dict]" = []
+        for p in sorted(
+            _glob.glob(os.path.join(self.path, f"v={v}", "*.parquet"))
+        ):
+            rows.extend(pq.read_table(p).to_pylist())
+        return rows
+
     def versions(self) -> "list[int]":
         """COMMITTED versions still on disk, ascending (time-travel
         candidates). A crashed merge can leave an orphan ``v=N`` directory

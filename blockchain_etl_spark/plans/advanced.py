@@ -512,3 +512,84 @@ def customer_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_balance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F2 driver gate: base64url encode/decode as cross-engine known vectors —
+# reference ?BIN_TO_B64 (include/blockchain_etl.hrl:5-6) URL-safe-encodes
+# every hash/address the API serves.
+# --------------------------------------------------------------------------
+@register(
+    "part_b64url_roundtrip",
+    sql="""
+    SELECT p_partkey,
+           rtrim(translate(base64(encode(p_name)), '+/', '-_'), '=')
+             AS b64u,
+           decode(from_base64(base64(encode(p_name)))) AS decoded_name
+    FROM part
+    """,
+    survey_ops=("F2",),
+    doc="base64url as cross-engine known vectors over every part name "
+    "(reference ?BIN_TO_B64, include/blockchain_etl.hrl:5-6): Spark "
+    "encodes through functions/encoding.b64url_encode (translate + "
+    "unpad over JVM base64 — pure codegen) and decodes back through "
+    "b64url_decode (padding restored from length mod 4); DuckDB "
+    "recomputes both sides from its own base64 primitives. Name "
+    "lengths cover all three padding classes (none/=/==), so the hash "
+    "match IS the RFC 4648 §5 conformance check on real data. "
+    "Map-side only — zero shuffles at any scale.",
+)
+def part_b64url_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.encoding import b64url_decode, b64url_encode
+
+    part = _t(spark, sf_dir, "part")
+    raw = F.encode(col("p_name"), "UTF-8")
+    b64u = b64url_encode(raw)
+    return part.select(
+        "p_partkey",
+        b64u.alias("b64u"),
+        F.decode(b64url_decode(b64u), "UTF-8").alias("decoded_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F12 driver gate: OUI subnet bit unpacking — reference subnet_to_list
+# (src/be_db_oui.erl:100-102) splits a 48-bit packed subnet into
+# [base:25, mask:23] for every OUI routing row.
+# --------------------------------------------------------------------------
+@register(
+    "oui_subnet_unpack",
+    sql="""
+    SELECT s_suppkey, packed,
+           CAST(packed >> 23 AS INTEGER) AS base,
+           CAST(packed & 8388607 AS INTEGER) AS mask
+    FROM (SELECT s_suppkey,
+                 (s_suppkey * 8191 + 12345) % 281474976710656 AS packed
+          FROM supplier) t
+    """,
+    survey_ops=("F12",),
+    doc="48-bit packed OUI subnet unpacking as cross-engine known "
+    "vectors (reference subnet_to_list, src/be_db_oui.erl:100-102: "
+    "[base:25, mask:23]): deterministic packed subnets derived from "
+    "supplier keys, split through functions/encoding."
+    "subnet_to_base_mask (shiftright + bitwiseAND struct — pure JVM "
+    "column expressions); DuckDB recomputes with >>/& integer "
+    "arithmetic. Map-side only — zero shuffles at any scale.",
+)
+def oui_subnet_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.encoding import subnet_to_base_mask
+
+    sup = _t(spark, sf_dir, "supplier")
+    packed = (col("s_suppkey") * F.lit(8191) + F.lit(12345)) % F.lit(
+        281474976710656
+    )
+    bm = subnet_to_base_mask(col("packed"))
+    return (
+        sup.select("s_suppkey", packed.alias("packed"))
+        .select(
+            "s_suppkey",
+            "packed",
+            bm.getField("base").alias("base"),
+            bm.getField("mask").alias("mask"),
+        )
+    )

@@ -1788,7 +1788,7 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_novelty_maintained",
     sql=f"""
     WITH {_td.gate_cap_cte()},
-    d AS (SELECT doc_id, 1 + (doc_id % 3) AS b, text
+    d AS (SELECT doc_id, 1 + ((doc_id // 4) % 2) AS b, text
                FROM capped WHERE doc_id % 4 = 2),
     toks AS (SELECT doc_id, b,
                     list_filter(string_split(text, ' '),
@@ -1812,7 +1812,7 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM s GROUP BY b),
     dh AS (SELECT b AS k, CAST(COUNT(*) AS BIGINT) AS nd
            FROM d GROUP BY b),
-    ks AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT) AS k),
+    ks AS (SELECT CAST(unnest(generate_series(1, 2)) AS BIGINT) AS k),
     cum AS (
       SELECT ks.k,
              CAST(SUM(COALESCE(dh.nd, 0)) OVER w AS BIGINT) AS n_docs,
@@ -1836,7 +1836,7 @@ def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ops=(),
     doc="Maintained Heaps/novelty curve gate: the doc_id % 4 == 2 corpus "
-    "slice streams in as THREE crawl batches (doc_id % 3) folded into a "
+    "slice streams in as TWO crawl batches ((doc_id div 4) % 2) folded into a "
     "persisted ShingleVocabState (operators/vocab_state.py — "
     "first-batch-stamped vocabulary + per-batch curve rows, crash-"
     "ordering contract with the curve as replay guard), then the whole "
@@ -1851,6 +1851,16 @@ def corpus_novelty_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with gate_shuffle(spark):
         return _corpus_novelty_maintained_body(spark, sf_dir)
+
+
+_CURVE_COLS = (
+    "batch_id", "n_docs", "n_postings", "vocab_size", "novelty_ppm",
+    "n_new_shingles", "batch_novelty_ppm",
+)
+_CURVE_DDL = (
+    "batch_id long, n_docs long, n_postings long, vocab_size long, "
+    "novelty_ppm long, n_new_shingles long, batch_novelty_ppm long"
+)
 
 
 def _corpus_novelty_maintained_body(
@@ -1876,11 +1886,25 @@ def _corpus_novelty_maintained_body(
     base = tempfile.mkdtemp(prefix="novelty_state_gate_")
     try:
         st = ShingleVocabState(os.path.join(base, "nov"))
-        for wm in (1, 2, 3):
+        for wm in (1, 2):
             st.fold(
-                spark, docs.filter(col("doc_id") % 3 == wm - 1), watermark=wm
+                spark,
+                docs.filter(F.expr("(doc_id div 4) % 2") == wm - 1),
+                watermark=wm,
             )
-        st.fold(spark, docs.filter(col("doc_id") % 3 == 1), watermark=2)  # replay
-        return st.read_curve(spark).localCheckpoint()
+        st.fold(
+            spark, docs.filter(F.expr("(doc_id div 4) % 2") == 1), watermark=2
+        )  # replay: watermark-guarded no-op
+        # curve read served driver-side off the committed state files
+        # (bounded: one row per batch) — no terminal Spark scan job,
+        # the read-side mirror of the gate's driver-side writes
+        from ..functions.localframe import local_df
+
+        rows = [
+            tuple(r[c] for c in _CURVE_COLS)
+            for r in st.curve.fast_read_rows()
+        ]
+        rows.sort(key=lambda t: t[0])
+        return local_df(spark, rows, _CURVE_DDL)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -917,6 +917,22 @@ class DocIngest:
             .drop("chunk")
         )
 
+    def corpus_row_count(self) -> int:
+        """Admitted crawl rows across every chunk (``read_corpus``'s
+        count), read off the parquet footers driver-side — no Spark job
+        (the read-side mirror of the gate's driver-side chunk writes;
+        equality with read_corpus().count() pinned by
+        tests/test_arrowio.py)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(p).num_rows
+            for d in _glob.glob(os.path.join(self.out_dir, "docs", "chunk=*"))
+            for p in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+
     def read_corpus_current(self, spark: SparkSession) -> DataFrame:
         """One row per doc id: the LATEST admitted crawl's text (max
         chunk wins) — the doc-grain view matching the maintained

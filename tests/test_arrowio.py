@@ -232,3 +232,42 @@ def test_gate_scoped_chunk_write_keeps_commit_protocol(spark, tmp_path):
     )
     assert ing._complete_chunks() == [1, 2]
     assert ing.read_corpus(spark).count() == 80
+
+
+def test_fast_count_equals_spark_count(spark, tmp_path):
+    """Footer-based fast_count must equal read().count() for BOTH write
+    paths (driver Arrow file inside a gate, Spark part files outside),
+    and corpus_row_count must equal read_corpus().count() — the
+    contract the zero-job audit report rests on."""
+    from blockchain_etl_spark.streaming.docs import DocIngest
+
+    t = ParquetMergeTarget(str(tmp_path / "t"))
+    assert t.fast_count() is None
+    df = spark.range(0, 123).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with gate_shuffle(spark):  # v=1 via the driver Arrow writer
+        t.merge_with(
+            spark, df, lambda tg, u: merge_latest(tg, u, keys=["k"], order=["v"]),
+            watermark=1,
+        )
+    assert t.fast_count() == t.read(spark).count() == 123
+    # v=2 via the distributed writer (multiple part files)
+    t.merge_with(
+        spark,
+        spark.range(0, 200).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        lambda tg, u: merge_latest(tg, u, keys=["k"], order=["v"]),
+        watermark=2,
+    )
+    assert t.fast_count() == t.read(spark).count() == 200
+
+    docs = spark.range(0, 60).selectExpr(
+        "id AS doc_id",
+        "concat('alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa word', CAST(id AS STRING),"
+        " ' quebec romeo sierra tango uniform victor whiskey xray yankee "
+        "zulu one two three four five six seven eight nine ten') AS text",
+    )
+    ing = DocIngest(str(tmp_path / "lake"))
+    ing.process_batch(docs.filter(F.col("doc_id") < 30), 1)
+    with gate_shuffle(spark):
+        ing.process_batch(docs.filter(F.col("doc_id") >= 30), 2)
+    assert ing.corpus_row_count() == ing.read_corpus(spark).count() == 60
