@@ -22,18 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _trimmed_noise_index(anchor_samples: list[float]) -> float:
-    """Trimmed extremes (2nd-largest / 2nd-smallest with >= 6 samples):
-    a SINGLE outlier sample — one GC pause, one cold page-cache hit —
-    must not brand a clean run as noisy, while sustained load still
-    lifts several samples and keeps the flag honest (measured A/B,
-    round 12: a genuinely degraded run reads 2.06 trimmed, a clean
-    run whose first sample spiked reads 1.39 trimmed vs 4.42 raw).
-    The raw series lands in BENCH_DETAIL.json for forensics."""
+def _noise_index(anchor_samples: list[float]) -> float:
+    """p75 / min of the anchor series (>= 6 samples): flags load
+    SUSTAINED over more than a quarter of the pass — the only host
+    state that actually moves per-query min-of-reps — while isolated
+    bursts that the reps provably absorb no longer disqualify a run.
+
+    Why not trimmed extremes (the round-12 form, 2nd-largest /
+    2nd-smallest): measured round 13, a fresh session's C2-compilation
+    ramp alone reads 1.88 trimmed on an IDLE host (first ~3 anchor
+    samples decay 0.4 -> 0.2 s as the JIT tiers up), and a pass whose
+    other 9 samples sat in a tight 0.148-0.19 band read 1.67 off two
+    isolated bursts — while three full passes of the same code agreed
+    on total wall within 1%. Against the round-12 reference series the
+    p75 form keeps the discrimination that matters: the genuinely
+    degraded drift run (anchors 0.16 -> 0.38 across the pass) reads
+    ~2.0, the load-tainted r12 artifact series reads 1.48 — both still
+    flagged; the burst-y-but-stable runs pass. Raw series stays in
+    BENCH_DETAIL.json for forensics."""
     srt = sorted(anchor_samples)
-    return round(
-        (srt[-2] / srt[1]) if len(srt) >= 6 else (srt[-1] / srt[0]), 2
-    )
+    if len(srt) < 6:
+        return round(srt[-1] / srt[0], 2)
+    return round(srt[(3 * (len(srt) - 1)) // 4] / srt[0], 2)
 
 
 def _run_query_pass(spark, queries, reps: int, pass_no: int) -> dict:
@@ -80,7 +90,7 @@ def _run_query_pass(spark, queries, reps: int, pass_no: int) -> dict:
             file=sys.stderr,
         )
     anchor_samples.append(_anchor_time(spark))
-    noise_idx = _trimmed_noise_index(anchor_samples)
+    noise_idx = _noise_index(anchor_samples)
     print(
         f"# [pass {pass_no}] anchor: {len(anchor_samples)} samples "
         f"min={min(anchor_samples):.3f}s max={max(anchor_samples):.3f}s "
@@ -124,9 +134,10 @@ def main() -> None:
     # host load (judge A/B on the idle host: 0.98x) — min-of-reps defends
     # against per-query spikes but not a loaded host across the whole run.
     # The anchor makes that visible in the artifact itself:
-    # host_noise_index = trimmed max/min anchor time across the run. ~1.0
-    # means the numbers are decision-grade; >>1 means compare medians of
-    # repeated runs, not this run's deltas.
+    # host_noise_index = p75/min anchor time across the run (flags load
+    # sustained over >1/4 of the pass — what actually moves min-of-reps).
+    # ~1.0 means the numbers are decision-grade; >>1 means compare
+    # medians of repeated runs, not this run's deltas.
     _anchor_time(spark)  # warm the anchor plan itself (codegen), unmeasured
 
     # Decision-grade retry (round-13): a pass whose own noise index
@@ -225,11 +236,15 @@ def main() -> None:
         "single-run wall-clock on this shared VM varies +/-30-40% with host "
         "state (measured round 4: same code, 74.4s vs 91.9s totals 40min "
         "apart; round 11's artifact read +49% vs round 10 purely from load). "
-        "host_noise_index = 2nd-largest/2nd-smallest of a fixed "
-        "calibration query re-timed (min-of-2) every 20 queries — "
-        "single-sample outliers trimmed, sustained load still flags: "
-        "near 1.0 the numbers are decision-grade; above ~1.5 compare "
-        "medians of repeated runs, not single-run deltas. A pass whose "
+        "host_noise_index = p75/min of a fixed calibration query "
+        "re-timed (min-of-2) every 20 queries — flags load sustained "
+        "over >1/4 of the pass (what actually moves per-query "
+        "min-of-reps); isolated bursts and the fresh-session JIT ramp "
+        "no longer disqualify a run whose per-query minima are "
+        "unaffected (r13 A/B: three same-code passes agreed on total "
+        "within 1% while trimmed-extremes read 1.67-2.64). Near 1.0 "
+        "the numbers are decision-grade; above ~1.4 compare medians "
+        "of repeated runs, not single-run deltas. A pass whose "
         "index exceeds SPARK_GRAFT_BENCH_NOISE_MAX (default 1.4) is "
         "rerun (up to SPARK_GRAFT_BENCH_PASSES=3 passes) and the "
         "lowest-noise pass is the one committed — see 'passes' for "
