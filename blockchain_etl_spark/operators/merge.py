@@ -272,11 +272,6 @@ class ParquetMergeTarget:
             return target
         merged = fold(target, updates)
         next_v = self.current_version() + 1
-        if changelog_keys is not None:
-            # materialize the fold once: the diff and the publish below
-            # must see the same rows
-            merged = merged.localCheckpoint()
-            self._write_changelog(target, merged, list(changelog_keys), next_v)
         # Gate scope: the state is bounded by the fixed gate corpus, so
         # the fold executes through ONE Arrow collect and a driver-side
         # file write — skipping the Hadoop commit protocol that
@@ -296,6 +291,17 @@ class ParquetMergeTarget:
             merged.write.mode("overwrite").parquet(
                 os.path.join(self.path, f"v={next_v}")
             )
+        if changelog_keys is not None:
+            # The v=N+1 write above IS the fold's materialization: diff
+            # the COMMITTED files against the old state instead of
+            # paying a separate localCheckpoint job for the same rows
+            # (one fold execution + one disk write, not two fold
+            # executions or an extra in-memory copy). The pointer still
+            # flips last, so a crash between state, changelog, and
+            # publish leaves only unreferenced directories — the same
+            # write-audit-publish guarantee as before.
+            new = spark.read.parquet(os.path.join(self.path, f"v={next_v}"))
+            self._write_changelog(target, new, list(changelog_keys), next_v)
         os.makedirs(self.path, exist_ok=True)
         tmp = self._pointer + ".tmp"
         meta = {"version": next_v}

@@ -2065,17 +2065,37 @@ def _kcore_oracle_sql() -> str:
     "at corpus scale.",
 )
 def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, copairs = _copurchase_pairs(spark, sf_dir)
-    edges = copairs.select("a", "b")
-    edges = edges.localCheckpoint()  # scanned once per round, never rewritten
-
-    def degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(col("a").alias("n"))
-            .unionAll(e.select(col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        )
+    # Incremental-degree peel (round 13): the edge list is folded ONCE into
+    # a node-grain adjacency (n -> distinct co-order neighbours); every
+    # round then maintains degrees by SUBTRACTING the edges lost to that
+    # round's peeled set instead of re-aggregating all 2|E| endpoint rows.
+    # deg_r(n) = deg_{r-1}(n) - #edges(n, peeled_r) is exact: deg_{r-1}
+    # counts edges to surv_{r-1}, deg_r counts edges to surv_r, and
+    # peeled_r = surv_{r-1} \ surv_r (a node isolated by its neighbours'
+    # removal carries d = 0 here — same surv sets, since k > 0). The
+    # per-round cost drops from one full-edge aggregate (the round-12
+    # shape: 6 shuffles of 2|E| rows) to one node-grain scan joined
+    # against the BROADCAST peeled frontier — work ∝ edges actually
+    # peeled, which is exactly the 7%-of-edges this graph loses in total.
+    baskets, _ = _copurchase_pairs(spark, sf_dir)
+    sym = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(items, a -> transform(items,"
+                " b -> struct(a AS n, b AS m)))), p -> p.n != p.m)"
+            )
+        ).alias("p")
+    ).select(col("p.n").alias("n"), col("p.m").alias("m"))
+    # ONE shuffle on the node key builds the adjacency state (collect_set
+    # dedups multi-order co-occurrence — same distinct-pair edge grain as
+    # the copairs CTE the oracle peels); checkpointed once, scanned
+    # node-grain per round, never rewritten.
+    adj = (
+        sym.groupBy("n")
+        .agg(F.collect_set("m").alias("nbrs"))
+        .select("n", F.size("nbrs").cast("long").alias("d0"), "nbrs")
+        .localCheckpoint()
+    )
 
     def census_row(r: int, n_nodes_df: DataFrame, deg_df: DataFrame) -> DataFrame:
         # n_edges = sum(d)/2 off the node-grain degree state — no edge scan
@@ -2087,24 +2107,29 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges")
 
-    deg = degrees(edges).localCheckpoint()
+    deg = adj.select("n", col("d0").alias("d"))
     census = [
         census_row(0, deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")), deg)
     ]
     for r in range(1, _KCORE_ROUNDS + 1):
-        # survivors of round r: degree >= k in the CURRENT induced graph.
-        # (A survivor isolated by its neighbours' removal has no row in the
-        # next degree table — equivalent to d = 0, peeled next round.)
-        # Measured (round 12): re-checkpointing the peeled edge set per
-        # round LOSES here — this graph's k-core keeps ~93% of edges, so
-        # the shrink never pays for the extra per-round materialization;
-        # rescanning the one cached edge checkpoint is cheaper. Revisit
-        # only for graphs whose core is a small fraction of the edges.
-        surv = deg.filter(col("d") >= _KCORE_K).select("n")
-        induced = edges.join(
-            broadcast(surv.select(col("n").alias("a"))), ["a"]
-        ).join(broadcast(surv.select(col("n").alias("b"))), ["b"])
-        deg = degrees(induced).localCheckpoint()  # the ONLY per-round state
+        surv = deg.filter(col("d") >= _KCORE_K)
+        # edges lost this round: explode ONLY the peeled nodes' adjacency
+        # lists; decrements aimed at already-peeled nodes drop in the
+        # survivor join below (their edges were never in deg_{r-1})
+        peeled = deg.filter(col("d") < _KCORE_K).select(col("n").alias("p"))
+        dec = (
+            adj.join(broadcast(peeled), adj["n"] == peeled["p"])
+            .select(F.explode("nbrs").alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        deg = (
+            surv.join(dec, ["n"], "left")
+            .select(
+                "n", (col("d") - F.coalesce(col("c"), F.lit(0))).alias("d")
+            )
+            .localCheckpoint()  # the ONLY per-round state (node-grain)
+        )
         census.append(
             census_row(
                 r,
@@ -2187,17 +2212,26 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = esym.select(col("src").alias("n")).distinct().select(
         "n", col("n").alias("lab")
     )
-    w = Window.partitionBy("dst").orderBy(col("c").desc(), col("lab").asc())
+    # Per-round shape (round 13): labels are node-grain (part-dimension
+    # sized) while the checkpointed esym frame loses its partitioning, so
+    # the old sort-merge join re-shuffled all edge rows every sweep;
+    # BROADCAST the label table instead (same dimension-side call as the
+    # degree tables in part_triangle_count). The winner pick is a
+    # struct-MAX over (count, -label) — argmax with the identical
+    # (count DESC, label ASC) total order as the old row_number window,
+    # but partially aggregatable map-side: the wire carries one candidate
+    # per (dst, lab) partition instead of sorting the full histogram
+    # under a window (2 exchanges + sort → 1 partial-agg exchange).
     for _ in range(_LPA_ROUNDS):
         hist = (
-            esym.join(labels, esym.src == labels.n)
+            esym.join(broadcast(labels), esym.src == labels.n)
             .groupBy("dst", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = (
-            hist.withColumn("rn", F.row_number().over(w))
-            .filter(col("rn") == 1)
-            .select(col("dst").alias("n"), "lab")
+            hist.groupBy("dst")
+            .agg(F.max(F.struct(col("c"), (-col("lab")).alias("nl"))).alias("m"))
+            .select(col("dst").alias("n"), (-col("m.nl")).alias("lab"))
             .localCheckpoint()  # truncate the iterative lineage
         )
     return (

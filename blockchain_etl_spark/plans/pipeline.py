@@ -2038,27 +2038,59 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
         )
 
-    comp = labels.select("doc_id", bucket("label").alias("split"))
-    naive = endpoints.select("doc_id", bucket("doc_id").alias("split"))
-    out = None
-    for scheme, sp in (("component", comp), ("md5_random", naive)):
-        a = sp.select(col("doc_id").alias("doc_a"), col("split").alias("sa"))
-        b2 = sp.select(col("doc_id").alias("doc_b"), col("split").alias("sb"))
-        row = (
-            e.join(a, ["doc_a"])
-            .join(b2, ["doc_b"])
-            .agg(
-                F.lit(scheme).alias("scheme"),
-                F.count(F.lit(1)).cast("long").alias("n_pairs"),
-                F.coalesce(
-                    F.sum(F.when(col("sa") != col("sb"), 1).otherwise(0)),
-                    F.lit(0),
+    # BOTH schemes' buckets ride ONE endpoint-grain map (labels covers
+    # every endpoint by construction — propagation ran over `endpoints` —
+    # so naive's md5(doc_id) bucket over labels.doc_id IS the naive map),
+    # BROADCAST into a single pair-grain pass: the audit was 4 shuffled
+    # pair-grain joins + 2 aggregates (2 schemes x 2 endpoints); it is
+    # now 2 map-side hash joins over one scan of e and one aggregate.
+    # n_pairs is |e| under either scheme, so one row carries both
+    # schemes' counters and unpivots to the two output rows at the end.
+    m = labels.select(
+        "doc_id", bucket("label").alias("cs"), bucket("doc_id").alias("ns")
+    )
+    both = (
+        e.join(
+            F.broadcast(
+                m.select(
+                    col("doc_id").alias("doc_a"),
+                    col("cs").alias("csa"),
+                    col("ns").alias("nsa"),
                 )
-                .cast("long")
-                .alias("n_cross_pairs"),
-            )
+            ),
+            ["doc_a"],
         )
-        out = row if out is None else out.unionByName(row)
+        .join(
+            F.broadcast(
+                m.select(
+                    col("doc_id").alias("doc_b"),
+                    col("cs").alias("csb"),
+                    col("ns").alias("nsb"),
+                )
+            ),
+            ["doc_b"],
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(col("csa") != col("csb"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("cross_c"),
+            F.coalesce(
+                F.sum(F.when(col("nsa") != col("nsb"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("cross_n"),
+        )
+    )
+    out = both.select(
+        F.expr(
+            "explode(array(struct('component' AS scheme, cross_c AS n_cross_pairs),"
+            " struct('md5_random' AS scheme, cross_n AS n_cross_pairs))) AS s"
+        ),
+        "n_pairs",
+    ).select("s.scheme", "n_pairs", "s.n_cross_pairs")
     return out.select(
         "scheme",
         "n_pairs",

@@ -324,9 +324,19 @@ def customer_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs dedupe on IDS ONLY (16 bytes/row through the
     # distinct shuffle instead of four strings — measured 2.4x at sf0.1);
     # names re-attach afterwards by key join for the levenshtein verify.
-    mvar = deletion_variants(mention.select("mention_id", "mention"), "mention").drop("mention")
-    cvar = deletion_variants(cust, "c_name").drop("c_name")
-    pairs = mvar.join(cvar, ["variant"]).select("mention_id", "c_custkey").distinct()
+    # The candidate equi-join itself rides xxhash64(variant) — 8 bytes on
+    # the wire instead of the ~25-char variant string (guide: shuffle
+    # fewer bytes). A 64-bit collision can only ADD a candidate pair,
+    # which the exact levenshtein verify below drops — the same
+    # no-false-negatives contract as a Bloom pre-filter — so the output
+    # is identical by construction, not probabilistically.
+    mvar = deletion_variants(mention.select("mention_id", "mention"), "mention").select(
+        "mention_id", F.xxhash64("variant").alias("vh")
+    )
+    cvar = deletion_variants(cust, "c_name").select(
+        "c_custkey", F.xxhash64("variant").alias("vh")
+    )
+    pairs = mvar.join(cvar, ["vh"]).select("mention_id", "c_custkey").distinct()
     return (
         pairs.join(mention, ["mention_id"])
         .join(cust, ["c_custkey"])
@@ -489,9 +499,21 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         "node", "deg", F.lit(_PR_SCALE // n).cast("long").alias("rank_fp")
     )
+    # Per-round joins BROADCAST the node-grain side (round 13): ranks and
+    # contrib are |V| rows — dimension-sized on this bipartite trade graph
+    # (customers + suppliers) — while the checkpointed edge frame loses
+    # its partitioning (Scan ExistingRDD, UnknownPartitioning), so the
+    # planner's sort-merge join re-shuffled and re-sorted all 2|pairs|
+    # edge rows EVERY round (measured: 20 Exchanges in the final job).
+    # Broadcasting ranks turns each round into one edge scan + map-side
+    # hash join + a partial-aggregated contribution shuffle that is
+    # node-grain on the wire. At web-scale |V| this flips back to a
+    # co-partitioned merge join (bucket the edges by src once); here the
+    # node side is dimension-sized by construction — the same call
+    # session.py makes for the dimension tables.
     for _ in range(_PR_ROUNDS):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(broadcast(ranks), edges.src == ranks.node)
             .select(
                 col("dst").alias("node"),
                 F.expr("(rank_fp * 85) div (100 * deg)").alias("c"),
@@ -499,7 +521,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("contrib"))
         )
-        ranks = deg.join(contrib, ["node"], "left").select(
+        ranks = deg.join(broadcast(contrib), ["node"], "left").select(
             "node",
             "deg",
             (F.lit(base) + F.coalesce(col("contrib"), F.lit(0))).alias("rank_fp"),
