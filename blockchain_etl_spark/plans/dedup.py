@@ -80,6 +80,16 @@ def _verify_intersections(cand: DataFrame, arrays: DataFrame) -> DataFrame:
     na, nb) via one array_intersect over the joined shingle arrays: the
     intermediate that grows with candidate count is |cand| array-pair
     rows, never a |cand| x shingles/doc exploded re-aggregate."""
+    # Spread the candidate frame across the session's cores BEFORE the
+    # verify joins: cand is byte-tiny (two longs/row), so AQE's
+    # size-based coalescing collapses it to ~one partition — and the
+    # array_intersect over two ~80-element string arrays per row, the
+    # REAL work of the verify, then runs serially (guide §2: the
+    # compute-amplifying stage after a coalesce). The exchange moved
+    # here is 16 bytes/row — linear, paid once; measured min-of-4 at
+    # sf0.1 it cuts dedup_jaccard_prefix_filter 5.3 s -> 3.0-3.4 s.
+    spark = cand.sparkSession
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     return (
         cand.join(
             arrays.select(col("doc_id").alias("doc_a"), col("shingles").alias("sha")),
@@ -1515,14 +1525,30 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays = _shingle_arrays(spark, sf_dir)
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = s.join(
-        dfc.filter(col("df") <= _JACCARD_DF_CAP).select("shingle"), ["shingle"]
-    )
+    rare = dfc.filter(col("df") <= _JACCARD_DF_CAP).select("shingle")
+    # Candidate pairs via the SAME bounded collect_list expansion as
+    # dedup_jaccard_dfcapped (every group provably <= cap rows because
+    # only rare shingles survive the join) instead of a rare x rare
+    # self-join: one shuffle of the rare rows replaces two join-side
+    # shuffles, and the C(cap,2) explode is spread across cores before
+    # it amplifies (AQE coalesces the byte-tiny grouped frame to ~one
+    # partition; the explode must come after an explicit spread).
+    # Measured min-of-4 at sf0.1: the full query 5.8 s -> 3.2-4.2 s.
     cand = (
-        rare.select(col("doc_id").alias("doc_a"), "shingle")
-        .join(rare.select(col("doc_id").alias("doc_b"), "shingle"), ["shingle"])
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+        s.join(rare, ["shingle"])
+        .groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, a -> transform(ids,"
+                    " b -> struct(a AS doc_a, b AS doc_b)))),"
+                    " p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
+        )
+        .select(col("p.doc_a").alias("doc_a"), col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     verified = (
