@@ -76,37 +76,11 @@ def _fresh_split(c):
 # fits the same budget as a broadcast side and a driver union-find
 # replaces an O(diameter)-round job loop with two collect jobs. The cap
 # keeps the path safe when a caller feeds a genuinely huge batch.
-_DRIVER_UF_CAP = 200_000
-
-
-def _driver_union_find(
-    node_ids: "list[int]", edge_rows: "list[tuple[int, int]]"
-) -> "list[tuple[int, int]]":
-    """Exact min-label components over a collected subgraph: returns
-    (doc_id, label) for every edge endpoint and every node, label = min
-    reachable id — bit-identical to propagate_min_labels' fixpoint."""
-    parent: "dict[int, int]" = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.setdefault(r, r) != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for s, d in edge_rows:
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            parent[rs] = rd
-    for v in node_ids:
-        find(v)
-    mins: "dict[int, int]" = {}
-    for v in parent:
-        r = find(v)
-        if r not in mins or v < mins[r]:
-            mins[r] = v
-    return [(v, mins[find(v)]) for v in parent]
+# union-find fast path shared with the batch propagation: the cap and
+# solver now live beside the distributed loop (operators/components.py);
+# re-exported here because tests and the fold route reference them as
+# module attributes of this file.
+from .components import _DRIVER_UF_CAP, _driver_union_find  # noqa: E402
 
 
 def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -172,7 +146,11 @@ def _propagate_with_singletons(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     # batch-sized subgraph: clamp the loop frames (see propagate_min_labels)
     labels_p = propagate_min_labels(
-        endpoints, edges, id_col="doc_id", loop_partitions=8
+        endpoints, edges, id_col="doc_id", loop_partitions=8,
+        # thread THIS module's cap through so monkeypatching it (tests)
+        # disables the nested fast path too; endpoints can be bounded
+        # even when the batch node set overflowed the cap above
+        driver_cap=_DRIVER_UF_CAP,
     )
     singles = nodes.join(endpoints, ["doc_id"], "left_anti").select(
         "doc_id", col("doc_id").alias("label")

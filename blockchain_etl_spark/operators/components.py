@@ -21,6 +21,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
+# Hard bound on rows collected driver-side for the union-find fast path:
+# same legitimacy class as a broadcast join side (the subgraph must be
+# bounded for the collect to be sound; oversized graphs take the
+# distributed loop below). Shared with the incremental maintainer
+# (operators/component_index.py imports both names).
+_DRIVER_UF_CAP = 200_000
+
+
+def _driver_union_find(
+    node_ids: "list[int]", edge_rows: "list[tuple[int, int]]"
+) -> "list[tuple[int, int]]":
+    """Exact min-label components over a collected subgraph: returns
+    (doc_id, label) for every edge endpoint and every node, label = min
+    reachable id — bit-identical to propagate_min_labels' fixpoint."""
+    parent: "dict[int, int]" = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in edge_rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    for v in node_ids:
+        find(v)
+    mins: "dict[int, int]" = {}
+    for v in parent:
+        r = find(v)
+        if r not in mins or v < mins[r]:
+            mins[r] = v
+    return [(v, mins[find(v)]) for v in parent]
+
 
 def propagate_min_labels(
     nodes: DataFrame,
@@ -28,6 +65,7 @@ def propagate_min_labels(
     id_col: str = "doc_id",
     max_rounds: int = 30,
     loop_partitions: int | None = None,
+    driver_cap: int | None = _DRIVER_UF_CAP,
 ) -> DataFrame:
     """``nodes``: one row per vertex with column ``id_col``;
     ``edges``: (src, dst) directed pairs (symmetrized internally).
@@ -46,7 +84,52 @@ def propagate_min_labels(
     propagate batch-sized subgraphs where the default shuffle-partition
     count means every round schedules dozens of near-empty tasks; the
     clamp trades away parallelism the tiny frame can't use. Leave None
-    for corpus-scale propagation (dedup_components)."""
+    for corpus-scale propagation (dedup_components).
+
+    ``driver_cap``: when BOTH |edges| and |nodes| count under this bound,
+    the components are solved with a driver-side union-find over one
+    bounded collect — the same class of move as broadcasting a bounded
+    join side, replacing the O(diameter) round loop (one shuffle join +
+    one aggregate per round, one Spark job each) with one count job and
+    one collect job. Labels are identical by construction (min reachable
+    id; pinned by tests/test_components.py fast≡distributed). Oversized
+    graphs fall through to the distributed loop — the 100 TB path is
+    unchanged. Pass None/0 to force the distributed loop."""
+    if driver_cap:
+        spark = nodes.sparkSession
+        # Checkpoint BEFORE sizing: a bare count on the raw lineage would
+        # re-execute the (often expensive) edge derivation again at
+        # collect time. ONE union-of-aggregates job materializes both
+        # checkpoints; the collect below then reads cached blocks.
+        e0 = edges.select("src", "dst").localCheckpoint(eager=False)
+        n0 = nodes.select(col(id_col)).localCheckpoint(eager=False)
+        sizes = (
+            e0.agg(F.count(F.lit(1)).alias("n"))
+            .unionAll(n0.agg(F.count(F.lit(1)).alias("n")))
+            .collect()
+        )
+        if sizes[0].n <= driver_cap and sizes[1].n <= driver_cap:
+            from ..functions.localframe import local_df
+
+            # ONE tagged collect for both bounded frames (ids are longs
+            # across every consumer; node rows ride with a NULL dst)
+            both = (
+                e0.unionByName(
+                    n0.select(
+                        col(id_col).alias("src"),
+                        F.lit(None).cast("long").alias("dst"),
+                    )
+                )
+            ).collect()
+            edge_rows = [(r[0], r[1]) for r in both if r[1] is not None]
+            node_rows = [r[0] for r in both if r[1] is None]
+            labeled = _driver_union_find(node_rows, edge_rows)
+            # Arrow path (local_df), NOT createDataFrame(list): a plain
+            # list local relation executes through a Python-worker scan
+            # stage costing seconds per downstream materialization.
+            out = local_df(spark, labeled, f"{id_col} long, label long")
+            return out.coalesce(1).localCheckpoint(eager=False)
+        edges, nodes = e0, n0  # checkpoints feed the distributed loop
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(col("dst").alias("src"), col("src").alias("dst")))
