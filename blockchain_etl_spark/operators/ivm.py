@@ -112,11 +112,18 @@ class IncrementalJoinView:
         key = F.concat_ws("\x00", *[col(k).cast("string") for k in self.join_keys])
         return df.withColumn(_BUCKET, F.crc32(key) % self.n_buckets)
 
-    def _write_segment(self, df: DataFrame, store: str, seg: int) -> "list[int]":
+    def _write_segment(
+        self, df: DataFrame, store: str, seg: int, buckets: "list[int] | None" = None
+    ) -> "list[int]":
         """Write one segment and return the distinct bucket list it wrote —
-        recorded in the manifest so pruning never has to probe storage."""
+        recorded in the manifest so pruning never has to probe storage.
+        ``buckets``: pass the list when the caller already collected it
+        (apply() collects each delta's buckets for store pruning) so the
+        write does not schedule a duplicate distinct+collect job."""
         out = os.path.join(self.path, store, f"seg={seg}")
         df.write.mode("overwrite").partitionBy(_BUCKET).parquet(out)
+        if buckets is not None:
+            return sorted(int(b) for b in buckets)
         return sorted(int(r[0]) for r in df.select(_BUCKET).distinct().collect())
 
     def _read_store(
@@ -260,20 +267,40 @@ class IncrementalJoinView:
         seg = int(m["next_seg"])
         wrote: dict[str, list[int]] = {s: list(m["segments"][s]) for s in self._stores}
         bmap: dict[str, dict] = {s: dict(m["buckets"][s]) for s in self._stores}
+        # The three segment writes are mutually independent (the view
+        # delta joins the deltas against the OLD committed state, never
+        # the files being written here) and each pays the full parquet
+        # commit round trip — run them concurrently from a small driver
+        # pool so the commits overlap instead of serializing; the
+        # manifest flip below still happens strictly after every write
+        # returns, so the crash/publish model is unchanged (orphan
+        # segment dirs above the manifest are already ignored debris).
+        # Delta bucket lists were collected once above for store pruning
+        # and are passed through so no write schedules a duplicate
+        # distinct+collect job.
+        writes: "list[tuple[str, DataFrame, list | None]]" = []
         if da is not None:
-            bmap["a_state"][str(seg)] = self._write_segment(da, "a_state", seg)
-            wrote["a_state"].append(seg)
+            writes.append(("a_state", da, a_buckets))
         if db is not None:
-            bmap["b_state"][str(seg)] = self._write_segment(db, "b_state", seg)
-            wrote["b_state"].append(seg)
+            writes.append(("b_state", db, b_buckets))
         if terms:
             dj = terms[0]
             for t in terms[1:]:
                 dj = dj.unionByName(t)
             dj = _consolidate(dj).localCheckpoint()
             if not dj.isEmpty():
-                bmap["view"][str(seg)] = self._write_segment(dj, "view", seg)
-                wrote["view"].append(seg)
+                writes.append(("view", dj, None))
+        if writes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _do_write(task):
+                store, frame, buckets = task
+                return store, self._write_segment(frame, store, seg, buckets)
+
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                for store, blist in pool.map(_do_write, writes):
+                    bmap[store][str(seg)] = blist
+                    wrote[store].append(seg)
 
         os.makedirs(self.path, exist_ok=True)
         wms = dict(m["watermarks"])

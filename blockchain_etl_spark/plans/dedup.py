@@ -246,7 +246,13 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and re-aggregating them — comparable wall-clock at test SF, but the
     # intermediate that grows with candidate count at 100 TB is |cand|
     # array-pair rows, not a |cand| x shingles/doc exploded aggregate.
-    arrays = _shingle_arrays(spark, sf_dir)
+    # eager materialization of the shared frames (same rationale as
+    # dedup_ngram_jaccard): `arrays` feeds the exploded rows AND
+    # doc_stats; `s` feeds three branches (df count, rare candidates,
+    # frequent sets); `dfc` feeds the rare AND frequent filters. Without
+    # the checkpoints every branch recomputes the document scan + shingle
+    # slide transform from scratch inside one DAG.
+    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint()
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     # df-count FIRST, collect_list ONLY for rare shingles: a stop-shingle
     # appearing in millions of docs must never reach a collect_list
@@ -258,7 +264,7 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leaves every collect_list group bounded at <= cap rows by
     # construction. Plan-gated in tests/test_plans.py: no size(ids)
     # post-filter may reappear downstream of the collect.
-    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
     rare = dfc.filter(col("df") <= _JACCARD_DF_CAP).select("shingle")
     # Verification via the rare/frequent split: intersection(a, b) =
     # |shared rare shingles| + |shared FREQUENT shingles|. The rare half
@@ -1154,7 +1160,11 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = _PREFIX_JACCARD_T
-    arrays = _shingle_arrays(spark, sf_dir)
+    # eager materialization of the shared frames (same rationale as
+    # dedup_jaccard_dfcapped): `arrays` feeds the exploded rows and the
+    # verify's array join; without the checkpoint both branches recompute
+    # the document scan + shingle slide transform inside one DAG.
+    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint()
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # doc size n rides the SAME doc-partitioned window pass as the rarity
@@ -1522,7 +1532,10 @@ _CONTAIN_MIN_INTER = 2  # ignore single-shingle coincidences
     "filter is exactly what containment must NOT apply.",
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    arrays = _shingle_arrays(spark, sf_dir)
+    # eager materialization of the shared frames (same rationale as
+    # dedup_jaccard_dfcapped): `arrays` feeds the exploded rows and the
+    # verify's array join, `s` feeds the df count and the candidate join.
+    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint()
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfc.filter(col("df") <= _JACCARD_DF_CAP).select("shingle")

@@ -632,9 +632,18 @@ def name_match_eval(
     (2.8 s of the 3.4 s gate at sf0.1); default None recomputes so the
     registered oracle stays self-contained."""
     m = matches if matches is not None else customer_name_match(spark, sf_dir)
-    # minimal-distance candidate set per mention
-    mind = m.groupBy("mention_id").agg(F.min("dist").alias("min_dist"))
-    best = m.join(mind, ["mention_id"]).filter(col("dist") == col("min_dist"))
+    # minimal-distance candidate set per mention via ONE window over the
+    # mention partition instead of a groupBy(min) + join-back: the join
+    # form consumes `m` twice, so the whole matcher (the expensive hash-
+    # candidate + levenshtein verify pipeline) executed twice inside one
+    # DAG; the window reads it once, and the groupBy right after reuses
+    # the window's mention_id partitioning (no extra exchange). Same
+    # rows: dist == min(dist) over the same grouping.
+    from pyspark.sql import Window
+
+    best = m.withColumn(
+        "min_dist", F.min("dist").over(Window.partitionBy("mention_id"))
+    ).filter(col("dist") == col("min_dist"))
     per = best.groupBy("mention_id").agg(
         F.count(F.lit(1)).alias("n_best"),
         F.count(F.when(col("c_custkey") == col("mention_id"), 1)).alias("true_in_best"),
