@@ -68,9 +68,26 @@ class LexicalIndex:
                 return upd
             return target.join(ids, ["doc_id"], "left_anti").unionByName(upd)
 
-        self.postings.merge_with(spark, tf, replace, watermark=watermark)
+        # The two merges touch DIFFERENT targets and both derive from the
+        # checkpointed tf frame, so their read→fold→write→flip sequences
+        # are independent — run them concurrently from a driver pool so
+        # the two parquet commits overlap instead of serializing. Replay
+        # stays exactly-once per table (each target's own watermark
+        # guard; `replace` is idempotent), and a crash that lands the two
+        # tables at different watermarks is the SAME state an inter-merge
+        # crash of the serial form produced — delete()'s sync guard
+        # already refuses it until the batch replays.
         dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-        self.doclen.merge_with(spark, dl, replace, watermark=watermark)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fp = pool.submit(
+                self.postings.merge_with, spark, tf, replace, watermark=watermark
+            )
+            fd = pool.submit(
+                self.doclen.merge_with, spark, dl, replace, watermark=watermark
+            )
+            fp.result(), fd.result()
 
     def delete(self, spark: SparkSession, doc_ids: DataFrame) -> None:
         """Drop documents from the index (unwatermarked maintenance fold —

@@ -101,8 +101,18 @@ class ParquetMergeTarget:
     pipeline level because merge_latest is deterministic).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, driver_write: bool = False):
+        """``driver_write``: opt in to the driver-side Arrow write path
+        (functions/arrowio.py) for every merge of this target, not just
+        gate-scoped ones. ONLY for state whose size is bounded by the
+        operator's own structure — sketch tables like CMS cells (d*w
+        rows by construction) or capped candidate lists — never for
+        state proportional to the lake. The arrowio rows cap still
+        guards the collect: an oversized frame falls back to the
+        distributed writer, so a mis-tagged target degrades to the old
+        path rather than collecting unbounded rows."""
         self.path = path
+        self.driver_write = bool(driver_write)
 
     @property
     def _pointer(self) -> str:
@@ -281,7 +291,7 @@ class ParquetMergeTarget:
         if changelog_keys is None:
             from ..session import gate_scope_active
 
-            if gate_scope_active():
+            if self.driver_write or gate_scope_active():
                 from ..functions.arrowio import write_parquet_driver
 
                 wrote = write_parquet_driver(

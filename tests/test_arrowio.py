@@ -170,6 +170,27 @@ def test_merge_target_uses_arrow_writer_only_in_gate_scope(spark, tmp_path):
     assert a == b
 
 
+def test_driver_write_target_uses_arrow_writer_outside_gate(spark, tmp_path):
+    """A target tagged driver_write=True (structurally bounded state —
+    CMS cells/candidates) takes the Arrow write path on every merge,
+    gate scope or not, with state identical to the distributed writer."""
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    t_dist = ParquetMergeTarget(str(tmp_path / "dist"))
+    t_drv = ParquetMergeTarget(str(tmp_path / "drv"), driver_write=True)
+    for t in (t_dist, t_drv):
+        t.merge_with(
+            spark, df, lambda tg, u: merge_latest(tg, u, keys=["k"], order=["v"]),
+            watermark=1,
+        )
+    assert "_SUCCESS" in os.listdir(os.path.join(str(tmp_path / "dist"), "v=1"))
+    assert os.listdir(os.path.join(str(tmp_path / "drv"), "v=1")) == [
+        "part-00000.parquet"
+    ]
+    a = sorted(t_dist.read(spark).collect(), key=str)
+    b = sorted(t_drv.read(spark).collect(), key=str)
+    assert a == b
+
+
 def test_gate_and_non_gate_merge_sequences_interleave(spark, tmp_path):
     """A target written inside a gate must keep merging cleanly outside
     one (and vice versa) — versions, watermark and rows all agree."""
