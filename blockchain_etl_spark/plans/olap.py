@@ -1077,6 +1077,86 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _TRI_MIN_COORDER = 2  # edge = parts co-ordered in >= this many baskets
 
+# Bounded driver fast path for the loops over the c_ab-filtered
+# co-purchase graph (triangle census, LPA sweeps): when the DISTINCT edge
+# list counts under this cap, collect it once and run the exact integer
+# algorithm driver-side — the same legitimacy class as a broadcast join
+# side and the same move as the union-find fast path in
+# operators/components.py (_DRIVER_UF_CAP, judged sound with boundary
+# tests on both routes). Oversized graphs take the unchanged distributed
+# loop, so the 100 TB path keeps its shape. The UNfiltered co-purchase
+# graph (part_kcore_census, basket_part_pairs) is ~300x larger at every
+# scale and never routes here.
+_GRAPH_DRIVER_CAP = 200_000
+
+
+def _bounded_edge_collect(
+    edges: DataFrame,
+) -> "tuple[list[tuple[int, int]] | None, DataFrame]":
+    """(rows-or-None, checkpointed-edges): one count job on the lazily
+    checkpointed edge frame sizes it; under the cap the collect reads the
+    cached blocks. Over the cap returns (None, e0) so the distributed
+    loop reuses the checkpoint instead of re-deriving the pair expansion."""
+    e0 = edges.localCheckpoint(eager=False)
+    if e0.count() > _GRAPH_DRIVER_CAP:
+        return None, e0
+    return [(r[0], r[1]) for r in e0.collect()], e0
+
+
+def _driver_triangle_census(
+    edge_rows: "list[tuple[int, int]]",
+) -> "tuple[int, int, int, int, int]":
+    """Exact (n_nodes, n_edges, n_triangles, n_wedges, gcc_ppm) over a
+    collected distinct a<b edge list — the same degree-orientation count
+    the distributed plan runs (src = lower-(degree, id) endpoint; wedges
+    close against the oriented set), all-integer so both routes and the
+    oracle are bit-identical."""
+    deg: "dict[int, int]" = {}
+    for a, b in edge_rows:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out: "dict[int, list[int]]" = {}
+    for a, b in edge_rows:
+        if (deg[a], a) < (deg[b], b):
+            out.setdefault(a, []).append(b)
+        else:
+            out.setdefault(b, []).append(a)
+    oset = {(s, d) for s, ds in out.items() for d in ds}
+    tri = 0
+    for u, vs in out.items():
+        for v in vs:
+            for w in out.get(v, ()):
+                if (u, w) in oset:
+                    tri += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    gcc = 0 if wedges == 0 else (3 * tri * 1_000_000) // wedges
+    return (len(deg), len(edge_rows), tri, wedges, gcc)
+
+
+def _driver_lpa(
+    edge_rows: "list[tuple[int, int]]", rounds: int
+) -> "dict[int, int]":
+    """Exact synchronous label propagation over a collected distinct a<b
+    edge list: every node starts as its own label; each sweep every node
+    adopts its neighbors' most frequent label with the (count DESC,
+    label ASC) total-order tie-break — the identical deterministic spec
+    the distributed loop and the oracle's chained CTEs execute."""
+    adj: "dict[int, list[int]]" = {}
+    for a, b in edge_rows:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            hist: "dict[int, int]" = {}
+            for m in nbrs:
+                lm = lab[m]
+                hist[lm] = hist.get(lm, 0) + 1
+            new[n] = min(hist.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
 
 @register(
     "part_triangle_count",
@@ -1120,7 +1200,18 @@ _TRI_MIN_COORDER = 2  # edge = parts co-ordered in >= this many baskets
 def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, copairs = _copurchase_pairs(spark, sf_dir)
     edges = copairs.filter(col("c_ab") >= _TRI_MIN_COORDER).select("a", "b")
-    edges = edges.localCheckpoint()  # consumers: deg, orientation, count
+    # Bounded driver fast path (round 13): the c_ab-filtered graph is
+    # tiny (3.6k edges at sf0.1); under the cap run the exact integer
+    # census driver-side — same algorithm, zero further Spark jobs.
+    rows, edges = _bounded_edge_collect(edges)
+    if rows is not None:
+        return spark.createDataFrame(
+            [_driver_triangle_census(rows)],
+            "n_nodes long, n_edges long, n_triangles long, "
+            "n_wedges long, gcc_ppm long",
+        )
+    # Oversized graph: unchanged distributed plan over the checkpointed
+    # edges (consumers: deg, orientation, count).
     deg = (
         edges.select(col("a").alias("n"))
         .unionAll(edges.select(col("b").alias("n")))
@@ -2205,6 +2296,27 @@ _LPA_ROUNDS_SQL = ",\n    ".join(
 def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, copairs = _copurchase_pairs(spark, sf_dir)
     edges = copairs.filter(col("c_ab") >= _TRI_MIN_COORDER).select("a", "b")
+    # Bounded driver fast path (round 13): same cap/fallback as
+    # part_triangle_count — under the cap run the exact synchronous
+    # sweeps driver-side (identical tie-break), skipping _LPA_ROUNDS
+    # join+agg+checkpoint Spark jobs on a 3.6k-edge graph.
+    rows, edges = _bounded_edge_collect(edges)
+    if rows is not None:
+        lab = _driver_lpa(rows, _LPA_ROUNDS)
+        agg: "dict[int, list[int]]" = {}
+        for n, c in lab.items():
+            cur = agg.get(c)
+            if cur is None:
+                agg[c] = [1, n]
+            else:
+                cur[0] += 1
+                cur[1] = min(cur[1], n)
+        out = [
+            (c, cnt, mn) for c, (cnt, mn) in agg.items() if cnt >= 3
+        ]
+        return spark.createDataFrame(
+            out, "community long, n_members long, min_part long"
+        )
     esym = edges.select(col("a").alias("src"), col("b").alias("dst")).unionAll(
         edges.select(col("b").alias("src"), col("a").alias("dst"))
     )

@@ -103,6 +103,52 @@ def test_triangle_census_matches_brute_force(spark, seed):
     assert got.gcc_ppm == expect_gcc, seed
 
 
+def test_graph_driver_fast_path_equals_distributed(spark, monkeypatch):
+    """part_triangle_count / part_label_propagation route through a
+    bounded driver fast path when the c_ab-filtered edge list counts
+    under _GRAPH_DRIVER_CAP (same legitimacy pattern as the union-find
+    fast path, tests/test_component_index.py). Both routes must stay
+    alive and row-identical: the default cap must take the driver branch
+    (proven by spying the driver helpers), cap=-1 must force the
+    distributed loops, and the results must match exactly."""
+    from blockchain_etl_spark.plans.olap import part_label_propagation
+
+    rows = _rand_baskets("fastpath", 60, 18, 6)
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    monkeypatch.setattr(olap_mod, "load_table", lambda spark, sf_dir, name: li)
+
+    def run():
+        tri = [tuple(r) for r in part_triangle_count(spark, "ignored").collect()]
+        lpa = sorted(
+            tuple(r) for r in part_label_propagation(spark, "ignored").collect()
+        )
+        return tri, lpa
+
+    calls = []
+    real_tri, real_lpa = olap_mod._driver_triangle_census, olap_mod._driver_lpa
+
+    def spy_tri(edge_rows):
+        calls.append(("tri", len(edge_rows)))
+        return real_tri(edge_rows)
+
+    def spy_lpa(edge_rows, rounds):
+        calls.append(("lpa", len(edge_rows)))
+        return real_lpa(edge_rows, rounds)
+
+    monkeypatch.setattr(olap_mod, "_driver_triangle_census", spy_tri)
+    monkeypatch.setattr(olap_mod, "_driver_lpa", spy_lpa)
+    fast = run()
+    assert {c[0] for c in calls} == {"tri", "lpa"}, (
+        "default cap must route the bounded graph driver-side"
+    )
+
+    monkeypatch.setattr(olap_mod, "_GRAPH_DRIVER_CAP", -1)
+    calls.clear()
+    slow = run()
+    assert calls == [], "cap=-1 must force the distributed branch"
+    assert slow == fast
+
+
 @pytest.mark.parametrize("seed,k", [("g1", 2), ("g2", 3), ("hubby", 4)])
 def test_kcore_census_matches_brute_force(spark, seed, k):
     rows = _rand_baskets(seed, 50, 12, 5)
