@@ -194,6 +194,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "host_noise_index": noise_idx,
+        # Absolute floor of the fixed calibration query: cross-RUN
+        # comparable (the within-run noise index cannot see a host that
+        # is uniformly slow for the whole pass — r13 lesson: a sustained
+        # ~1.6x-degraded host benched noise 1.37 with every absolute
+        # number inflated; the anchor floor 0.127 -> 0.206 was the only
+        # in-artifact signal). Compare against the committed
+        # BENCH_DETAIL's floor before reading cross-run deltas.
+        "anchor_min_sec": round(min(anchor_samples), 3),
         "loadavg_1m": chosen["loadavg"],
         "bench_passes": len(passes_summary),
     }
