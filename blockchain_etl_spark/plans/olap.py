@@ -2180,7 +2180,11 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shuffle on the node key builds the adjacency state (collect_set
     # dedups multi-order co-occurrence — same distinct-pair edge grain as
     # the copairs CTE the oracle peels); checkpointed once, scanned
-    # node-grain per round, never rewritten.
+    # node-grain per round, never rewritten. Measured alternative
+    # (rejected, round 13): building a distinct (src, dst) edge-row frame
+    # off the copairs aggregate — half the explode volume, no set
+    # buffers — was ~25% SLOWER: checkpointing 2|E| narrow rows costs
+    # more than checkpointing |V| adjacency-array rows.
     adj = (
         sym.groupBy("n")
         .agg(F.collect_set("m").alias("nbrs"))
@@ -2197,6 +2201,48 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_edges")
             )
         ).select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges")
+
+    # Driver-state peel (round 13, second pass): the degree STATE is
+    # node-grain — |V| (n, d) pairs, part-dimension sized — while the
+    # EDGES (the payload the _GRAPH_DRIVER_CAP doc forbids collecting for
+    # this ~300x-larger graph) stay distributed in the checkpointed
+    # adjacency. Under the node cap, hold the degree dict on the driver:
+    # each non-empty round costs ONE small job (adjacency of the peeled
+    # frontier, aggregated to a <= |V|-row decrement table — the same
+    # `dec` aggregate the distributed loop runs, minus its survivor join
+    # and per-round localCheckpoint), and the census rows are driver
+    # arithmetic. The old code already shipped the peeled frontier from
+    # the driver via broadcast(); collecting the node-grain dec back is
+    # the same bounded-payload class. A round that peels nothing costs
+    # zero jobs (the cascade is monotone, the census row repeats). The
+    # limit-probe fuses the cap gate and the degree collect into one job
+    # (over the cap, CollectLimit short-circuits after cap+1 rows). Routes
+    # identical by tests/test_graph_props.py; over the cap the unchanged
+    # distributed loop below runs.
+    probe = adj.select("n", "d0").limit(_GRAPH_DRIVER_CAP + 1).collect()
+    if len(probe) <= _GRAPH_DRIVER_CAP:
+        d = {r[0]: r[1] for r in probe}
+        rows = [(0, len(d), sum(d.values()) // 2)]
+        for r in range(1, _KCORE_ROUNDS + 1):
+            peeled = [n for n in d if d[n] < _KCORE_K]
+            if peeled:
+                for p in peeled:
+                    del d[p]
+                peeled_df = spark.createDataFrame(
+                    [(int(p),) for p in peeled], "p long"
+                )
+                dec_rows = (
+                    adj.join(broadcast(peeled_df), adj["n"] == peeled_df["p"])
+                    .select(F.explode("nbrs").alias("n"))
+                    .groupBy("n")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                )
+                for n, c in dec_rows:
+                    if n in d:  # decrements aimed at peeled nodes drop
+                        d[n] -= c
+            rows.append((r, len(d), sum(d.values()) // 2))
+        return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long")
 
     deg = adj.select("n", col("d0").alias("d"))
     census = [

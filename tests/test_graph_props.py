@@ -167,3 +167,31 @@ def test_kcore_census_matches_brute_force(spark, seed, k):
     finally:
         olap_mod.load_table, olap_mod._KCORE_K = orig_load, orig_k
     assert got == expected, (seed, k)
+
+
+@pytest.mark.parametrize("seed,k", [("g1", 2), ("hubby", 4)])
+def test_kcore_driver_peel_equals_distributed(spark, monkeypatch, seed, k):
+    """part_kcore_census holds its node-grain degree state on the driver
+    when |V| counts under _GRAPH_DRIVER_CAP (the edges stay distributed in
+    the checkpointed adjacency — only <= |V|-row frames cross the driver
+    boundary, the same class as the broadcast peeled frontier the
+    distributed loop ships). Both routes must stay alive and
+    row-identical: cap=-1 forces the distributed incremental-degree
+    loop."""
+    rows = _rand_baskets(seed, 50, 12, 5)
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    monkeypatch.setattr(olap_mod, "load_table", lambda s, d, n: li)
+    monkeypatch.setattr(olap_mod, "_KCORE_K", k)
+
+    def run():
+        return sorted(
+            (r.round, r.n_nodes, r.n_edges)
+            for r in part_kcore_census(spark, "ignored").collect()
+        )
+
+    fast = run()
+    monkeypatch.setattr(olap_mod, "_GRAPH_DRIVER_CAP", -1)
+    slow = run()
+    assert slow == fast == _brute_kcore(
+        _edges_from(rows, 1), k, olap_mod._KCORE_ROUNDS
+    ), (seed, k)
