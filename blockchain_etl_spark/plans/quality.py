@@ -561,12 +561,21 @@ def retrieval_mrr_eval(
     r04 verdict flagged); default None recomputes, keeping the registered
     oracle self-contained. tests/test_eval_gate_injection.py proves the
     injected path is result-identical."""
-    from .similarity import knn_cosine_bruteforce, knn_cosine_ivf
+    from .similarity import _with_norm, knn_cosine_bruteforce, knn_cosine_ivf
 
+    # ONE normed-corpus checkpoint shared by both recomputed arms (round
+    # 13, same move as knn_recall_eval) — each arm otherwise materializes
+    # its own identical embeddings+norm frame inside one eval DAG.
+    corpus = None
+    if exact_topk is None or approx_topk is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
     if exact_topk is None:
-        exact_topk = knn_cosine_bruteforce(spark, sf_dir)
+        exact_topk = knn_cosine_bruteforce(spark, sf_dir, corpus=corpus)
     if approx_topk is None:
-        approx_topk = knn_cosine_ivf(spark, sf_dir)
+        approx_topk = knn_cosine_ivf(spark, sf_dir, corpus=corpus)
     exact1 = (
         exact_topk
         .filter(col("rank") == 1)

@@ -106,11 +106,18 @@ def _fx_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
     doc="Brute-force cosine top-k ANN baseline: broadcast query vectors, "
     "stream the corpus, exact-decimal dot products, per-query window top-k.",
 )
-def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _with_norm(
-        emb.select("vec_id", "embedding"), "embedding", "nrm"
-    ).localCheckpoint()  # query (broadcast) side and stream side both read it
+def knn_cosine_bruteforce(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    """``corpus``: a caller that already materialized the normed corpus
+    (the eval gates run this arm AND the IVF arm over the same frame)
+    passes it here so the embeddings scan + norm checkpoint happens once
+    per eval instead of once per arm; default None stays self-contained."""
+    if corpus is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = _with_norm(
+            emb.select("vec_id", "embedding"), "embedding", "nrm"
+        ).localCheckpoint()  # query (broadcast) side and stream side both read it
     queries = corpus.filter(col("vec_id") < _N_QUERIES).select(
         col("vec_id").alias("qid"),
         col("embedding").alias("qe"),
@@ -426,13 +433,23 @@ def _label_centroids(emb: DataFrame) -> DataFrame:
     "probed candidates. At scale the corpus is partitioned BY CELL on "
     "disk, so a probe reads only matching partitions.",
 )
-def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_cosine_ivf(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    """``corpus``: same injection contract as knn_cosine_bruteforce — the
+    eval gates share one normed-corpus checkpoint across both arms; the
+    injected frame must carry (vec_id, embedding, label, nrm)."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
+    if corpus is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
 
-    cent = _label_centroids(emb)
+    # centroids off the CHECKPOINTED corpus (extra cols are pruned by the
+    # select inside) — the old emb lineage re-scanned the parquet
+    cent = _label_centroids(corpus)
 
     # score every (vector, cell) pair: fixed-point cosine. Centroid side is
     # broadcast; the corpus streams — no corpus shuffle for scoring.
@@ -894,8 +911,20 @@ def _registered_sql(name: str) -> str:
     "(qid, neighbor_id): k·|queries| rows, negligible at any scale.",
 )
 def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = knn_cosine_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
-    approx = knn_cosine_ivf(spark, sf_dir).select("qid", "neighbor_id")
+    # ONE normed-corpus checkpoint shared by both arms (round 13): the
+    # exact and IVF arms each materialized their own identical
+    # embeddings+norm frame inside one eval DAG — one scan+checkpoint job
+    # of the two was pure recomputation.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
+    exact = knn_cosine_bruteforce(spark, sf_dir, corpus=corpus).select(
+        "qid", "neighbor_id"
+    )
+    approx = knn_cosine_ivf(spark, sf_dir, corpus=corpus).select(
+        "qid", "neighbor_id"
+    )
     hit = exact.withColumn("__hit", F.lit(1))
     return (
         approx.join(hit, ["qid", "neighbor_id"], "left")
