@@ -725,7 +725,9 @@ def chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids feed THREE consumers (assignment scoring, the exploded
     # probe dims, and nothing re-derives them lazily after this): one
     # materialization instead of recomputing the label aggregate per use.
-    cent = _label_centroids(emb).localCheckpoint()
+    # Aggregated off the CHECKPOINTED corpus (round 13): the old emb
+    # lineage re-scanned the embeddings parquet a second time.
+    cent = _label_centroids(corpus).localCheckpoint()
 
     # corpus → top-1 cell assignment (broadcast centroids, corpus streams).
     # NOT checkpointed: measured slower when materialized — the lazy

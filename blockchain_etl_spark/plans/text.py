@@ -1429,21 +1429,26 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_trained_merges(spark: SparkSession, sf_dir: str) -> list:
+def _bpe_trained_merges(
+    spark: SparkSession, sf_dir: str, word_freq: DataFrame | None = None
+) -> list:
     """The trainer loop proper: [(rank, left, right, weighted_count), ...]
     — driver-resident by design (a tokenizer's merge list is the small
     shipped artifact, ≤ vocab-size rows; production 32k rounds is still
-    KB-scale)."""
-    docs = load_table(spark, sf_dir, "documents")
+    KB-scale). ``word_freq``: a caller already holding the corpus (word,
+    freq) aggregate (bpe_encode_corpus derives it from its checkpointed
+    per-doc word table) passes it here so the trainer skips its own
+    corpus tokenize pass; default None stays self-contained."""
     sep = "\x01"
-    words = (
-        docs.select(F.explode(F.expr(_TOKENS.format(c="text"))).alias("word"))
-        .filter(~col("word").contains(sep))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(col("freq").desc(), "word")
-        .limit(_BPE_VOCAB)
-    )
+    if word_freq is None:
+        docs = load_table(spark, sf_dir, "documents")
+        word_freq = (
+            docs.select(F.explode(F.expr(_TOKENS.format(c="text"))).alias("word"))
+            .filter(~col("word").contains(sep))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+    words = word_freq.orderBy(col("freq").desc(), "word").limit(_BPE_VOCAB)
     w = words.select(
         F.expr(
             f"concat({_S}, array_join(transform(sequence(1, length(word)),"
@@ -1547,6 +1552,10 @@ def _bpe_encode_sql() -> str:
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sep = "\x01"
+    # ONE tokenize + (doc, word) aggregate, materialized (round 13): wd
+    # feeds the distinct-word encode table, the final join-back, AND (as
+    # a word-grain re-aggregate) the trainer — previously each consumer
+    # re-ran the corpus tokenize from scratch (3 passes in one query).
     wd = (
         docs.select(
             "doc_id", F.explode(F.expr(_TOKENS.format(c="text"))).alias("word")
@@ -1554,7 +1563,9 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~col("word").contains(sep))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
+    word_freq = wd.groupBy("word").agg(F.sum("cnt").alias("freq"))
     enc = wd.select("word").distinct().withColumn(
         "ws",
         F.expr(
@@ -1562,7 +1573,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> substring(word, i, 1)), concat({_S}, {_S})), {_S})"
         ),
     )
-    for _r, x, y, _c in _bpe_trained_merges(spark, sf_dir):
+    for _r, x, y, _c in _bpe_trained_merges(spark, sf_dir, word_freq=word_freq):
         enc = enc.withColumn(
             "ws",
             F.replace(
