@@ -236,25 +236,28 @@ class IncrementalJoinView:
         # with no parquet files, which poisons later reads) but still
         # advance the watermark below: the batch WAS processed, its net
         # effect is nil.
+        # One job per delta side covers BOTH the emptiness guard and the
+        # pruning bucket list (round 13): a consolidated delta is empty
+        # exactly when its distinct bucket list is — the separate
+        # isEmpty() probe each side previously paid is fused away.
         if da is not None:
             da = da.localCheckpoint()
-            if da.isEmpty():
+            a_buckets = [r[0] for r in da.select(_BUCKET).distinct().collect()]
+            if not a_buckets:
                 da = None
         if db is not None:
             db = db.localCheckpoint()
-            if db.isEmpty():
+            b_buckets = [r[0] for r in db.select(_BUCKET).distinct().collect()]
+            if not b_buckets:
                 db = None
-
         terms = []
         if da is not None:
-            a_buckets = [r[0] for r in da.select(_BUCKET).distinct().collect()]
             b_old = self._read_store(
                 spark, "b_state", m["segments"]["b_state"], a_buckets, m["buckets"]["b_state"]
             )
             if b_old is not None:
                 terms.append(self._join_term(da, b_old))
         if db is not None:
-            b_buckets = [r[0] for r in db.select(_BUCKET).distinct().collect()]
             a_new = self._read_store(
                 spark, "a_state", m["segments"]["a_state"], b_buckets, m["buckets"]["a_state"]
             )
@@ -288,8 +291,12 @@ class IncrementalJoinView:
             for t in terms[1:]:
                 dj = dj.unionByName(t)
             dj = _consolidate(dj).localCheckpoint()
-            if not dj.isEmpty():
-                writes.append(("view", dj, None))
+            # same fusion as the delta sides: the bucket list doubles as
+            # the emptiness guard AND feeds _write_segment, which would
+            # otherwise schedule its own distinct+collect
+            dj_buckets = [r[0] for r in dj.select(_BUCKET).distinct().collect()]
+            if dj_buckets:
+                writes.append(("view", dj, dj_buckets))
         if writes:
             from concurrent.futures import ThreadPoolExecutor
 
