@@ -60,6 +60,14 @@ def collect(spark) -> dict:
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+        # Arrow sways plans, not just speed: local_df() frames built via
+        # the Arrow converter carry exact (small) size statistics through
+        # localCheckpoint, so a bounded driver-route frame broadcasts —
+        # without Arrow the same frame reports default (huge) stats and
+        # plans as the stream side. Pin to the production session's value
+        # (session.py sets true) so the fingerprint matches the plans the
+        # engine actually runs, from any session.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
     }
     saved = {k: spark.conf.get(k, None) for k in pinned}
     for k, v in pinned.items():
