@@ -714,7 +714,15 @@ def _exact_neardup_pairs(s: DataFrame) -> DataFrame:
 
 
 def _recall_metrics(exact: DataFrame, cand: DataFrame) -> DataFrame:
-    """(truth pairs, candidate pairs) → one recall/precision metrics row."""
+    """(truth pairs, candidate pairs) → one recall/precision metrics row.
+
+    Each arm is consumed TWICE (its own count + the hit join), so both
+    frames are materialized once: without the checkpoint the full exact
+    self-join and the whole sketch pipeline re-execute inside one metrics
+    DAG. Pair frames are near-dup pairs over the ~40% doc sample —
+    bounded, the same class as a broadcast side."""
+    exact = exact.localCheckpoint()
+    cand = cand.localCheckpoint()
     n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_hit = exact.join(cand, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
@@ -818,7 +826,12 @@ def _simhash_pairs_sql() -> str:
 )
 def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = _recall_sample_docs(spark, sf_dir).localCheckpoint()
-    exact = _exact_neardup_pairs(shingle_rows_from_text(sampled))
+    # shingle rows feed three consumers inside _exact_neardup_pairs (size
+    # aggregate + both self-join sides): materialize the tokenize/shingle
+    # expansion once, as dedup_minhash_recall already does.
+    exact = _exact_neardup_pairs(
+        shingle_rows_from_text(sampled).localCheckpoint()
+    )
     cand = simhash_candidate_pairs(sampled).select("doc_a", "doc_b")
     return _recall_metrics(exact, cand)
 
