@@ -251,8 +251,9 @@ def dedup_jaccard_dfcapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_stats; `s` feeds three branches (df count, rare candidates,
     # frequent sets); `dfc` feeds the rare AND frequent filters. Without
     # the checkpoints every branch recomputes the document scan + shingle
-    # slide transform from scratch inside one DAG.
-    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint()
+    # slide transform from scratch inside one DAG. (_shingle_arrays
+    # itself checkpoints — no second checkpoint here.)
+    arrays = _shingle_arrays(spark, sf_dir)
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     # df-count FIRST, collect_list ONLY for rare shingles: a stop-shingle
     # appearing in millions of docs must never reach a collect_list
@@ -1177,7 +1178,8 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_jaccard_dfcapped): `arrays` feeds the exploded rows and the
     # verify's array join; without the checkpoint both branches recompute
     # the document scan + shingle slide transform inside one DAG.
-    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint()
+    # (_shingle_arrays itself checkpoints — no second checkpoint here.)
+    arrays = _shingle_arrays(spark, sf_dir)
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # doc size n rides the SAME doc-partitioned window pass as the rarity
@@ -1548,7 +1550,8 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager materialization of the shared frames (same rationale as
     # dedup_jaccard_dfcapped): `arrays` feeds the exploded rows and the
     # verify's array join, `s` feeds the df count and the candidate join.
-    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint()
+    # (_shingle_arrays itself checkpoints — no second checkpoint here.)
+    arrays = _shingle_arrays(spark, sf_dir)
     s = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfc.filter(col("df") <= _JACCARD_DF_CAP).select("shingle")
