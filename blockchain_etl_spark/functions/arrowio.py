@@ -92,3 +92,58 @@ def write_parquet_driver(
         with open(os.path.join(directory, "_SUCCESS"), "w"):
             pass
     return True
+
+
+def collect_arrow_capped(df: DataFrame, cap: "int | None" = None):
+    """``df`` → a ``pyarrow.Table``, or None when the frame is not
+    driver-bounded: schema doesn't round-trip through Arrow, or the
+    LIMIT-guarded collect overflows ``cap`` rows. One execution of the
+    lineage either way (the limit rides the same job), so a caller that
+    gets a table back has ALREADY paid the fold exactly once — the
+    maintained-state operators use this to fuse their emptiness probe,
+    bucket-list collect and segment write into a single job
+    (operators/ivm.py, round 14)."""
+    import pyarrow.lib
+    from pyspark.errors import PySparkTypeError
+
+    if cap is None:
+        cap = _DRIVER_ROWS_CAP  # read at call time so tests can pin it
+    try:
+        tbl = df.limit(cap + 1).toArrow()
+    except (PySparkTypeError, pyarrow.lib.ArrowException) as exc:
+        print(
+            f"# arrowio: toArrow() miss ({type(exc).__name__}), "
+            f"caller falls back to the distributed path",
+            file=sys.stderr,
+        )
+        return None
+    if tbl.num_rows > cap:
+        print(
+            f"# arrowio: frame exceeds cap={cap} rows, "
+            f"caller falls back to the distributed path",
+            file=sys.stderr,
+        )
+        return None
+    return tbl
+
+
+def write_table_partitioned(tbl, directory: str, part_col: str) -> "list[int]":
+    """Overwrite ``directory`` with ``tbl`` laid out exactly like
+    ``df.write.partitionBy(part_col).parquet(directory)``: one
+    ``part_col=<v>`` subdirectory per distinct integer value, one parquet
+    file each, the partition column dropped from the files (readers
+    re-derive it from the directory name, identical to Spark's writer).
+    Returns the sorted distinct partition values. Bounded by construction:
+    callers hand in a table that already passed collect_arrow_capped."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(directory, ignore_errors=True)
+    os.makedirs(directory, exist_ok=True)
+    vals = sorted({int(v) for v in tbl.column(part_col).to_pylist()})
+    for v in vals:
+        sub = tbl.filter(pc.equal(tbl.column(part_col), v)).drop_columns([part_col])
+        d = os.path.join(directory, f"{part_col}={v}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, "part-00000.parquet"))
+    return vals

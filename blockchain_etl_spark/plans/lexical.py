@@ -332,28 +332,37 @@ def lm_backoff_eval_frames(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "g.w1", "g.w2", "g.w3")
     )
-    tri = tri.localCheckpoint()  # consumers: 3 train tables + heldout
+    # lazy checkpoint (round 14): tri feeds the count-table lineage and
+    # the heldout side; eager=False keeps materialize-once while folding
+    # the materialization into the first consumer's job
+    tri = tri.localCheckpoint(eager=False)
     train = tri.filter(col("doc_id") % 2 == 0).select("w1", "w2", "w3")
     held = tri.filter(col("doc_id") % 2 == 1).select("w1", "w2", "w3")
     c3 = train.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    # c2/c1 re-aggregate c3 instead of the full trigram occurrence stream
+    # (round 14, guide §2.3 "aggregate before you shuffle"): COUNT over
+    # occurrences == SUM of the trigram counts grouped coarser, exactly —
+    # so the two extra full-stream shuffles shrink to distinct-trigram-
+    # sized re-aggregations of the checkpointed c3. Bench-neutral at
+    # sf0.1 (trigram table is small); at corpus scale the occurrence
+    # stream is the term that grows while distinct trigrams saturate.
+    c3 = c3.localCheckpoint(eager=False)
     w3w = Window.partitionBy("w1", "w2").orderBy(col("cnt").desc(), "w3")
     best3 = (
         c3.withColumn("__rn", F.row_number().over(w3w))
         .filter(col("__rn") == 1)
         .select("w1", "w2", col("w3").alias("pred3"))
     )
-    c2 = train.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    c2 = c3.groupBy("w2", "w3").agg(F.sum("cnt").cast("long").alias("cnt"))
     w2w = Window.partitionBy("w2").orderBy(col("cnt").desc(), "w3")
     best2 = (
         c2.withColumn("__rn", F.row_number().over(w2w))
         .filter(col("__rn") == 1)
         .select("w2", col("w3").alias("pred2"))
     )
-    c1 = train.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    c1 = c2.groupBy("w3").agg(F.sum("cnt").cast("long").alias("cnt"))
     w1w = Window.orderBy(col("cnt").desc(), "w3")
     best1 = (
         c1.withColumn("__rn", F.row_number().over(w1w))

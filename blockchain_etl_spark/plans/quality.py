@@ -571,11 +571,13 @@ def retrieval_mrr_eval(
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", "label"
         )
-        corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
+        # lazy (round 14): materialize-once inside the first consumer's
+        # job — see knn_recall_eval for the measured rationale
+        corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint(eager=False)
     if exact_topk is None:
         exact_topk = knn_cosine_bruteforce(spark, sf_dir, corpus=corpus)
     if approx_topk is None:
-        approx_topk = knn_cosine_ivf(spark, sf_dir, corpus=corpus)
+        approx_topk = knn_cosine_ivf(spark, sf_dir, corpus=corpus, eager_ckpt=False)
     exact1 = (
         exact_topk
         .filter(col("rank") == 1)

@@ -118,6 +118,11 @@ def knn_cosine_bruteforce(
         corpus = _with_norm(
             emb.select("vec_id", "embedding"), "embedding", "nrm"
         ).localCheckpoint()  # query (broadcast) side and stream side both read it
+    else:
+        # a shared eval corpus also carries `label` for the IVF arm —
+        # project it away so the broadcast-NLJ stream side stays as
+        # narrow as the self-contained frame (guide §2.3)
+        corpus = corpus.select("vec_id", "embedding", "nrm")
     queries = corpus.filter(col("vec_id") < _N_QUERIES).select(
         col("vec_id").alias("qid"),
         col("embedding").alias("qe"),
@@ -434,11 +439,19 @@ def _label_centroids(emb: DataFrame) -> DataFrame:
     "disk, so a probe reads only matching partitions.",
 )
 def knn_cosine_ivf(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    eager_ckpt: bool = True,
 ) -> DataFrame:
     """``corpus``: same injection contract as knn_cosine_bruteforce — the
     eval gates share one normed-corpus checkpoint across both arms; the
-    injected frame must carry (vec_id, embedding, label, nrm)."""
+    injected frame must carry (vec_id, embedding, label, nrm).
+    ``eager_ckpt``: the eval gates pass False so the internal scoring
+    checkpoint materializes inside its first consumer's job instead of
+    paying a dedicated job up front (round 14 — the eager form cost the
+    composed evals ~2x wall at bench scale; the reuse-once-materialized
+    property is identical)."""
     from pyspark.sql import Window
 
     if corpus is None:
@@ -461,7 +474,9 @@ def knn_cosine_ivf(
     w = Window.partitionBy("vec_id").orderBy(col("score").desc(), col("cell"))
     # assign and probes both filter this frame — materialize the scoring
     # window once instead of running it per consumer.
-    ranked = scored.withColumn("rn", F.row_number().over(w)).localCheckpoint()
+    ranked = scored.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=eager_ckpt
+    )
     assign = ranked.filter(col("rn") == 1).select("vec_id", "cell")
     probes = (
         ranked.filter((col("vec_id") < _N_QUERIES) & (col("rn") <= _IVF_PROBES))
@@ -916,17 +931,21 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE normed-corpus checkpoint shared by both arms (round 13): the
     # exact and IVF arms each materialized their own identical
     # embeddings+norm frame inside one eval DAG — one scan+checkpoint job
-    # of the two was pure recomputation.
+    # of the two was pure recomputation. LAZY (round 14): eager=False
+    # keeps the materialize-once/consume-many property but folds the
+    # materialization into the first consuming job — the r13 eager form
+    # (a dedicated checkpoint job per eval) measured ~2x the wall of the
+    # lazy form at bench scale and was the r13 verdict's #1 regression.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint()
+    corpus = _with_norm(emb, "embedding", "nrm").localCheckpoint(eager=False)
     exact = knn_cosine_bruteforce(spark, sf_dir, corpus=corpus).select(
         "qid", "neighbor_id"
     )
-    approx = knn_cosine_ivf(spark, sf_dir, corpus=corpus).select(
-        "qid", "neighbor_id"
-    )
+    approx = knn_cosine_ivf(
+        spark, sf_dir, corpus=corpus, eager_ckpt=False
+    ).select("qid", "neighbor_id")
     hit = exact.withColumn("__hit", F.lit(1))
     return (
         approx.join(hit, ["qid", "neighbor_id"], "left")
