@@ -204,6 +204,10 @@ def main() -> None:
         "anchor_min_sec": round(min(anchor_samples), 3),
         "loadavg_1m": chosen["loadavg"],
         "bench_passes": len(passes_summary),
+        # label the artifact with its core count (r13 verdict #6 hygiene:
+        # a committed BENCH_DETAIL from the driver's low-core scaling run
+        # is otherwise indistinguishable from the 32-core profile)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     if failed:
         result["failed"] = failed

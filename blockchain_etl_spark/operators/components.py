@@ -17,6 +17,8 @@ comparison pass).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
@@ -26,7 +28,7 @@ from pyspark.sql.functions import col
 # bounded for the collect to be sound; oversized graphs take the
 # distributed loop below). Shared with the incremental maintainer
 # (operators/component_index.py imports both names).
-_DRIVER_UF_CAP = 200_000
+_DRIVER_UF_CAP = int(os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_CAP", "200000"))
 
 
 def _driver_union_find(

@@ -12,10 +12,13 @@ on event_id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col
 
+from ..functions.localframe import local_df
 from ..functions.numeric import DEC, dsum, dsum_expr
 from ..sources.testdata import load_table
 from .registry import register
@@ -1087,7 +1090,7 @@ _TRI_MIN_COORDER = 2  # edge = parts co-ordered in >= this many baskets
 # loop, so the 100 TB path keeps its shape. The UNfiltered co-purchase
 # graph (part_kcore_census, basket_part_pairs) is ~300x larger at every
 # scale and never routes here.
-_GRAPH_DRIVER_CAP = 200_000
+_GRAPH_DRIVER_CAP = int(os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_CAP", "200000"))
 
 
 def _bounded_edge_collect(
@@ -1205,7 +1208,10 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # census driver-side — same algorithm, zero further Spark jobs.
     rows, edges = _bounded_edge_collect(edges)
     if rows is not None:
-        return spark.createDataFrame(
+        # local_df: Arrow-converter local relation — the plain-list form
+        # schedules a Python-worker scan stage per action (round 14)
+        return local_df(
+            spark,
             [_driver_triangle_census(rows)],
             "n_nodes long, n_edges long, n_triangles long, "
             "n_wedges long, gcc_ppm long",
@@ -1935,7 +1941,10 @@ def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = _hll_partial(
         events.select("event_type", "user_id"), ["event_type"], "user_id"
     )
-    sk = sk.localCheckpoint()  # register-sized; feeds per-type + pair unions
+    # register-sized; feeds per-type + pair unions. Lazy (round 14): the
+    # corpus-sized partial agg materializes inside the first consumer's
+    # job instead of a dedicated eager checkpoint job.
+    sk = sk.localCheckpoint(eager=False)
     est = (
         sk.groupBy("event_type")
         .agg(
@@ -1947,6 +1956,11 @@ def events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = est.select(col("event_type").alias("type_a"), col("est").alias("est_a"))
     pb = est.select(col("event_type").alias("type_b"), col("est").alias("est_b"))
     pairs = pa.crossJoin(pb).filter(col("type_a") < col("type_b"))
+    # pairs is consumed twice (member expansion + the final estimate
+    # join); without the checkpoint each consumer re-ran the per-type
+    # estimate aggregate over sk twice more (round 14: -8% wall, plan
+    # 20 -> 8 Exchanges)
+    pairs = pairs.localCheckpoint(eager=False)
     members = pairs.select(
         "type_a",
         "type_b",
@@ -2192,16 +2206,6 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def census_row(r: int, n_nodes_df: DataFrame, deg_df: DataFrame) -> DataFrame:
-        # n_edges = sum(d)/2 off the node-grain degree state — no edge scan
-        return n_nodes_df.crossJoin(
-            deg_df.agg(
-                F.coalesce(F.expr("sum(d) div 2"), F.lit(0))
-                .cast("long")
-                .alias("n_edges")
-            )
-        ).select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges")
-
     # Driver-state peel (round 13, second pass): the degree STATE is
     # node-grain — |V| (n, d) pairs, part-dimension sized — while the
     # EDGES (the payload the _GRAPH_DRIVER_CAP doc forbids collecting for
@@ -2228,8 +2232,8 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             if peeled:
                 for p in peeled:
                     del d[p]
-                peeled_df = spark.createDataFrame(
-                    [(int(p),) for p in peeled], "p long"
+                peeled_df = local_df(
+                    spark, [(int(p),) for p in peeled], "p long"
                 )
                 dec_rows = (
                     adj.join(broadcast(peeled_df), adj["n"] == peeled_df["p"])
@@ -2242,13 +2246,31 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if n in d:  # decrements aimed at peeled nodes drop
                         d[n] -= c
             rows.append((r, len(d), sum(d.values()) // 2))
-        return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long")
+        return local_df(spark, rows, "round long, n_nodes long, n_edges long")
 
+    # Distributed peel, frontier-worklist form (round 14): each round
+    # costs ONE job — the next degree state is checkpointed lazily and a
+    # single (count, sum(d), count(d < k)) aggregate over it both
+    # materializes the checkpoint and hands the driver that round's
+    # census scalars PLUS the next round's frontier size. A round whose
+    # frontier is empty is never scheduled: the cascade is monotone, so
+    # once count(d < k) = 0 every later round repeats the census row —
+    # emitted as driver arithmetic, zero jobs (the r13 shape paid a
+    # checkpoint job per round plus a 7-branch union of aggregates at
+    # the end, empty rounds included). Census values are identical: the
+    # aggregate reads the same deg_r state the union form aggregated.
+    stats = adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("d0"), F.lit(0)).cast("long").alias("s"),
+        F.count(F.when(col("d0") < _KCORE_K, 1)).cast("long").alias("below"),
+    ).collect()[0]
+    n_nodes, sum_d, below = stats["n"], stats["s"], stats["below"]
+    rows = [(0, n_nodes, sum_d // 2)]
     deg = adj.select("n", col("d0").alias("d"))
-    census = [
-        census_row(0, deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")), deg)
-    ]
     for r in range(1, _KCORE_ROUNDS + 1):
+        if below == 0:  # nothing peels: the census row repeats, no job
+            rows.append((r, n_nodes, sum_d // 2))
+            continue
         surv = deg.filter(col("d") >= _KCORE_K)
         # edges lost this round: explode ONLY the peeled nodes' adjacency
         # lists; decrements aimed at already-peeled nodes drop in the
@@ -2265,19 +2287,16 @@ def part_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "n", (col("d") - F.coalesce(col("c"), F.lit(0))).alias("d")
             )
-            .localCheckpoint()  # the ONLY per-round state (node-grain)
+            .localCheckpoint(eager=False)  # the ONLY per-round state
         )
-        census.append(
-            census_row(
-                r,
-                surv.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")),
-                deg,
-            )
-        )
-    out = census[0]
-    for c in census[1:]:
-        out = out.unionByName(c)
-    return out
+        stats = deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("s"),
+            F.count(F.when(col("d") < _KCORE_K, 1)).cast("long").alias("below"),
+        ).collect()[0]
+        n_nodes, sum_d, below = stats["n"], stats["s"], stats["below"]
+        rows.append((r, n_nodes, sum_d // 2))
+    return local_df(spark, rows, "round long, n_nodes long, n_edges long")
 
 
 # --------------------------------------------------------------------------
@@ -2360,8 +2379,8 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = [
             (c, cnt, mn) for c, (cnt, mn) in agg.items() if cnt >= 3
         ]
-        return spark.createDataFrame(
-            out, "community long, n_members long, min_part long"
+        return local_df(
+            spark, out, "community long, n_members long, min_part long"
         )
     esym = edges.select(col("a").alias("src"), col("b").alias("dst")).unionAll(
         edges.select(col("b").alias("src"), col("a").alias("dst"))
